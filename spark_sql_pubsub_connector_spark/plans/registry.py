@@ -1,0 +1,75 @@
+"""Central registry of oracle-checked queries.
+
+Each :class:`QuerySpec` pairs a PySpark DataFrame builder with the
+equivalent ANSI SQL that DuckDB runs on the same parquet tables — the
+driver's correctness gate (BASELINE.md "operative baseline"). Queries
+whose semantics are not SQL-expressible (stateful streaming, UDF-backed
+decode) set ``oracle=None`` and get a rows-only check.
+
+Contract notes (from /root/repo/__spark_entry__.py):
+  - every computed column must carry the SAME alias in both the Spark
+    plan and the oracle SQL (the driver sorts columns by name before
+    hashing);
+  - double-valued aggregates are rounded identically on both sides so
+    float summation-order differences between engines cannot flip the
+    value hash;
+  - timestamps are exported as epoch microseconds (bigint) or
+    'yyyy-MM-dd' strings — never raw timestamp columns — to avoid
+    timezone/precision representation differences.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Builder
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in _REGISTRY:
+        raise ValueError(f"duplicate query name: {spec.name}")
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def query(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[Builder], Builder]:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame``."""
+
+    def deco(fn: Builder) -> Builder:
+        register(QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), tags, bench))
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Builder]:
+    return {n: s.build for n, s in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}

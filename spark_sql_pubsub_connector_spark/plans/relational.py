@@ -1,0 +1,564 @@
+"""Relational query corpus (SURVEY.md §2.2 + §7 Phase 1).
+
+The reference implements no relational operators of its own — every
+query over its streaming DataFrame is executed by Spark SQL/Catalyst
+(SURVEY.md §2.1 closing note). This module pins down that delegated
+surface as oracle-checked queries over the driver's star schema:
+projection+cast (reference README.md:66-67,89), filter
+(PubsubConnectorTest.scala:218-219), union (:275), plus the standard
+OLAP set (agg, joins of all shapes, top-k windows, rollup, scalar
+functions, from_json, event-time windows, sessionization).
+
+All double-valued aggregates use the exact integer-scaled technique
+from ``functions.exact`` so Spark and the DuckDB oracle agree
+bit-for-bit regardless of summation order.
+
+Scale notes are inline per query; the common ones:
+  - dimension joins (region/nation) are explicitly broadcast;
+  - fact-fact joins rely on AQE for skew/partition sizing;
+  - aggregates are expressed so map-side partial aggregation applies;
+  - filters/projections sit directly on the scan so Catalyst pushes
+    them into parquet (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.exact import eavg, esum, sql_eavg, sql_esum
+from .registry import query
+from .tables import load_table
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+# --------------------------------------------------------------------------
+# q01 — flagship: TPC-H Q1-style pricing summary (SURVEY.md §7 Phase 0)
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_esum("l_quantity", 2, "sum_qty")},
+  {sql_esum("l_extendedprice", 2, "sum_base_price")},
+  {sql_esum(_DISC_PRICE, 4, "sum_disc_price")},
+  {sql_esum(_CHARGE, 6, "sum_charge")},
+  {sql_eavg("l_quantity", 2, "avg_qty")},
+  {sql_eavg("l_extendedprice", 2, "avg_price")},
+  {sql_eavg("l_discount", 2, "avg_disc")},
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "flagship"),
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan aggregate; partial aggregation makes the shuffle tiny
+    (6 groups) regardless of input scale — the 100 TB plan is scan-bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            esum("l_quantity", 2).alias("sum_qty"),
+            esum("l_extendedprice", 2).alias("sum_base_price"),
+            esum(disc_price, 4).alias("sum_disc_price"),
+            esum(charge, 6).alias("sum_charge"),
+            eavg("l_quantity", 2).alias("avg_qty"),
+            eavg("l_extendedprice", 2).alias("avg_price"),
+            eavg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — projection + casts, the reference's documented message projection
+# --------------------------------------------------------------------------
+@query(
+    "q02_projection_cast",
+    oracle="""
+SELECT
+  CAST(event_id AS VARCHAR)                    AS id_str,
+  CAST(props AS BLOB)                          AS data,
+  upper(event_type)                            AS event_type_u,
+  CAST(round(value * 100, 0) AS BIGINT)        AS value_cents
+FROM events
+WHERE event_id < 2000
+""",
+    tags=("projection",),
+)
+def q02_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors `CAST(data AS STRING)` / `CAST(value AS BINARY) as data`
+    from the reference README.md:66-67,89 — pure narrow projection, no
+    shuffle; the cast chain stays inside whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 2000).select(
+        F.col("event_id").cast("string").alias("id_str"),
+        F.col("props").cast("binary").alias("data"),
+        F.upper("event_type").alias("event_type_u"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — filter with compound boolean predicate
+# --------------------------------------------------------------------------
+@query(
+    "q03_filter_predicate",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_custkey,
+  o_orderstatus,
+  o_totalprice,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 200000
+  AND o_orderstatus IN ('O', 'F')
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+""",
+    tags=("filter",),
+)
+def q03_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-predicate filter (PubsubConnectorTest.scala:218-219
+    analog); all three conjuncts push down to the parquet scan.
+    o_totalprice passes through unmodified (identical stored double)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00"))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — union of two streams (reference unionAll test)
+# --------------------------------------------------------------------------
+@query(
+    "q04_union_streams",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {sql_esum("value", 2, "sum_value")}
+FROM (
+  SELECT event_type, value FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT event_type, value FROM events WHERE event_type = 'signup'
+)
+GROUP BY event_type
+""",
+    tags=("union",),
+)
+def q04_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unionAll` of two differently-filtered scans
+    (PubsubConnectorTest.scala:275 analog), then aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("event_type", "value")
+    b = ev.filter(F.col("event_type") == "signup").select("event_type", "value")
+    return (
+        a.unionAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), esum("value", 2).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — distinct / exact dedup on the relational side
+# --------------------------------------------------------------------------
+@query(
+    "q05_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("distinct",),
+)
+def q05_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicates` — hash-aggregate dedup; partial-agg collapses
+    duplicates map-side before the shuffle."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .dropDuplicates()
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — top-k per group via ranking window
+# --------------------------------------------------------------------------
+@query(
+    "q06_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+""",
+    tags=("window", "topk"),
+    bench=True,
+)
+def q06_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. row_number + filter lets Spark run a
+    rank-limit (WindowGroupLimit) before the full sort at scale; the
+    o_orderkey tiebreak keeps it deterministic for the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — broadcast dimension join chain
+# --------------------------------------------------------------------------
+@query(
+    "q07_join_broadcast",
+    oracle=f"""
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       {sql_eavg("c_acctbal", 2, "avg_acctbal")}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    tags=("join", "broadcast"),
+)
+def q07_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region(5) and nation(25) are broadcast — zero shuffle for the
+    joins at any fact-table scale; only the final 25-group agg shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            eavg("c_acctbal", 2).alias("avg_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — fact-fact shuffle join with aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q08_join_shuffle_agg",
+    oracle=f"""
+SELECT c_mktsegment, o_orderpriority,
+       {sql_esum(_DISC_PRICE, 4, "revenue")},
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON o_custkey  = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_mktsegment, o_orderpriority
+""",
+    tags=("join", "shuffle"),
+    bench=True,
+)
+def q08_join_shuffle_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈lineitem is the scale-critical shuffle join (both sides
+    grow with SF); keys are uniform so AQE handles partition sizing.
+    customer joins via its key then aggregates to ~20 groups."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            esum(disc_price, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — left-semi join
+# --------------------------------------------------------------------------
+@query(
+    "q09_semi_join",
+    oracle="""
+SELECT n_name, count(*) AS n_active_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+    tags=("join", "semi"),
+)
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 order, counted per nation. left_semi never
+    duplicates rows and only ships the join key — cheapest existence
+    check at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — left-anti join
+# --------------------------------------------------------------------------
+@query(
+    "q10_anti_join",
+    oracle="""
+SELECT p_brand, count(*) AS n_unsold_parts
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+""",
+    tags=("join", "anti"),
+)
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never ordered, per brand — left_anti against the key
+    projection of lineitem."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_unsold_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — rollup (grouping sets)
+# --------------------------------------------------------------------------
+@query(
+    "q11_rollup",
+    oracle=f"""
+SELECT coalesce(r_name, 'ALL') AS region_name,
+       coalesce(n_name, 'ALL') AS nation_name,
+       count(c_custkey)        AS n_customers,
+       {sql_esum("c_acctbal", 2, "sum_acctbal")}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("agg", "rollup"),
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) with totals; NULL grouping keys coalesced
+    to 'ALL' so the hash comparison is unambiguous (n_name/r_name are
+    never NULL in the data, so no collision with real values)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            esum("c_acctbal", 2).alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — scalar function library (string / math / modulo)
+# --------------------------------------------------------------------------
+@query(
+    "q12_scalar_funcs",
+    oracle="""
+SELECT
+  p_partkey,
+  upper(p_brand)                  AS brand_u,
+  length(p_name)                  AS name_len,
+  substr(p_type, 1, 5)            AS type5,
+  concat_ws('#', p_brand, p_type) AS brand_type,
+  round(p_retailprice * 1.1, 3)   AS marked_up,
+  abs(p_size - 25)                AS size_dev,
+  p_partkey % 7                   AS k7
+FROM part
+""",
+    tags=("scalar",),
+)
+def q12_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math surface — all JVM built-ins inside one
+    whole-stage-codegen projection. marked_up rounds at 3 decimals
+    because 2-decimal-price × 1.1 is exact on the 1e-3 grid (no
+    boundary ambiguity)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 3).alias("marked_up"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("k7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — semi-structured JSON extraction (events.props)
+# --------------------------------------------------------------------------
+@query(
+    "q13_from_json",
+    oracle=f"""
+SELECT
+  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+  count(*) AS n,
+  {sql_eavg("value", 2, "avg_value")}
+FROM events
+GROUP BY 1
+""",
+    tags=("json",),
+)
+def q13_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`from_json` over the stream's string payload (the multimodal
+    metadata pattern, SURVEY.md §2.3) then aggregate per extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("j", F.from_json("props", "k INT"))
+        .groupBy(F.col("j.k").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            eavg("value", 2).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — event-time tumbling window aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q14_window_tumbling",
+    oracle=f"""
+SELECT
+  epoch_us(date_trunc('hour', ts)) AS window_start_us,
+  event_type,
+  count(*) AS n,
+  {sql_esum("value", 2, "sum_value")}
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("window", "time"),
+    bench=True,
+)
+def q14_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window over event time — the batch shape of the
+    streaming windowed agg (streaming/ runs the same plan with a
+    watermark). Window start exported as epoch µs for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            esum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — sessionization via gap detection (batch shape)
+# --------------------------------------------------------------------------
+@query(
+    "q15_sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT
+    user_id,
+    event_id,
+    epoch_us(ts) AS ts_us,
+    value,
+    CASE
+      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+      ELSE 0
+    END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT *,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       {sql_esum("value", 2, "sum_value")}
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("window", "session"),
+)
+def q15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize per user with a 30-min inactivity gap (lag + running
+    sum — the batch analog of `session_window`; the streaming variant
+    lives in streaming/pipelines.py). Partition-by-user windows scale
+    horizontally: state never exceeds one user's events per task."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts_us").over(w).isNull(), F.lit(1))
+        .when(F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        esum("value", 2).alias("sum_value"),
+    )

@@ -1,0 +1,65 @@
+"""Local re-implementation of the driver's oracle comparison: run the
+Spark DataFrame and the DuckDB SQL, sort columns by name, normalize
+values, and compare as row multisets (order-insensitive)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse float-representation noise one decimal beyond the
+        # query-side rounding
+        return round(v, 9)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def rows_from_spark(df):
+    cols = sorted(df.columns)
+    return cols, [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
+
+
+def rows_from_duck(con, sql):
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    return cols, [tuple(_norm(row[i]) for i in order) for row in cur.fetchall()]
+
+
+def assert_oracle_match(spark_df, duck_con, oracle_sql, name=""):
+    s_cols, s_rows = rows_from_spark(spark_df)
+    d_cols, d_rows = rows_from_duck(duck_con, oracle_sql)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    s_sorted = sorted(s_rows, key=repr)
+    d_sorted = sorted(d_rows, key=repr)
+    mismatches = [
+        (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
