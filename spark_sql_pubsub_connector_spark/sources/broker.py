@@ -1,0 +1,343 @@
+"""Broker abstraction: a deterministic, file-backed fake Pub/Sub.
+
+The reference talks gRPC to Google Cloud Pub/Sub (Subscriber.scala,
+CachedPublishers.scala). This engine's tests must run offline, and the
+reader/writer code runs in separate Python worker processes on the
+executors — so the fake broker lives on the shared filesystem and
+serializes all mutations through an ``fcntl`` file lock. Semantics
+mirrored from the real service:
+
+  - topics hold an append-only, sequence-numbered message log;
+  - a subscription tracks acked seqs and outstanding leases;
+  - ``pull`` leases up to ``max_messages`` undelivered messages and
+    returns ``(ack_id, message)`` pairs; unacked leases expire after
+    the ack deadline and the messages are redelivered (at-least-once,
+    README.md:125 of the reference);
+  - ``acknowledge`` permanently removes leased messages;
+  - per-region backlog stats feed the dynamic-partition monitor (the
+    reference polls Cloud Monitoring, PubsubSubscriptionMonitor.scala).
+
+On a 1000-executor cluster this file broker is replaced by the real
+service — the interface is the contract, and all scale-sensitive state
+(message payloads) stays out of the subscription metadata file.
+
+A real google-cloud-pubsub client is gated behind an import-try in
+:class:`RealBrokerClient`; the library is not installed in this
+container.
+"""
+
+from __future__ import annotations
+
+import base64
+import contextlib
+import fcntl
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PubsubMessage:
+    data: bytes
+    attributes: dict[str, str] = field(default_factory=dict)
+    ordering_key: str = ""
+    message_id: str = ""
+    publish_ts_us: int = 0  # µs since epoch (reference truncates to µs)
+    region: str = "global"
+
+
+@dataclass(frozen=True)
+class ReceivedMessage:
+    ack_id: str
+    message: PubsubMessage
+
+
+class FileBroker:
+    """File-backed broker rooted at ``root``; safe across processes."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "topics"), exist_ok=True)
+        os.makedirs(os.path.join(root, "subs"), exist_ok=True)
+
+    # -- locking ----------------------------------------------------------
+    @contextlib.contextmanager
+    def _lock(self):
+        path = os.path.join(self.root, ".lock")
+        with open(path, "a+") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
+    # -- paths ------------------------------------------------------------
+    def _topic_dir(self, topic: str) -> str:
+        return os.path.join(self.root, "topics", topic.replace("/", "__"))
+
+    def _sub_path(self, sub: str) -> str:
+        return os.path.join(self.root, "subs", sub.replace("/", "__") + ".json")
+
+    # -- admin ------------------------------------------------------------
+    def create_topic(self, topic: str) -> None:
+        d = self._topic_dir(topic)
+        os.makedirs(d, exist_ok=True)
+        seq = os.path.join(d, ".seq")
+        if not os.path.exists(seq):
+            with open(seq, "w") as fh:
+                fh.write("0")
+
+    def create_subscription(
+        self, sub: str, topic: str, ack_deadline_s: float = 60.0
+    ) -> None:
+        self.create_topic(topic)
+        state = {
+            "topic": topic,
+            "ack_deadline_s": ack_deadline_s,
+            "acked_below": 0,  # all seqs < this are acked (compaction)
+            "acked": [],  # sparse acked seqs >= acked_below
+            "leases": {},  # ack_id -> {seq, expiry}
+        }
+        with self._lock():
+            with open(self._sub_path(sub), "w") as fh:
+                json.dump(state, fh)
+
+    def delete_all(self) -> None:
+        import shutil
+
+        for d in ("topics", "subs"):
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+            os.makedirs(os.path.join(self.root, d), exist_ok=True)
+
+    # -- publish ----------------------------------------------------------
+    def publish(
+        self,
+        topic: str,
+        messages: list[PubsubMessage],
+        publish_ts_us: int | None = None,
+    ) -> list[str]:
+        """Append messages to the topic log; returns assigned message ids.
+        ``publish_ts_us`` pins the publish timestamp for deterministic
+        tests (the real service stamps arrival time)."""
+        d = self._topic_dir(topic)
+        if not os.path.isdir(d):
+            raise KeyError(f"no such topic: {topic}")
+        now_us = (
+            publish_ts_us if publish_ts_us is not None else int(time.time() * 1e6)
+        )
+        with self._lock():
+            with open(os.path.join(d, ".seq")) as fh:
+                seq = int(fh.read().strip() or "0")
+            ids = []
+            with open(os.path.join(d, "log.jsonl"), "a") as log:
+                for m in messages:
+                    mid = str(seq)
+                    log.write(
+                        json.dumps(
+                            {
+                                "seq": seq,
+                                "message_id": mid,
+                                "ordering_key": m.ordering_key,
+                                "data_b64": base64.b64encode(m.data).decode(),
+                                "attributes": m.attributes,
+                                "publish_ts_us": m.publish_ts_us or now_us,
+                                "region": m.region,
+                            }
+                        )
+                        + "\n"
+                    )
+                    ids.append(mid)
+                    seq += 1
+            with open(os.path.join(d, ".seq"), "w") as fh:
+                fh.write(str(seq))
+        return ids
+
+    def commit_staged(self, topic: str, staged_files: list[str]) -> int:
+        """Atomically append pre-staged JSONL message files to the topic
+        log (the sink's exactly-once commit); returns messages appended."""
+        d = self._topic_dir(topic)
+        if not os.path.isdir(d):
+            raise KeyError(f"no such topic: {topic}")
+        n = 0
+        with self._lock():
+            with open(os.path.join(d, ".seq")) as fh:
+                seq = int(fh.read().strip() or "0")
+            with open(os.path.join(d, "log.jsonl"), "a") as log:
+                for path in staged_files:
+                    with open(path) as src:
+                        for line in src:
+                            rec = json.loads(line)
+                            rec["seq"] = seq
+                            rec["message_id"] = str(seq)
+                            log.write(json.dumps(rec) + "\n")
+                            seq += 1
+                            n += 1
+            with open(os.path.join(d, ".seq"), "w") as fh:
+                fh.write(str(seq))
+        return n
+
+    # -- internal state helpers -------------------------------------------
+    def _read_log(self, topic: str) -> list[dict]:
+        path = os.path.join(self._topic_dir(topic), "log.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _load_sub(self, sub: str) -> dict:
+        path = self._sub_path(sub)
+        if not os.path.exists(path):
+            raise KeyError(f"no such subscription: {sub}")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _store_sub(self, sub: str, state: dict) -> None:
+        tmp = self._sub_path(sub) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self._sub_path(sub))
+
+    @staticmethod
+    def _expire_leases(state: dict, now: float) -> None:
+        state["leases"] = {
+            aid: l for aid, l in state["leases"].items() if l["expiry"] > now
+        }
+
+    @staticmethod
+    def _compact_acked(state: dict) -> None:
+        acked = sorted(set(state["acked"]))
+        below = state["acked_below"]
+        i = 0
+        while i < len(acked) and acked[i] == below:
+            below += 1
+            i += 1
+        state["acked_below"] = below
+        state["acked"] = acked[i:]
+
+    # -- pull / ack ---------------------------------------------------------
+    def pull(
+        self, sub: str, max_messages: int, region: str | None = None
+    ) -> list[ReceivedMessage]:
+        """Lease up to ``max_messages`` undelivered messages (optionally
+        restricted to one region — the reference's per-region endpoint
+        pulls, PubsubMicroBatchStream.scala:58-74)."""
+        now = time.time()
+        with self._lock():
+            state = self._load_sub(sub)
+            self._expire_leases(state, now)
+            acked = set(state["acked"])
+            below = state["acked_below"]
+            leased_seqs = {l["seq"] for l in state["leases"].values()}
+            out: list[ReceivedMessage] = []
+            for rec in self._read_log(state["topic"]):
+                if len(out) >= max_messages:
+                    break
+                s = rec["seq"]
+                if s < below or s in acked or s in leased_seqs:
+                    continue
+                if region is not None and rec.get("region", "global") != region:
+                    continue
+                ack_id = f"ack-{s}-{uuid.uuid4().hex[:8]}"
+                state["leases"][ack_id] = {
+                    "seq": s,
+                    "expiry": now + state["ack_deadline_s"],
+                }
+                out.append(
+                    ReceivedMessage(
+                        ack_id=ack_id,
+                        message=PubsubMessage(
+                            data=base64.b64decode(rec["data_b64"]),
+                            attributes=rec.get("attributes") or {},
+                            ordering_key=rec.get("ordering_key", ""),
+                            message_id=rec["message_id"],
+                            publish_ts_us=rec["publish_ts_us"],
+                            region=rec.get("region", "global"),
+                        ),
+                    )
+                )
+            self._store_sub(sub, state)
+        return out
+
+    def acknowledge(self, sub: str, ack_ids: list[str]) -> int:
+        """Ack leased messages; unknown/expired ack ids are ignored
+        (matching the real service's idempotent acks)."""
+        n = 0
+        with self._lock():
+            state = self._load_sub(sub)
+            for aid in ack_ids:
+                lease = state["leases"].pop(aid, None)
+                if lease is not None:
+                    state["acked"].append(lease["seq"])
+                    n += 1
+            self._compact_acked(state)
+            self._store_sub(sub, state)
+        return n
+
+    def modify_ack_deadline(self, sub: str, ack_ids: list[str], seconds: float) -> None:
+        """0 seconds == nack → immediate redelivery."""
+        now = time.time()
+        with self._lock():
+            state = self._load_sub(sub)
+            for aid in ack_ids:
+                if aid in state["leases"]:
+                    state["leases"][aid]["expiry"] = now + seconds
+            self._expire_leases(state, now)
+            self._store_sub(sub, state)
+
+    # -- monitoring (Cloud Monitoring stand-in) ----------------------------
+    def backlog(self, sub: str) -> int:
+        return sum(self.backlog_by_region(sub).values())
+
+    def backlog_by_region(self, sub: str) -> dict[str, int]:
+        """num_unacked_messages_by_region equivalent
+        (PubsubSubscriptionMonitor.scala:155-210). Leased-but-unacked
+        messages still count as backlog, like the real metric."""
+        with self._lock():
+            state = self._load_sub(sub)
+            acked = set(state["acked"])
+            below = state["acked_below"]
+            out: dict[str, int] = {}
+            for rec in self._read_log(state["topic"]):
+                s = rec["seq"]
+                if s < below or s in acked:
+                    continue
+                r = rec.get("region", "global")
+                out[r] = out.get(r, 0) + 1
+        return out
+
+    def topic_messages(self, topic: str) -> list[PubsubMessage]:
+        """Test helper: the full committed topic log, in order."""
+        return [
+            PubsubMessage(
+                data=base64.b64decode(rec["data_b64"]),
+                attributes=rec.get("attributes") or {},
+                ordering_key=rec.get("ordering_key", ""),
+                message_id=rec["message_id"],
+                publish_ts_us=rec["publish_ts_us"],
+                region=rec.get("region", "global"),
+            )
+            for rec in self._read_log(topic)
+        ]
+
+
+class RealBrokerClient:
+    """Placeholder for the google-cloud-pubsub-backed client.
+
+    The container has no ``google-cloud-pubsub`` (and no network), so
+    this raises with instructions. The FileBroker implements the same
+    interface; swapping it for this class is the only change needed to
+    run against the real service (endpoint/emulator handling would
+    mirror Subscriber.scala:72-78 / CachedPublishers.scala:38-47).
+    """
+
+    def __init__(self, *a, **kw):
+        try:
+            import google.cloud.pubsub_v1  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "google-cloud-pubsub is not installed; use FileBroker "
+                "(option broker_dir=...) for offline operation"
+            ) from e
+        raise NotImplementedError("real client wiring is deferred; see FileBroker")

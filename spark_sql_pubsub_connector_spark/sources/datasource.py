@@ -1,0 +1,505 @@
+"""The pubsub DataSource: micro-batch stream reader + append-only
+stream writer on the Python DataSource API (PySpark 4.x).
+
+Parity map to the reference (SURVEY.md §2.1):
+  S1/S2  name()="pubsub", fixed read schema, streaming-only capability
+  S4     synthetic monotone batch-counter offsets ({"batch_id": n}) —
+         Pub/Sub has no offsets (PubsubMicroBatchStream.scala:35-38)
+  S5     AvailableNow drain: latestOffset() advances by
+         ceil(backlog/capacity) units per trigger, so the start-time
+         snapshot covers the whole backlog
+         (PubsubSubscriptionMonitor.scala:96-113 analog)
+  S6/S13 per-batch partition planning — static num_partitions, or
+         backlog-driven with per-region splits via BacklogMonitor
+  S7/S8  per-task pull of ≤ max_messages_per_partition messages,
+         decoded to the 7-column row (PubsubPartitionReader.scala)
+  S9     deterministic replay: first pull persists the partition's
+         messages to an atomically-renamed cache file; task retries and
+         plan re-evaluations read the cache instead of re-pulling
+         (RDD-block cache analog, PubsubPartitionReader.scala:33-70)
+  S10/S11 ack-on-commit: ack ids ride in the cache files (the
+         accumulator analog); commit(end) acks in parallel chunks of
+         1500 and evicts the batch's cache
+         (PubsubMicroBatchStream.scala:93-114)
+  S12    single-consumer stream registry (registry.py)
+  S14-S16 append-only staged-commit sink with batch-id idempotence,
+         write-schema + ordering-key validation on driver AND executor
+  S18    eager option validation (options.py)
+
+Scale design: pulls, decoding, and publishing all happen on executors;
+the driver only plans partitions, acks, and moves staged files. State
+per batch is bounded by partitions × max_messages; cache files are
+evicted on commit exactly like the reference's RDD blocks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .broker import FileBroker, PubsubMessage
+from .monitor import BacklogMonitor
+from .options import (
+    PubsubReadOptions,
+    PubsubWriteOptions,
+    validate_read_options,
+    validate_write_options,
+)
+from .registry import StreamRegistry
+
+ACK_CHUNK = 1500  # PubsubMicroBatchStream.scala:97
+
+# Read schema — 7 fixed columns (reference package.scala:174-186)
+PUBSUB_READ_SCHEMA = StructType(
+    [
+        StructField("subscription", StringType(), False),
+        StructField("ack_id", StringType(), False),
+        StructField("message_id", StringType(), False),
+        StructField("ordering_key", StringType(), False),
+        StructField("data", BinaryType(), False),
+        StructField("publish_timestamp", TimestampType(), False),
+        StructField("attributes", MapType(StringType(), StringType()), True),
+    ]
+)
+
+# Write schema — required subset (reference package.scala:189-196)
+PUBSUB_WRITE_SCHEMA = StructType(
+    [
+        StructField("data", BinaryType(), False),
+        StructField("attributes", MapType(StringType(), StringType()), True),
+    ]
+)
+
+
+def _sanitize(name: str) -> str:
+    return name.replace("/", "__")
+
+
+def _read_cache_dir(opts: PubsubReadOptions) -> str:
+    return os.path.join(
+        opts.broker_dir, ".read_cache", _sanitize(opts.subscription)
+    )
+
+
+@dataclass
+class _PartitionPayload:
+    broker_dir: str
+    subscription: str
+    subscription_path: str
+    max_messages: int
+    cache_file: str
+    region: str | None
+
+
+def _pull_or_replay(payload: _PartitionPayload):
+    """Executor-side body of read(): replay from the partition cache if
+    present, else pull once and persist atomically (S7 + S9)."""
+    import base64
+    from datetime import datetime, timezone
+
+    def rows_from_records(records):
+        for rec in records:
+            yield (
+                payload.subscription_path,
+                rec["ack_id"],
+                rec["message_id"],
+                rec["ordering_key"],
+                base64.b64decode(rec["data_b64"]),
+                datetime.fromtimestamp(rec["publish_ts_us"] / 1e6, tz=timezone.utc),
+                rec.get("attributes") or {},
+            )
+
+    if os.path.exists(payload.cache_file):
+        with open(payload.cache_file) as fh:
+            records = [json.loads(line) for line in fh if line.strip()]
+        yield from rows_from_records(records)
+        return
+
+    broker = FileBroker(payload.broker_dir)
+    received = broker.pull(
+        payload.subscription, payload.max_messages, region=payload.region
+    )
+    records = [
+        {
+            "ack_id": rm.ack_id,
+            "message_id": rm.message.message_id,
+            "ordering_key": rm.message.ordering_key,
+            "data_b64": base64.b64encode(rm.message.data).decode(),
+            "publish_ts_us": rm.message.publish_ts_us,
+            "attributes": rm.message.attributes,
+        }
+        for rm in received
+    ]
+    os.makedirs(os.path.dirname(payload.cache_file), exist_ok=True)
+    tmp = payload.cache_file + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        for rec in records:
+            fh.write(json.dumps(rec) + "\n")
+    os.replace(tmp, payload.cache_file)
+    yield from rows_from_records(records)
+
+
+class PubsubStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.opts: PubsubReadOptions = validate_read_options(options)
+        self.stream_id = uuid.uuid4().hex
+        self.broker = FileBroker(self.opts.broker_dir)
+        self.registry = StreamRegistry(self.opts.broker_dir)
+        # S12 guard is claimed lazily on the first offset/partition call:
+        # Spark creates extra short-lived reader instances during
+        # analysis/planning, and only the running stream's instance
+        # drives the offset lifecycle.
+        self._registered = False
+        self.monitor: BacklogMonitor | None = None
+        if self.opts.dynamic_partitioning:
+            self.monitor = BacklogMonitor(
+                self.broker,
+                self.opts.subscription,
+                self.opts,
+                refresh_interval_s=float(
+                    options.get("monitor_refresh_interval_seconds", 0)
+                ),
+            )
+
+    def _ensure_registered(self) -> None:
+        if not self._registered:
+            self.registry.register(self.opts.subscription, self.stream_id)  # S12
+            self._registered = True
+        else:
+            self.registry.heartbeat(self.opts.subscription, self.stream_id)
+
+    # -- offsets (S4/S5) ---------------------------------------------------
+    def initialOffset(self) -> dict:
+        self._ensure_registered()
+        return {"batch_id": 0}  # PubsubMicroBatchStream.scala:87
+
+    def _base_partitions(self) -> int:
+        if self.monitor is not None:
+            return self.monitor.partitioning_info().total_partitions
+        return self.opts.num_partitions
+
+    def latestOffset(self) -> dict:
+        # advance the synthetic counter by the number of capacity-sized
+        # batch units needed to drain the current backlog, bounded so a
+        # single trigger never plans more than max_dynamic_partitions
+        # tasks (the reference's 256×1000 ingest envelope, BASELINE.md)
+        self._ensure_registered()
+        backlog = self.broker.backlog(self.opts.subscription)
+        n = getattr(self, "_last", 0)
+        if backlog > 0:
+            base = self._base_partitions()
+            capacity = base * self.opts.max_messages_per_partition
+            max_units = max(1, self.opts.max_dynamic_partitions // base)
+            units = min(max_units, max(1, -(-backlog // capacity)))
+            n += units
+        self._last = n
+        return {"batch_id": n}
+
+    # -- partition planning (S6/S13) --------------------------------------
+    def partitions(self, start: dict, end: dict):
+        self._ensure_registered()
+        units = max(1, end["batch_id"] - start["batch_id"])
+        batch_key = f"b{start['batch_id']}-{end['batch_id']}"
+        cache_dir = os.path.join(_read_cache_dir(self.opts), batch_key)
+
+        plan: list[tuple[int, str | None]] = []  # (index, region)
+        if self.monitor is not None:
+            info = self.monitor.partitioning_info()
+            if info.split_by_region:
+                # region-aware split (PubsubMicroBatchStream.scala:58-74):
+                # each region's partitions pull with a region-pinned
+                # "endpoint" so a dominant region gets dedicated tasks
+                idx = 0
+                for r in info.by_region:
+                    for _ in range(r.num_partitions * units):
+                        plan.append((idx, r.region))
+                        idx += 1
+            else:
+                for i in range(info.total_partitions * units):
+                    plan.append((i, None))
+        else:
+            for i in range(self.opts.num_partitions * units):
+                plan.append((i, None))
+
+        if len(plan) > self.opts.max_dynamic_partitions:
+            plan = plan[: self.opts.max_dynamic_partitions]
+
+        return [
+            InputPartition(
+                _PartitionPayload(
+                    broker_dir=self.opts.broker_dir,
+                    subscription=self.opts.subscription,
+                    subscription_path=self.opts.subscription_path,
+                    max_messages=self.opts.max_messages_per_partition,
+                    cache_file=os.path.join(cache_dir, f"part-{i:05d}.jsonl"),
+                    region=region,
+                )
+            )
+            for i, region in plan
+        ]
+
+    # -- executor read (S7/S8/S9) ------------------------------------------
+    def read(self, partition: InputPartition):
+        yield from _pull_or_replay(partition.value)
+
+    # -- commit: ack + evict (S10/S11) -------------------------------------
+    def commit(self, end: dict) -> None:
+        root = _read_cache_dir(self.opts)
+        if not os.path.isdir(root):
+            return
+        end_id = end["batch_id"]
+        for batch_key in os.listdir(root):
+            try:
+                hi = int(batch_key.split("-")[-1])
+            except ValueError:
+                continue
+            if hi > end_id:
+                continue
+            batch_dir = os.path.join(root, batch_key)
+            ack_ids: list[str] = []
+            for f in os.listdir(batch_dir):
+                if not f.endswith(".jsonl"):
+                    continue
+                with open(os.path.join(batch_dir, f)) as fh:
+                    for line in fh:
+                        if line.strip():
+                            ack_ids.append(json.loads(line)["ack_id"])
+            ack_ids = list(dict.fromkeys(ack_ids))  # distinct, keep order
+            if ack_ids:
+                chunks = [
+                    ack_ids[i : i + ACK_CHUNK]
+                    for i in range(0, len(ack_ids), ACK_CHUNK)
+                ]
+                with ThreadPoolExecutor(max_workers=min(8, len(chunks))) as ex:
+                    list(
+                        ex.map(
+                            lambda c: self.broker.acknowledge(
+                                self.opts.subscription, c
+                            ),
+                            chunks,
+                        )
+                    )
+            shutil.rmtree(batch_dir, ignore_errors=True)  # block eviction analog
+        self.registry.heartbeat(self.opts.subscription, self.stream_id)
+
+    def stop(self) -> None:
+        if self.monitor is not None:
+            self.monitor.stop()
+        if self._registered:
+            self.registry.unregister(self.opts.subscription, self.stream_id)
+
+
+# ---------------------------------------------------------------------------
+# sink
+# ---------------------------------------------------------------------------
+
+
+def _validate_write_schema(schema: StructType, opts: PubsubWriteOptions) -> None:
+    """Subset-based schema validation (PubsubSink.scala:23-35): required
+    fields must exist with exact type; extra columns are permitted; the
+    configured ordering-key column must exist and be StringType."""
+    fields = {f.name: f for f in schema.fields}
+    data = fields.get("data")
+    if data is None or not isinstance(data.dataType, BinaryType):
+        raise ValueError(
+            "write schema must contain 'data' of BinaryType "
+            f"(got {data.dataType.simpleString() if data else 'missing'})"
+        )
+    attrs = fields.get("attributes")
+    if attrs is None or not isinstance(attrs.dataType, MapType):
+        raise ValueError("write schema must contain 'attributes' of MapType")
+    mt = attrs.dataType
+    if not (
+        isinstance(mt.keyType, StringType) and isinstance(mt.valueType, StringType)
+    ):
+        raise ValueError("'attributes' must be map<string,string>")
+    if opts.ordering_key is not None:
+        key = fields.get(opts.ordering_key)
+        if key is None:
+            raise ValueError(
+                f"ordering_key column '{opts.ordering_key}' not found in schema"
+            )
+        if not isinstance(key.dataType, StringType):
+            raise ValueError(
+                f"ordering_key column '{opts.ordering_key}' must be StringType, "
+                f"got {key.dataType.simpleString()}"
+            )
+
+
+@dataclass
+class PubsubCommitMessage(WriterCommitMessage):
+    staged_file: str
+    count: int
+
+
+def _stage_dir(opts: PubsubWriteOptions) -> str:
+    return os.path.join(opts.broker_dir, ".sink_stage", _sanitize(opts.topic))
+
+
+def _sink_state_path(opts: PubsubWriteOptions) -> str:
+    return os.path.join(opts.broker_dir, ".sink_state", _sanitize(opts.topic) + ".json")
+
+
+class PubsubStreamWriter(DataSourceStreamWriter):
+    """Staged-commit publisher: executors stage messages, the driver's
+    commit() appends them to the topic log exactly once per batch id.
+
+    This is deliberately *stronger* than the reference's async-publish
+    (PubsubWriter.scala:64-89, at-least-once): staging gives the same
+    batch-id idempotence the reference implements driver-side
+    (PubsubSink.scala:17-18) without re-publishing on task retries.
+    """
+
+    def __init__(self, options: dict, schema: StructType):
+        self.opts = validate_write_options(options)
+        _validate_write_schema(schema, self.opts)  # driver-side check
+        self.schema = schema
+
+    def write(self, iterator) -> PubsubCommitMessage:
+        # executor-side: re-validate the ordering-key contract like
+        # PubsubWriter.scala:36-45, then stage this partition's messages
+        import time as _time
+
+        opts = self.opts
+        stage = _stage_dir(opts)
+        os.makedirs(stage, exist_ok=True)
+        tmp = os.path.join(stage, f"stage-{uuid.uuid4().hex}.jsonl.tmp")
+        now_us = int(_time.time() * 1e6)
+        n = 0
+        import base64
+
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                data = row["data"]
+                if data is None:
+                    raise ValueError("'data' must not be null")
+                attributes = row["attributes"] or {}
+                key = ""
+                if opts.ordering_key is not None:
+                    key = row[opts.ordering_key]
+                    if key is None:
+                        key = ""
+                fh.write(
+                    json.dumps(
+                        {
+                            "ordering_key": str(key),
+                            "data_b64": base64.b64encode(bytes(data)).decode(),
+                            "attributes": dict(attributes),
+                            "publish_ts_us": now_us,
+                            "region": "global",
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+        final = tmp[: -len(".tmp")]
+        os.replace(tmp, final)
+        return PubsubCommitMessage(staged_file=final, count=n)
+
+    # -- driver-side commit/abort -----------------------------------------
+    def _last_committed(self) -> int:
+        path = _sink_state_path(self.opts)
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh).get("last_batch", -1)
+        return -1
+
+    def _record_committed(self, batch_id: int) -> None:
+        path = _sink_state_path(self.opts)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"last_batch": batch_id}, fh)
+        os.replace(tmp, path)
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = [m.staged_file for m in messages if m is not None]
+        if batchId <= self._last_committed():
+            # re-delivered batch (PubsubSink.scala:17-18): drop the
+            # duplicate staging, publish nothing
+            for f in staged:
+                if os.path.exists(f):
+                    os.remove(f)
+            return
+        broker = FileBroker(self.opts.broker_dir)
+        broker.commit_staged(self.opts.topic, [f for f in staged if os.path.exists(f)])
+        self._record_committed(batchId)
+        for f in staged:
+            if os.path.exists(f):
+                os.remove(f)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and os.path.exists(m.staged_file):
+                os.remove(m.staged_file)
+
+
+# ---------------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------------
+
+
+class PubsubDataSource(DataSource):
+    """format("pubsub") — micro-batch streaming source + append sink.
+
+    Batch read/write are unsupported by design: the reference declares
+    exactly MICRO_BATCH_READ (PubsubTable.scala:20-22) and a V1
+    streaming sink.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "pubsub"  # PubsubTableProvider.scala:30
+
+    def schema(self):
+        return PUBSUB_READ_SCHEMA  # static schema, PubsubTable.scala:18
+
+    def streamReader(self, schema: StructType) -> PubsubStreamReader:
+        return PubsubStreamReader(dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> PubsubStreamWriter:
+        if overwrite:
+            # Append output mode only (PubsubTableProvider.scala:24-25)
+            raise ValueError("pubsub sink supports Append output mode only")
+        return PubsubStreamWriter(dict(self.options), schema)
+
+    def reader(self, schema: StructType):
+        raise NotImplementedError(
+            "pubsub is a streaming source (MICRO_BATCH_READ only); "
+            "use spark.readStream"
+        )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        raise NotImplementedError(
+            "pubsub is a streaming sink; use df.writeStream"
+        )
+
+
+def register_pubsub(spark) -> None:
+    """Register format("pubsub") with this session (S1). Ships the
+    package zip to executor Python workers first so the DataSource
+    class can be unpickled there."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    spark.dataSource.register(PubsubDataSource)

@@ -1,0 +1,212 @@
+"""Option models + validation for the pubsub source/sink.
+
+Mirrors the reference's option surface and eager validation
+(package.scala:8-38 keys/defaults, :49-80 case classes, :138-171
+validators; PartitioningInfo region-split decision :106-129), raising
+``ValueError`` from the DataSource constructor like the reference's
+``IllegalArgumentException`` from ``validateAndInit*``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+# option keys (reference package.scala:8-38)
+PROJECT_ID = "project_id"
+SUBSCRIPTION = "subscription"
+TOPIC = "topic"
+NUM_PARTITIONS = "num_partitions"
+MAX_MESSAGES_PER_PARTITION = "max_messages_per_partition"
+DYNAMIC_PARTITIONING = "dynamic_partitioning"
+ORDERING_KEY = "ordering_key"
+BROKER_DIR = "broker_dir"  # fake-broker root (stands in for endPoint)
+ENDPOINT = "endpoint"
+ACK_DEADLINE_SECONDS = "ack_deadline_seconds"
+BACKLOG_THRESHOLD = "backlog_threshold"
+MAX_DYNAMIC_PARTITIONS = "max_dynamic_partitions"
+REGION_SPLIT_THRESHOLD = "region_split_threshold"
+PUBLISH_BATCH_SIZE = "publish_batch_size"
+
+DEFAULT_NUM_PARTITIONS = 4  # package.scala:36
+DEFAULT_MAX_MESSAGES_PER_PARTITION = 1000  # package.scala:33
+DEFAULT_BACKLOG_THRESHOLD = 10_000  # PubsubSubscriptionMonitor.scala:33-35
+DEFAULT_MAX_DYNAMIC_PARTITIONS = 256  # PubsubSubscriptionMonitor.scala:26-31
+DEFAULT_REGION_SPLIT_THRESHOLD = 0.7  # package.scala:118
+DEFAULT_ACK_DEADLINE_SECONDS = 60.0
+DEFAULT_PUBLISH_BATCH_SIZE = 100
+
+
+def _require(options: dict, key: str) -> str:
+    v = options.get(key)
+    if v is None or str(v).strip() == "":
+        raise ValueError(f"Missing required option: '{key}'")
+    return str(v)
+
+
+def _pos_int(options: dict, key: str, default: int, minimum: int = 1) -> int:
+    raw = options.get(key)
+    if raw is None:
+        return default
+    try:
+        v = int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(f"Option '{key}' must be an integer, got {raw!r}") from None
+    if v < minimum:
+        raise ValueError(f"Option '{key}' must be >= {minimum}, got {v}")
+    return v
+
+
+def _bool(options: dict, key: str, default: bool = False) -> bool:
+    raw = options.get(key)
+    if raw is None:
+        return default
+    return str(raw).strip().lower() in ("true", "1", "yes")
+
+
+@dataclass(frozen=True)
+class PubsubReadOptions:
+    """package.scala:49-57 equivalent."""
+
+    project_id: str
+    subscription: str
+    broker_dir: str
+    num_partitions: int = DEFAULT_NUM_PARTITIONS
+    max_messages_per_partition: int = DEFAULT_MAX_MESSAGES_PER_PARTITION
+    dynamic_partitioning: bool = False
+    backlog_threshold: int = DEFAULT_BACKLOG_THRESHOLD
+    max_dynamic_partitions: int = DEFAULT_MAX_DYNAMIC_PARTITIONS
+    region_split_threshold: float = DEFAULT_REGION_SPLIT_THRESHOLD
+    ack_deadline_seconds: float = DEFAULT_ACK_DEADLINE_SECONDS
+
+    @property
+    def subscription_path(self) -> str:
+        # fully-qualified path, as surfaced in the `subscription` column
+        # (PubsubPartitionReader.scala:87)
+        return f"projects/{self.project_id}/subscriptions/{self.subscription}"
+
+    @property
+    def capacity_per_batch(self) -> int:
+        return self.num_partitions * self.max_messages_per_partition
+
+
+@dataclass(frozen=True)
+class PubsubWriteOptions:
+    """package.scala:67-80 equivalent."""
+
+    project_id: str
+    topic: str
+    broker_dir: str
+    ordering_key: str | None = None
+    publish_batch_size: int = DEFAULT_PUBLISH_BATCH_SIZE
+
+    @property
+    def topic_path(self) -> str:
+        return f"projects/{self.project_id}/topics/{self.topic}"
+
+
+def validate_read_options(options: dict) -> PubsubReadOptions:
+    """validateAndInitReadOptions (package.scala:138-155)."""
+    return PubsubReadOptions(
+        project_id=_require(options, PROJECT_ID),
+        subscription=_require(options, SUBSCRIPTION),
+        broker_dir=_require(options, BROKER_DIR),
+        num_partitions=_pos_int(options, NUM_PARTITIONS, DEFAULT_NUM_PARTITIONS),
+        max_messages_per_partition=_pos_int(
+            options, MAX_MESSAGES_PER_PARTITION, DEFAULT_MAX_MESSAGES_PER_PARTITION
+        ),
+        dynamic_partitioning=_bool(options, DYNAMIC_PARTITIONING, False),
+        backlog_threshold=_pos_int(
+            options, BACKLOG_THRESHOLD, DEFAULT_BACKLOG_THRESHOLD, minimum=1000
+        ),
+        max_dynamic_partitions=_pos_int(
+            options, MAX_DYNAMIC_PARTITIONS, DEFAULT_MAX_DYNAMIC_PARTITIONS, minimum=32
+        ),
+        region_split_threshold=max(
+            0.5, float(options.get(REGION_SPLIT_THRESHOLD, DEFAULT_REGION_SPLIT_THRESHOLD))
+        ),
+        ack_deadline_seconds=float(
+            options.get(ACK_DEADLINE_SECONDS, DEFAULT_ACK_DEADLINE_SECONDS)
+        ),
+    )
+
+
+def validate_write_options(options: dict) -> PubsubWriteOptions:
+    """validateAndInitWriteOption (package.scala:164-171)."""
+    key = options.get(ORDERING_KEY)
+    return PubsubWriteOptions(
+        project_id=_require(options, PROJECT_ID),
+        topic=_require(options, TOPIC),
+        broker_dir=_require(options, BROKER_DIR),
+        ordering_key=str(key) if key not in (None, "") else None,
+        publish_batch_size=_pos_int(
+            options, PUBLISH_BATCH_SIZE, DEFAULT_PUBLISH_BATCH_SIZE
+        ),
+    )
+
+
+@dataclass(frozen=True)
+class PartitioningInfoForRegion:
+    """package.scala:106-108 equivalent."""
+
+    region: str
+    num_partitions: int
+    num_undelivered_messages: int
+
+
+@dataclass(frozen=True)
+class PartitioningInfo:
+    """Region-split decision (package.scala:116-129): split partition
+    planning by region when any single region holds more than
+    ``split_threshold`` of the total backlog."""
+
+    total_partitions: int
+    by_region: tuple[PartitioningInfoForRegion, ...] = field(default_factory=tuple)
+
+    @property
+    def split_by_region(self) -> bool:
+        return len(self.by_region) > 0
+
+
+def calculate_partitions(
+    backlog: int,
+    threshold: int = DEFAULT_BACKLOG_THRESHOLD,
+    max_partitions: int = DEFAULT_MAX_DYNAMIC_PARTITIONS,
+    min_partitions: int = 1,
+) -> int:
+    """clamp(ceil(backlog / threshold), min, max)
+    (PubsubSubscriptionMonitor.scala:136-141)."""
+    if backlog <= 0:
+        return min_partitions
+    return max(min_partitions, min(max_partitions, math.ceil(backlog / threshold)))
+
+
+def plan_partitioning(
+    backlog_by_region: dict[str, int],
+    threshold: int = DEFAULT_BACKLOG_THRESHOLD,
+    max_partitions: int = DEFAULT_MAX_DYNAMIC_PARTITIONS,
+    split_threshold: float = DEFAULT_REGION_SPLIT_THRESHOLD,
+) -> PartitioningInfo:
+    """Full planning decision (PubsubSubscriptionMonitor.scala:155-210 +
+    package.scala:116-129): per-region partition counts when one region
+    dominates, a single uniform count otherwise. Each region gets at
+    least ``total // n_regions`` partitions, like the reference."""
+    total_backlog = sum(backlog_by_region.values())
+    total = calculate_partitions(total_backlog, threshold, max_partitions)
+    if total_backlog > 0 and len(backlog_by_region) > 1:
+        dominant = max(backlog_by_region.values()) / total_backlog
+        if dominant > split_threshold:
+            floor_per_region = max(1, total // len(backlog_by_region))
+            by_region = tuple(
+                PartitioningInfoForRegion(
+                    region=r,
+                    num_partitions=max(
+                        floor_per_region,
+                        calculate_partitions(b, threshold, max_partitions),
+                    ),
+                    num_undelivered_messages=b,
+                )
+                for r, b in sorted(backlog_by_region.items())
+            )
+            return PartitioningInfo(total_partitions=total, by_region=by_region)
+    return PartitioningInfo(total_partitions=total)

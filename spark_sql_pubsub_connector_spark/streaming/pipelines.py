@@ -1,0 +1,133 @@
+"""Streaming pipeline helpers over the pubsub connector.
+
+Mirrors the usage surface the reference documents and tests:
+``spark.readStream.format("pubsub")`` (README.md:60-70),
+``df.writeStream.format("pubsub")`` (README.md:84-96), and the
+``foreachBatch`` fan-out workaround for stream splitting
+(README.md:131; PubsubConnectorTest.scala:141-145).
+
+Also provides the offline event feeder: the driver's `events` table is
+the deterministic message stream for connector tests (FIXTURES.md
+"stream-shaped" note) — each event row becomes a message with the
+event JSON as payload, `event_type` as an attribute, and the event
+time as publish timestamp.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.tables import load_table
+from ..sources.broker import FileBroker, PubsubMessage
+from ..sources.datasource import register_pubsub
+
+
+def seed_topic_from_events(
+    spark: SparkSession,
+    sf_dir: str,
+    broker_dir: str,
+    topic: str,
+    subscription: str | None = None,
+    limit: int | None = None,
+    ack_deadline_s: float = 60.0,
+    region_of=None,
+) -> int:
+    """Publish the events table into a broker topic deterministically.
+
+    ``region_of``: optional callable row→region string, used to build
+    skewed-region fixtures for the partition-planner tests.
+    """
+    broker = FileBroker(broker_dir)
+    broker.create_topic(topic)
+    if subscription is not None:
+        broker.create_subscription(subscription, topic, ack_deadline_s=ack_deadline_s)
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id")
+    if limit is not None:
+        ev = ev.limit(limit)
+    rows = ev.collect()
+    msgs = [
+        PubsubMessage(
+            data=json.dumps(
+                {
+                    "event_id": r["event_id"],
+                    "user_id": r["user_id"],
+                    "event_type": r["event_type"],
+                    "value": r["value"],
+                    "props": r["props"],
+                }
+            ).encode(),
+            attributes={"event_type": r["event_type"]},
+            ordering_key=str(r["user_id"]),
+            publish_ts_us=r["ts_ns"] // 1000,
+            region=region_of(r) if region_of is not None else "global",
+        )
+        for r in rows
+    ]
+    broker.publish(topic, msgs)
+    return len(msgs)
+
+
+def read_stream(
+    spark: SparkSession,
+    broker_dir: str,
+    subscription: str,
+    project_id: str = "test-project",
+    **options,
+) -> DataFrame:
+    """spark.readStream.format("pubsub")…load() with this engine's
+    option spelling; registers the data source on first use."""
+    register_pubsub(spark)
+    reader = (
+        spark.readStream.format("pubsub")
+        .option("project_id", project_id)
+        .option("subscription", subscription)
+        .option("broker_dir", broker_dir)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def write_stream(
+    df: DataFrame,
+    broker_dir: str,
+    topic: str,
+    checkpoint: str,
+    project_id: str = "test-project",
+    **options,
+):
+    """df.writeStream.format("pubsub")…start() (append mode)."""
+    register_pubsub(df.sparkSession)
+    writer = (
+        df.writeStream.format("pubsub")
+        .option("project_id", project_id)
+        .option("topic", topic)
+        .option("broker_dir", broker_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    return writer.start()
+
+
+def foreach_batch_fanout(df: DataFrame, checkpoint: str, *sink_fns):
+    """The reference's documented workaround for splitting a stream into
+    multiple sinks (README.md:131): one query, fan out inside
+    foreachBatch so the source still sees a single consumer."""
+
+    def _fanout(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for fn in sink_fns:
+                fn(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(_fanout)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,381 @@
+"""End-to-end connector tests — mirrors the reference's integration
+suite (PubsubConnectorTest.scala:117-291, FIXTURES.md A.2) against the
+file-backed fake broker:
+
+  1. source count: publish 100, read with 10 msgs/partition, expect 100
+  2. sink round-trip with payload/attribute/ordering-key preservation
+  3. two streams on one subscription → error
+  4. write-schema / output-mode validation errors
+  plus replay-determinism and ack-on-commit (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sql_pubsub_connector_spark.sources.broker import FileBroker, PubsubMessage
+from spark_sql_pubsub_connector_spark.sources.datasource import register_pubsub
+from spark_sql_pubsub_connector_spark.sources.registry import StreamConflictError
+from spark_sql_pubsub_connector_spark.streaming import read_stream, write_stream
+
+
+@pytest.fixture()
+def broker_dir(tmp_path):
+    return str(tmp_path / "broker")
+
+
+@pytest.fixture()
+def broker(broker_dir):
+    b = FileBroker(broker_dir)
+    b.create_topic("t")
+    b.create_subscription("s", "t", ack_deadline_s=300)
+    return b
+
+
+def _publish_canonical(broker, n=100):
+    """FIXTURES.md A.2 canonical payloads."""
+    broker.publish(
+        "t",
+        [
+            PubsubMessage(
+                data=f"Test Message: {i}".encode(),
+                attributes={"key": f"value: {i}"},
+                ordering_key=str(i % 7),
+                publish_ts_us=1_700_000_000_000_000 + i * 1_000,
+            )
+            for i in range(n)
+        ],
+    )
+
+
+def _run_to_memory(spark, df, name, checkpoint, broker, sub="s"):
+    """Run until the subscription is fully drained AND acked.
+
+    Spark calls source.commit(end) when constructing the *next* batch,
+    so acks for batch N land at the start of cycle N+1 — the query must
+    keep running past the last data batch for at-least-once ack
+    delivery to complete (same lifecycle as the reference's
+    commit-then-evict, PubsubMicroBatchStream.scala:93-114).
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and broker.backlog(sub) > 0:
+        time.sleep(0.3)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return spark.table(name)
+
+
+def test_source_count_100(spark, broker, broker_dir, tmp_path):
+    _publish_canonical(broker, 100)
+    df = read_stream(
+        spark, broker_dir, "s", max_messages_per_partition=10, num_partitions=4
+    )
+    assert [f.name for f in df.schema.fields] == [
+        "subscription",
+        "ack_id",
+        "message_id",
+        "ordering_key",
+        "data",
+        "publish_timestamp",
+        "attributes",
+    ]
+    out = _run_to_memory(spark, df, "src_count", str(tmp_path / "ckpt"), broker)
+    rows = out.collect()
+    assert len(rows) == 100
+    by_id = {r["message_id"]: r for r in rows}
+    assert by_id["0"]["data"] == b"Test Message: 0"
+    assert by_id["0"]["attributes"] == {"key": "value: 0"}
+    assert by_id["0"]["subscription"] == "projects/test-project/subscriptions/s"
+    assert by_id["13"]["ordering_key"] == str(13 % 7)
+    # publish timestamp is µs-exact
+    assert int(by_id["5"]["publish_timestamp"].timestamp() * 1e6) == (
+        1_700_000_000_000_000 + 5_000
+    )
+    # ack-on-commit: after successful drain the backlog is empty
+    assert broker.backlog("s") == 0
+
+
+def test_sink_roundtrip(spark, broker, broker_dir, tmp_path):
+    _publish_canonical(broker, 100)
+    broker.create_topic("t2")
+    broker.create_subscription("s2", "t2")
+    src = read_stream(
+        spark, broker_dir, "s", max_messages_per_partition=25, num_partitions=4
+    )
+    # republish with the source ordering key carried through
+    out = src.select(
+        F.col("data"),
+        F.col("attributes"),
+        F.col("ordering_key").alias("okey"),
+    )
+    q = write_stream(
+        out,
+        broker_dir,
+        "t2",
+        str(tmp_path / "ckpt_sink"),
+        ordering_key="okey",
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and broker.backlog("s") > 0:
+        time.sleep(0.5)
+    q.processAllAvailable()
+    q.stop()
+    msgs = broker.topic_messages("t2")
+    assert len(msgs) == 100
+    datas = {m.data for m in msgs}
+    assert b"Test Message: 0" in datas and b"Test Message: 99" in datas
+    one = next(m for m in msgs if m.data == b"Test Message: 42")
+    assert one.attributes == {"key": "value: 42"}
+    assert one.ordering_key == str(42 % 7)
+
+
+def test_two_streams_same_subscription_rejected(spark, broker, broker_dir, tmp_path):
+    """PubsubConnectorTest.scala:249-291: a subscription supports one
+    stream; the second query fails with the conflict error."""
+    _publish_canonical(broker, 20)
+    df1 = read_stream(spark, broker_dir, "s")
+    q1 = (
+        df1.writeStream.format("memory")
+        .queryName("guard_one")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and broker.backlog("s") > 0:
+            time.sleep(0.5)
+        df2 = read_stream(spark, broker_dir, "s")
+        q2 = (
+            df2.writeStream.format("memory")
+            .queryName("guard_two")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+        )
+        with pytest.raises(Exception) as ei:
+            q2.awaitTermination(60)
+            if q2.exception() is not None:
+                raise q2.exception()
+        assert "already consumed" in str(ei.value)
+    finally:
+        q1.stop()
+        for q in spark.streams.active:
+            q.stop()
+
+
+def test_stream_registry_direct(broker_dir, broker):
+    """Direct registry-level check of both failure modes (S12)."""
+    from spark_sql_pubsub_connector_spark.sources.registry import StreamRegistry
+
+    reg = StreamRegistry(broker_dir)
+    reg.register("s", "stream-a")
+    reg.register("s", "stream-a")  # same stream re-registers fine (restart)
+    with pytest.raises(StreamConflictError, match="already consumed"):
+        reg.register("s", "stream-b")
+    reg.unregister("s", "stream-a")
+    reg.register("s", "stream-b")  # free after release
+
+
+def test_write_schema_validation(spark, broker, broker_dir, tmp_path):
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+        _validate_write_schema,
+    )
+    from spark_sql_pubsub_connector_spark.sources.options import (
+        validate_write_options,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    opts = validate_write_options(
+        {"project_id": "p", "topic": "t", "broker_dir": broker_dir}
+    )
+    good = StructType(
+        [
+            StructField("data", BinaryType()),
+            StructField("attributes", MapType(StringType(), StringType())),
+            StructField("extra", StringType()),  # extra columns permitted
+        ]
+    )
+    _validate_write_schema(good, opts)
+
+    with pytest.raises(ValueError, match="'data'"):
+        _validate_write_schema(
+            StructType(
+                [
+                    StructField("data", StringType()),  # wrong type
+                    StructField("attributes", MapType(StringType(), StringType())),
+                ]
+            ),
+            opts,
+        )
+    with pytest.raises(ValueError, match="attributes"):
+        _validate_write_schema(
+            StructType([StructField("data", BinaryType())]), opts
+        )
+    # non-string ordering-key column rejected (PubsubSink.scala:28-35)
+    key_opts = validate_write_options(
+        {
+            "project_id": "p",
+            "topic": "t",
+            "broker_dir": broker_dir,
+            "ordering_key": "okey",
+        }
+    )
+    with pytest.raises(ValueError, match="okey"):
+        _validate_write_schema(good, key_opts)  # missing entirely
+    with pytest.raises(ValueError, match="StringType"):
+        _validate_write_schema(
+            StructType(
+                good.fields + [StructField("okey", IntegerType())]
+            ),
+            key_opts,
+        )
+    # Append-only: overwrite → error (PubsubTableProvider.scala:24-25)
+    from spark_sql_pubsub_connector_spark.sources.datasource import PubsubDataSource
+
+    ds = PubsubDataSource(
+        {"project_id": "p", "topic": "t", "broker_dir": broker_dir}
+    )
+    with pytest.raises(ValueError, match="Append"):
+        ds.streamWriter(good, overwrite=True)
+    assert isinstance(ds.streamWriter(good, overwrite=False), PubsubStreamWriter)
+
+
+def test_replay_determinism(spark, broker, broker_dir):
+    """SURVEY.md §4.3-1: re-evaluating the same batch returns identical
+    rows (the RDD-block-cache semantics, S9)."""
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    _publish_canonical(broker, 30)
+    reader = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "3",
+            "max_messages_per_partition": "10",
+        }
+    )
+    try:
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        assert len(parts) == 3
+        first = [sorted(tuple(map(str, r)) for r in reader.read(p)) for p in parts]
+        # second evaluation replays the cache, not the broker
+        second = [sorted(tuple(map(str, r)) for r in reader.read(p)) for p in parts]
+        assert first == second
+        n = sum(len(x) for x in first)
+        assert n == 30
+        # nothing acked yet → backlog intact (ack only on commit)
+        assert broker.backlog("s") == 30
+        reader.commit(end)
+        assert broker.backlog("s") == 0
+    finally:
+        reader.stop()
+
+
+def test_uncommitted_batch_redelivered(spark, broker_dir):
+    """At-least-once: a reader that dies before commit leaves its
+    messages leased; after deadline expiry a new reader gets them."""
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    b = FileBroker(broker_dir)
+    b.create_topic("t")
+    b.create_subscription("s", "t", ack_deadline_s=0.0)  # instant expiry
+    _publish_canonical(b, 10)
+    # one partition per reader: with a 0-second deadline every pull sees
+    # the previous lease expired, so extra partitions would (correctly,
+    # at-least-once) re-pull the same messages
+    r1 = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "1",
+            "max_messages_per_partition": "10",
+        }
+    )
+    parts = r1.partitions(r1.initialOffset(), r1.latestOffset())
+    pulled = [row for p in parts for row in r1.read(p)]
+    assert len(pulled) == 10
+    r1.stop()  # dies without commit
+    r2 = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "1",
+            "max_messages_per_partition": "10",
+        }
+    )
+    try:
+        parts2 = r2.partitions(r2.initialOffset(), r2.latestOffset())
+        again = [row for p in parts2 for row in r2.read(p)]
+        assert {r[2] for r in again} == {str(i) for i in range(10)}
+    finally:
+        r2.stop()
+
+
+def test_dynamic_partitioning_region_split(spark, broker_dir):
+    """S6/S13: skewed region backlog → region-pinned partitions."""
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    b = FileBroker(broker_dir)
+    b.create_topic("t")
+    b.create_subscription("s", "t", ack_deadline_s=300)
+    b.publish(
+        "t",
+        [
+            PubsubMessage(data=b"x", publish_ts_us=1, region="us-east1")
+            for _ in range(30)
+        ],
+    )
+    b.publish(
+        "t",
+        [PubsubMessage(data=b"y", publish_ts_us=1, region="eu-west1") for _ in range(3)],
+    )
+    reader = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "dynamic_partitioning": "true",
+            "backlog_threshold": "1000",  # min clamp
+            "max_messages_per_partition": "10",
+        }
+    )
+    try:
+        reader.monitor.refresh()
+        start, end = reader.initialOffset(), reader.latestOffset()
+        parts = reader.partitions(start, end)
+        regions = [p.value.region for p in parts]
+        assert "us-east1" in regions and "eu-west1" in regions
+        rows = [row for p in parts for row in reader.read(p)]
+        assert len(rows) == 33
+        reader.commit(end)
+        assert b.backlog("s") == 0
+    finally:
+        reader.stop()

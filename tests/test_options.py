@@ -1,0 +1,95 @@
+"""Option validation unit tests — mirrors the reference's
+PubsubOptionsTest.scala:8-113 case for case (FIXTURES.md A.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_sql_pubsub_connector_spark.sources.options import (
+    calculate_partitions,
+    plan_partitioning,
+    validate_read_options,
+    validate_write_options,
+)
+
+BASE_READ = {"project_id": "p", "subscription": "s", "broker_dir": "/tmp/b"}
+BASE_WRITE = {"project_id": "p", "topic": "t", "broker_dir": "/tmp/b"}
+
+
+def test_missing_project_id_throws():
+    with pytest.raises(ValueError, match="project_id"):
+        validate_read_options({"subscription": "s", "broker_dir": "/tmp/b"})
+
+
+def test_missing_subscription_throws():
+    with pytest.raises(ValueError, match="subscription"):
+        validate_read_options({"project_id": "p", "broker_dir": "/tmp/b"})
+
+
+def test_missing_topic_throws():
+    with pytest.raises(ValueError, match="topic"):
+        validate_write_options({"project_id": "p", "broker_dir": "/tmp/b"})
+
+
+def test_read_defaults():
+    o = validate_read_options(BASE_READ)
+    assert o.num_partitions == 4  # package.scala:36
+    assert o.max_messages_per_partition == 1000  # package.scala:33
+    assert o.dynamic_partitioning is False
+    assert o.subscription_path == "projects/p/subscriptions/s"
+
+
+def test_read_full_parse():
+    o = validate_read_options(
+        {
+            **BASE_READ,
+            "num_partitions": "8",
+            "max_messages_per_partition": "250",
+            "dynamic_partitioning": "true",
+        }
+    )
+    assert (o.num_partitions, o.max_messages_per_partition) == (8, 250)
+    assert o.dynamic_partitioning is True
+
+
+@pytest.mark.parametrize("key", ["num_partitions", "max_messages_per_partition"])
+@pytest.mark.parametrize("bad", ["0", "-1", "abc"])
+def test_read_range_violations_throw(key, bad):
+    with pytest.raises(ValueError, match=key):
+        validate_read_options({**BASE_READ, key: bad})
+
+
+def test_write_parse_and_ordering_key():
+    o = validate_write_options({**BASE_WRITE, "ordering_key": "my_key"})
+    assert o.ordering_key == "my_key"
+    assert o.topic_path == "projects/p/topics/t"
+    assert validate_write_options(BASE_WRITE).ordering_key is None
+
+
+# -- partition arithmetic (PubsubSubscriptionMonitor.scala:136-141) --------
+
+
+def test_calculate_partitions_clamps():
+    assert calculate_partitions(0) == 1
+    assert calculate_partitions(1) == 1
+    assert calculate_partitions(10_000) == 1
+    assert calculate_partitions(10_001) == 2
+    assert calculate_partitions(10_000_000) == 256  # ceiling
+    assert calculate_partitions(25_000, threshold=10_000) == 3
+
+
+def test_plan_partitioning_uniform():
+    info = plan_partitioning({"us-east1": 30_000, "eu-west1": 25_000})
+    assert not info.split_by_region  # no region dominates (max 55%)
+    assert info.total_partitions == 6
+
+
+def test_plan_partitioning_region_split():
+    # one region holds >70% of backlog → per-region planning
+    # (package.scala:116-129)
+    info = plan_partitioning({"us-east1": 80_000, "eu-west1": 10_000})
+    assert info.split_by_region
+    regions = {r.region: r for r in info.by_region}
+    assert regions["us-east1"].num_partitions == 8
+    # minor region still gets >= total//n_regions partitions
+    assert regions["eu-west1"].num_partitions >= info.total_partitions // 2
