@@ -9,14 +9,8 @@ from . import relational  # noqa: F401
 from .registry import all_specs, oracle_sql, queries  # noqa: F401
 
 
-def _load_optional() -> None:
-    # Later-phase modules register themselves on import; keep each
-    # optional so a broken module never takes down the whole corpus.
-    for mod in ("dedup", "similarity", "text", "multimodal", "streaming_ops"):
-        try:
-            __import__(f"{__name__}.{mod}")
-        except ImportError:
-            pass
-
-
-_load_optional()
+from . import dedup  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402
+from . import streaming_ops  # noqa: F401,E402
+from . import text  # noqa: F401,E402

@@ -1,0 +1,320 @@
+"""Deduplication operators (SURVEY.md §2.3 — driver-mandated extension
+surface; absent from the reference, which delegates all relational work
+to Spark, SURVEY.md §2.1 closing note).
+
+Four tiers over the ``documents`` table, each a deterministic
+DataFrame program with a DuckDB oracle twin:
+
+  q16  exact dedup        — md5 fingerprint groupBy
+  q17  MinHash + LSH      — shingle → 8 minhashes → 4 bands → bucket
+                            self-join → candidate pairs
+  q18  SimHash            — 32-bit bit-majority fingerprint per doc
+  q19  n-gram Jaccard     — LSH candidates verified with exact Jaccard
+
+Scale design (100 TB):
+  - q16 is a hash aggregate: partial aggregation collapses duplicates
+    map-side; the shuffle carries one row per distinct fingerprint.
+  - q17/q19 never form the quadratic pair space — candidate pairs come
+    from a self-join on (band, band_hash), i.e. a shuffle keyed by
+    bucket where each group is tiny; this is the standard LSH
+    band-bucket join and the only scalable near-dup path.
+  - q18 is explode→groupBy(doc_id): linear, partial-agg friendly; the
+    simhash band prefix (sh16) is the blocking key for Hamming-ball
+    candidate generation at scale.
+  - Everything is JVM built-ins inside whole-stage codegen (md5,
+    transform, array_min) — no Python UDFs.
+
+Cross-engine notes: md5 lowercase hex is the only portable hash; the
+lexicographic min of equal-width hex strings equals the numeric min of
+the 128-bit values (functions/textops.py docstring).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.textops import (
+    hex_prefix_int,
+    shingles,
+    sql_hex_prefix_int,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+from .registry import query
+from .tables import load_table
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band r = 2; P(candidate) = 1 - (1 - j^2)^4
+
+# Universal-hash MinHash family over p = 2^31-1: one md5 per shingle
+# (the expensive part) is folded to h ∈ [0, p), then the 8 independent
+# hashes are g_j(h) = (a_j·h + b_j) mod p — pure integer arithmetic,
+# 8× cheaper than 8 seeded md5 passes and exactly portable to DuckDB
+# (products stay < 2^62). Coefficients are md5-derived compile-time
+# literals (no RNG), like vecops.hyperplanes.
+_MH_P = 2_147_483_647
+
+
+def _mh_coeff(tag: str, j: int, lo: int, mod: int) -> int:
+    import hashlib
+
+    return lo + int.from_bytes(hashlib.md5(f"mh-{tag}:{j}".encode()).digest()[:8], "big") % mod
+
+
+_MH_A = [_mh_coeff("a", j, 1, _MH_P - 1) for j in range(N_HASHES)]
+_MH_B = [_mh_coeff("b", j, 0, _MH_P) for j in range(N_HASHES)]
+
+
+# --------------------------------------------------------------------------
+# q16 — exact dedup by content fingerprint
+# --------------------------------------------------------------------------
+@query(
+    "q16_dedup_exact",
+    oracle="""
+SELECT md5(text)    AS fingerprint,
+       min(doc_id)  AS keep_id,
+       count(*)     AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("dedup", "exact"),
+)
+def q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id as
+    the canonical copy. Map-side partial agg means the shuffle carries
+    ~one row per *distinct* document — at 100 TB with heavy duplication
+    this is far cheaper than dropDuplicates on raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# shared MinHash machinery (Spark side + oracle-SQL generator)
+# --------------------------------------------------------------------------
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, h): one row per document per LSH band.
+
+    shingle(3-word) → one md5 → 60-bit hex prefix mod p = base hash →
+    minhash_j = min over shingles of (a_j·h + b_j) mod p → band key
+    h = m_{2b}·p + m_{2b+1} (exact BIGINT pairing, no second hash).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
+    s = t.select("doc_id", shingles("w", 3).alias("sh"))
+    hv = (
+        "transform(sh, x -> CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) "
+        f"AS BIGINT) % {_MH_P})"
+    )
+    m = s.select("doc_id", F.expr(hv).alias("hv")).select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(hv, v -> ({_MH_A[j]} * v + {_MH_B[j]}) % {_MH_P}))"
+            ).alias(f"m{j}")
+            for j in range(N_HASHES)
+        ],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.col(f"m{2 * b}") * _MH_P + F.col(f"m{2 * b + 1}")).alias("h"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return m.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
+def _sql_minhash_bands() -> str:
+    """DuckDB CTE chain mirroring :func:`_minhash_bands` (1-based)."""
+    hex15 = sql_hex_prefix_int("md5(x)", 15)
+    mins = ",\n       ".join(
+        f"list_min(list_transform(hv, v -> ({_MH_A[j]} * v + {_MH_B[j]}) % {_MH_P})) AS m{j}"
+        for j in range(N_HASHES)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, m{2 * b} * {_MH_P} + m{2 * b + 1} AS h FROM m"
+        for b in range(N_BANDS)
+    )
+    return f"""
+t AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
+tt AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+s AS (SELECT doc_id, {sql_shingles('w', 3)} AS sh FROM tt),
+hh AS (SELECT doc_id, list_transform(sh, x -> {hex15} % {_MH_P}) AS hv FROM s),
+m AS (SELECT doc_id, {mins} FROM hh),
+b AS (
+{bands}
+)"""
+
+
+# --------------------------------------------------------------------------
+# q17 — MinHash + LSH candidate pairs
+# --------------------------------------------------------------------------
+@query(
+    "q17_dedup_minhash_lsh",
+    oracle=f"""
+WITH {_sql_minhash_bands()}
+SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+FROM b a
+JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
+""",
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: docs agreeing on any MinHash band.
+
+    The self-join is keyed on (band, band_hash) — a shuffle whose
+    groups are bucket-sized, never the O(n²) pair space. 8 hashes / 4
+    bands of 2 gives P(candidate) = 1-(1-j²)⁴: ≈1 for true near-dups
+    (j≥0.9), ≈4% noise at j=0.1."""
+    bands = _minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — SimHash fingerprint (32-bit, token-level)
+# --------------------------------------------------------------------------
+def _sql_simhash() -> tuple[str, str]:
+    """(weights_select, simhash_expr) for the DuckDB oracle."""
+    h = sql_hex_prefix_int("md5(tok)", 8)
+    weights = ",\n         ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS w{b}" for b in range(32)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN w{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return (
+        f"""
+t AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents),
+hh AS (SELECT doc_id, {h} AS h FROM t),
+w AS (SELECT doc_id,
+         {weights}
+      FROM hh GROUP BY doc_id)""",
+        simhash,
+    )
+
+
+_W_CTE, _SIMHASH_EXPR = _sql_simhash()
+
+
+@query(
+    "q18_dedup_simhash",
+    oracle=f"""
+WITH {_W_CTE}
+SELECT doc_id, {_SIMHASH_EXPR} AS simhash,
+       ({_SIMHASH_EXPR}) >> 16 AS sh_band
+FROM w
+""",
+    tags=("dedup", "simhash"),
+)
+def q18_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token 32-bit hash, per-bit ±1 majority vote over
+    the document, reassembled into a fingerprint. Near-identical docs
+    differ in few bits (Hamming ball); ``sh_band`` (high 16 bits) is
+    the blocking key a scale deployment joins on before Hamming
+    verification.
+
+    Shape: explode(tokens) → groupBy(doc_id) — linear in corpus size,
+    map-side partial aggregation, no UDFs (conv/shiftright are JVM
+    built-ins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h = hex_prefix_int(F.md5(F.encode(F.col("tok"), "UTF-8")), 8)
+    hh = toks.select("doc_id", h.alias("h"))
+    weights = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"w{b}")
+        for b in range(32)
+    ]
+    w = hh.groupBy("doc_id").agg(*weights)
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return w.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.shiftright(simhash, 16).alias("sh_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — n-gram Jaccard verification of LSH candidates
+# --------------------------------------------------------------------------
+_JACCARD_THRESHOLD_Q6 = 200_000  # jaccard >= 0.2 on the 1e-6 grid
+
+
+@query(
+    "q19_dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_sql_minhash_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a
+  JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(floor(CAST(len(list_intersect(x.sd, y.sd)) AS DOUBLE)
+                    / len(list_distinct(x.sd || y.sd)) * 1000000 + 0.5) AS BIGINT)
+           AS jaccard_q6
+  FROM cand
+  JOIN sets x ON x.doc_id = doc_a
+  JOIN sets y ON y.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard_q6
+FROM scored
+WHERE jaccard_q6 >= {_JACCARD_THRESHOLD_Q6}
+""",
+    tags=("dedup", "jaccard"),
+)
+def q19_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact 3-gram Jaccard →
+    threshold. Only candidate pairs (bucket-join output) ever reach the
+    quadratic-cost verification, so the plan scales as O(corpus +
+    candidates), not O(n²). Jaccard is computed on distinct shingle
+    sets with one double division, quantized to the 1e-6 grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
+    sets = t.select(
+        "doc_id", F.array_distinct(shingles("w", 3)).alias("sd")
+    )
+    cand = q17_dedup_minhash_lsh(spark, sf_dir)
+    x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
+    y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
+    inter = F.size(F.array_intersect("sda", "sdb"))
+    union = F.size(F.array_distinct(F.concat("sda", "sdb")))
+    jq6 = F.floor(
+        inter.cast("double") / union.cast("double") * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", jq6.alias("jaccard_q6"))
+        .filter(F.col("jaccard_q6") >= _JACCARD_THRESHOLD_Q6)
+    )

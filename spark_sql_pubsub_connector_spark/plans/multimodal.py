@@ -1,0 +1,207 @@
+"""Multimodal-column operators (SURVEY.md §2.3).
+
+Images/audio/video are modeled the way the reference models Pub/Sub
+payloads — an opaque ``binary`` column plus typed metadata (the read
+schema's ``data BinaryType`` + ``attributes MapType``, reference
+``package.scala:174-186``) — and processed with Arrow-batched
+``mapInPandas`` UDFs, the idiomatic Spark shape for per-blob Python
+work at scale:
+
+  q27  decode + content hash     — bytes → (length, md5) features
+  q28  image header parse        — stubbed decoder behind a format gate
+  q29  frame sampling            — 1 blob → N sampled-frame rows
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic fake behind a clearly-marked ``NotImplementedError``
+gate (q28 ``_decode_image``); everything Spark-side — binary schema,
+metadata map, Arrow batch shape, per-partition batching, 1→N row
+expansion — is real and oracle-checked.
+
+Scale design: mapInPandas streams Arrow record batches through one
+Python worker per core with no shuffle; blobs never leave their input
+partition. Feature extraction is the only Python in this repo's hot
+path, and it is vectorized per batch (hashlib over ndarray of bytes),
+never per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query
+from .tables import load_table
+
+_FRAME_STRIDE = 4
+
+
+# --------------------------------------------------------------------------
+# q27 — binary decode + content-hash feature extraction
+# --------------------------------------------------------------------------
+def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction: payload bytes → (byte_len,
+    content_md5). Deterministic, pure-Python, no external codecs."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len).astype("int64"),
+                "content_md5": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+                "source": pdf["src"],
+            }
+        )
+
+
+@query(
+    "q27_mm_decode_meta",
+    oracle="""
+SELECT doc_id,
+       length(text) AS byte_len,
+       md5(text)    AS content_md5,
+       source
+FROM documents
+""",
+    tags=("multimodal", "mapInPandas"),
+)
+def q27_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: build an opaque payload +
+    metadata map (the connector's message shape), ship it through an
+    Arrow-batched mapInPandas feature extractor, return typed scalars.
+    The oracle recomputes the same features relationally (text is
+    ASCII, so VARCHAR md5 == bytes md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("source").alias("src"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("meta"),
+    )
+    return blobs.mapInPandas(
+        _decode_features,
+        schema="doc_id long, byte_len long, content_md5 string, source string",
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — image metadata extraction (stubbed decoder)
+# --------------------------------------------------------------------------
+def _decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Parse the 12-byte FAKE header → (width, height, body_len).
+
+    Real image decoding (JPEG/PNG) would dispatch here on the magic
+    bytes; the codec libraries are not in this container, so any
+    non-FAKE payload raises — the Spark-side plumbing is what's under
+    test (SURVEY.md §2.3 'stub the decode step').
+    """
+    magic = payload[:4]
+    if magic != b"FAKE":
+        raise NotImplementedError(
+            f"no codec for magic {magic!r}; only the FAKE test format is bundled"
+        )
+    width = int(payload[4:8])
+    height = int(payload[8:12])
+    return width, height, len(payload) - 12
+
+
+def _extract_image_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        decoded = [_decode_image(bytes(b)) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series((d[0] for d in decoded), dtype="int64"),
+                "height": pd.Series((d[1] for d in decoded), dtype="int64"),
+                "body_len": pd.Series((d[2] for d in decoded), dtype="int64"),
+            }
+        )
+
+
+@query(
+    "q28_mm_image_meta",
+    oracle="""
+SELECT doc_id,
+       64 + (doc_id % 8) * 32 AS width,
+       64 + (doc_id % 5) * 48 AS height,
+       length(text) AS body_len
+FROM documents
+""",
+    tags=("multimodal", "stub"),
+)
+def q28_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize FAKE-format image blobs (4-byte magic + 4+4 digit
+    dims + body), then recover the dimensions with the stubbed decoder
+    through mapInPandas. Proves the binary round-trip: Spark builds
+    bytes → Arrow ships them → Python parses them — the exact dataflow
+    a real JPEG metadata extractor would use."""
+    docs = load_table(spark, sf_dir, "documents")
+    width = 64 + (F.col("doc_id") % 8) * 32
+    height = 64 + (F.col("doc_id") % 5) * 48
+    header = F.concat(
+        F.lit("FAKE"),
+        F.lpad(width.cast("string"), 4, "0"),
+        F.lpad(height.cast("string"), 4, "0"),
+        F.col("text"),
+    )
+    blobs = docs.select("doc_id", F.encode(header, "UTF-8").alias("payload"))
+    return blobs.mapInPandas(
+        _extract_image_meta,
+        schema="doc_id long, width long, height long, body_len long",
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — video frame sampling (1 blob → N rows)
+# --------------------------------------------------------------------------
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Emit every ``_FRAME_STRIDE``-th frame index with a deterministic
+    frame signature — the row-expansion shape of real frame extraction
+    (1 video in, N frame rows out), minus the codec."""
+    for pdf in batches:
+        ids, idxs, sigs = [], [], []
+        for doc_id, n_frames in zip(pdf["doc_id"], pdf["n_frames"]):
+            for fi in range(0, int(n_frames), _FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(fi)
+                sigs.append(hashlib.md5(f"{doc_id}:{fi}".encode()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_md5": pd.Series(sigs, dtype="object"),
+            }
+        )
+
+
+@query(
+    "q29_mm_frame_sample",
+    oracle=f"""
+WITH v AS (SELECT doc_id, 10 + doc_id % 20 AS n_frames FROM documents)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS frame_md5
+FROM v, unnest(range(0, n_frames, {_FRAME_STRIDE})) AS t(f)
+""",
+    tags=("multimodal", "frames"),
+)
+def q29_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each 'video' (frame count derived from doc_id)
+    expands to ceil(n/stride) frame rows inside mapInPandas. Output
+    cardinality grows in the Python stage — exactly how mapInPandas
+    differs from a scalar pandas_udf — while staying partition-local
+    (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    videos = docs.select(
+        "doc_id", (F.lit(10) + F.col("doc_id") % 20).alias("n_frames")
+    )
+    return videos.mapInPandas(
+        _sample_frames, schema="doc_id long, frame_idx long, frame_md5 string"
+    )

@@ -1,0 +1,244 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.3 —
+driver-mandated; no counterpart in the reference connector).
+
+  q20  brute-force top-k cosine   — exact baseline (broadcast queries)
+  q21  sign-LSH bucketed ANN      — the 100 TB scale path
+  q22  embedding near-dup pairs   — LSH blocking + cosine threshold
+
+Numeric portability: all reductions use the exact integer-grid scheme
+from ``functions.vecops`` (quantize each elementwise product, sum
+BIGINTs, one final double op) so Spark and DuckDB agree bit-for-bit.
+
+Scale design:
+  - q20 broadcasts the (small) query set against the corpus: one
+    embarrassingly-parallel scan, no shuffle until the tiny top-k
+    aggregate. Quadratic in corpus × queries — correct-but-baseline.
+  - q21 hashes every vector to a 2^8-bucket sign-LSH code with
+    *precomputed deterministic ±1 hyperplanes* (vecops.hyperplanes), so
+    the candidate join is keyed on the bucket id; only same-bucket
+    pairs are reranked exactly. This is the IVF/LSH shape that survives
+    100 TB: bucket count scales with corpus, per-bucket rerank stays
+    bounded, and the hyperplane coefficients are compile-time literals
+    (zero driver state, zero RNG).
+  - q22 reuses 4-bit LSH blocking for all-pairs near-dup: candidate
+    space is Σ_b |bucket_b|² ≪ n², the standard blocked all-pairs join.
+  - Everything is JVM codegen arithmetic on array columns — no UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.vecops import (
+    SIM_SCALE,
+    bucket_exprs,
+    cosine_q_expr,
+    dot_q_expr,
+    quant_arr_expr,
+    sql_dot_q,
+    sql_quant_arr,
+)
+from .registry import query
+from .tables import load_table
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 3
+ANN_BITS = 8
+NEARDUP_BITS = 4
+NEARDUP_SIM_Q = 350_000_000  # cosine >= 0.35 on the 1e9 grid
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("nrm", F.expr(dot_q_expr("embedding", "embedding")))
+
+
+_SQL_NORM = sql_dot_q("embedding", "embedding")
+
+
+# --------------------------------------------------------------------------
+# q20 — brute-force exact top-k cosine
+# --------------------------------------------------------------------------
+@query(
+    "q20_knn_bruteforce",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding, {_SQL_NORM} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {cosine_q_expr(sql_dot_q("q.qe", "c.embedding"), "q.qn", "c.nrm")} AS sim_q9
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_q9 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim_q9 FROM ranked WHERE rank <= {TOP_K}
+""",
+    tags=("similarity", "knn"),
+    bench=True,
+)
+def q20_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for the first 8 vectors.
+
+    The query side is broadcast, so the corpus scan never shuffles; the
+    per-row work is a 64-wide codegen dot product. The ranking window
+    partitions by query (8 partitions of corpus size) — at scale the
+    rank-limit optimization (WindowGroupLimit) keeps only k rows per
+    query per task before the shuffle."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(dot_q_expr("qe", "embedding")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(cosine_q_expr("dot", "qn", "nrm")).alias("sim_q9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim_q9")
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — LSH-bucketed approximate nearest neighbors
+# --------------------------------------------------------------------------
+_ANN_SPARK_BUCKET, _ANN_SQL_BUCKET = bucket_exprs(ANN_BITS, qarr="qa")
+
+
+@query(
+    "q21_ann_lsh",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_SQL_NORM} AS nrm,
+         {_ANN_SQL_BUCKET} AS bucket
+  FROM (SELECT *, {sql_quant_arr('embedding')} AS qa FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+      FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {cosine_q_expr(sql_dot_q("q.qe", "c.embedding"), "q.qn", "c.nrm")} AS sim_q9
+  FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_q9 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim_q9 FROM ranked WHERE rank <= {TOP_K}
+""",
+    tags=("similarity", "ann", "lsh"),
+)
+def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via 8-bit sign-LSH: rerank only vectors whose random-
+    hyperplane signature equals the query's. The candidate join is
+    keyed on the bucket id — a hash join whose build side is the query
+    set — so work is O(corpus/2^bits × queries) instead of O(corpus ×
+    queries). Recall < 1 by construction; the oracle applies the
+    *identical* approximation, so the comparison stays exact."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("qa", F.expr(quant_arr_expr("embedding")))
+        .withColumn("nrm", F.expr(dot_q_expr("embedding", "embedding")))
+        .withColumn("bucket", F.expr(_ANN_SPARK_BUCKET))
+        .drop("qa")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("dot", F.expr(dot_q_expr("qe", "embedding")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(cosine_q_expr("dot", "qn", "nrm")).alias("sim_q9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim_q9")
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — embedding-cosine near-duplicate pairs (blocked all-pairs)
+# --------------------------------------------------------------------------
+_ND_SPARK_BUCKET, _ND_SQL_BUCKET = bucket_exprs(NEARDUP_BITS, qarr="qa")
+
+
+@query(
+    "q22_embedding_neardup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_SQL_NORM} AS nrm,
+         {_ND_SQL_BUCKET} AS bucket
+  FROM (SELECT *, {sql_quant_arr('embedding')} AS qa FROM embeddings)
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {cosine_q_expr(sql_dot_q("a.embedding", "b.embedding"), "a.nrm", "b.nrm")} AS sim_q9
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, sim_q9 FROM pairs WHERE sim_q9 >= {NEARDUP_SIM_Q}
+""",
+    tags=("similarity", "neardup"),
+)
+def q22_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-duplicate detection with LSH blocking: pairs are
+    formed only inside 4-bit sign-LSH buckets (self-join keyed on the
+    bucket id), then kept when cosine ≥ 0.35. Candidate volume is
+    Σ|bucket|², not n² — the only viable all-pairs shape at 100 TB."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("qa", F.expr(quant_arr_expr("embedding")))
+        .withColumn("nrm", F.expr(dot_q_expr("embedding", "embedding")))
+        .withColumn("bucket", F.expr(_ND_SPARK_BUCKET))
+        .select("vec_id", "embedding", "nrm", "bucket")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("dot", F.expr(dot_q_expr("ea", "eb")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(cosine_q_expr("dot", "na", "nb")).alias("sim_q9"),
+        )
+        .filter(F.col("sim_q9") >= NEARDUP_SIM_Q)
+    )

@@ -1,0 +1,284 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.3 —
+driver-mandated extension surface).
+
+  q23  corpus quality stats     — token/length/stopword/type-token ratios
+  q24  language ID              — marker-token profile scoring (argmax)
+  q25  token counting           — whitespace + BPE-ish regex tokenizers
+  q26  document fingerprint     — Rabin-Karp rolling hash over tokens
+
+Scale design: q23/q25 are scan + per-row array arithmetic + tiny
+groupBy (partial agg) — scan-bound at any corpus size. q24 is
+explode→broadcast-join(markers)→groupBy(doc) — linear, the marker
+table is a compile-time literal. q26 is a per-row sequential fold
+(``aggregate``) — embarrassingly parallel, no shuffle at all. No
+Python UDFs anywhere; every expression is JVM codegen.
+
+Cross-engine notes: ratios are single double divisions of exact BIGINT
+sums (bit-equal across engines); the rolling hash folds left with the
+first element as the initial accumulator on BOTH sides (DuckDB
+``list_reduce`` has no explicit init, so the Spark ``aggregate`` slices
+to match); md5 operates on ASCII-only text (verified in FIXTURES data)
+so VARCHAR-md5 (DuckDB) equals utf8-bytes-md5 (Spark).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.textops import sql_tokens, tokens
+from .registry import query
+from .tables import load_table
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbol
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+# --------------------------------------------------------------------------
+# q23 — corpus quality statistics per (lang, source)
+# --------------------------------------------------------------------------
+@query(
+    "q23_text_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, source,
+         {sql_tokens('text')} AS w,
+         length(text) AS n_char
+  FROM documents
+),
+d AS (
+  SELECT lang, source, n_char,
+         len(w) AS n_tok,
+         len(list_distinct(w)) AS n_uniq,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS sum_tok_len,
+         len(list_filter(w, t -> t IN ({_STOP_SQL}))) AS n_stop
+  FROM t
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_char) AS total_chars,
+       sum(n_tok) AS total_tokens,
+       CAST(sum(n_stop) AS DOUBLE) / sum(n_tok)     AS stop_ratio,
+       CAST(sum(sum_tok_len) AS DOUBLE) / sum(n_tok) AS avg_token_len,
+       CAST(sum(n_uniq) AS DOUBLE) / sum(n_tok)      AS type_token_ratio
+FROM d
+GROUP BY lang, source
+""",
+    tags=("text", "stats"),
+)
+def q23_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring aggregate: stopword ratio, mean token length and
+    type-token ratio per (lang, source) — the signals an LLM-data
+    pipeline filters on. All counts are exact integers; the three
+    ratios are one double division each at the very end."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        tokens("text").alias("w"),
+        F.length("text").alias("n_char"),
+    )
+    stop_filter = "size(filter(w, t -> t IN ({})))".format(_STOP_SQL)
+    d = t.select(
+        "lang",
+        "source",
+        "n_char",
+        F.size("w").alias("n_tok"),
+        F.size(F.array_distinct("w")).alias("n_uniq"),
+        F.expr(
+            "aggregate(transform(w, t -> length(t)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("sum_tok_len"),
+        F.expr(stop_filter).alias("n_stop"),
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_char").alias("total_chars"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_stop").cast("double") / F.sum("n_tok")).alias("stop_ratio"),
+        (F.sum("sum_tok_len").cast("double") / F.sum("n_tok")).alias("avg_token_len"),
+        (F.sum("n_uniq").cast("double") / F.sum("n_tok")).alias("type_token_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — language identification by marker-token profiles
+# --------------------------------------------------------------------------
+# Compile-time marker profiles (an n-gram language model distilled to
+# its most discriminative unigrams; contents matter less than the
+# operator shape — explode → broadcast join → per-doc argmax).
+_MARKERS = (
+    ("en", "the"),
+    ("en", "a"),
+    ("en", "fast"),
+    ("es", "data"),
+    ("es", "value"),
+    ("es", "line"),
+    ("zh", "query"),
+    ("zh", "table"),
+    ("zh", "row"),
+    ("de", "window"),
+    ("de", "filter"),
+    ("de", "stream"),
+)
+_MARKER_VALUES = ", ".join(f"('{l}', '{t}')" for l, t in _MARKERS)
+
+
+@query(
+    "q24_langid",
+    oracle=f"""
+WITH m(cand_lang, tok) AS (VALUES {_MARKER_VALUES}),
+t AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents),
+sc AS (
+  SELECT t.doc_id, m.cand_lang, count(*) AS n
+  FROM t JOIN m ON t.tok = m.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand_lang, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cand_lang ASC) AS rk
+  FROM sc
+)
+SELECT d.doc_id, d.lang,
+       coalesce(b.cand_lang, 'und') AS pred_lang,
+       coalesce(b.n, 0) AS n_hits
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+""",
+    tags=("text", "langid"),
+)
+def q24_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count marker-token hits per candidate
+    language, argmax with a deterministic (count DESC, lang ASC)
+    tiebreak, 'und' when no marker fires. The marker table is
+    broadcast, so the only shuffle is the per-doc count — linear and
+    partial-agg friendly at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    markers = F.broadcast(
+        docs.sparkSession.createDataFrame(list(_MARKERS), ["cand_lang", "tok"])
+    )
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    sc = (
+        t.join(markers, "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("cand_lang").asc()
+    )
+    best = sc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        docs.select("doc_id", "lang")
+        .join(best.select("doc_id", "cand_lang", "n"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("n", F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — token counting: whitespace vs BPE-ish regex tokenizer
+# --------------------------------------------------------------------------
+@query(
+    "q25_token_counts",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         length(text) AS n_char,
+         len({sql_tokens('text')}) AS n_ws,
+         len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_char) AS total_chars,
+       sum(n_ws)  AS ws_tokens,
+       sum(n_bpe) AS bpe_tokens,
+       CAST(sum(n_bpe) AS DOUBLE) / count(*) AS bpe_per_doc
+FROM d
+GROUP BY source
+""",
+    tags=("text", "tokens"),
+)
+def q25_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with two tokenizers: whitespace split and a
+    BPE-style pre-tokenizer (letter runs / digit runs / single
+    symbols) — the 'how many training tokens is this corpus' query.
+    Pure scan + regex + 20-group aggregate; the regex runs once per
+    row inside codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.length("text").alias("n_char"),
+        F.size(tokens("text")).alias("n_ws"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)).alias(
+            "n_bpe"
+        ),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_char").alias("total_chars"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        (F.sum("n_bpe").cast("double") / F.count(F.lit(1))).alias("bpe_per_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — Rabin-Karp rolling-hash document fingerprint
+# --------------------------------------------------------------------------
+_RK_BASE = 257
+_RK_MOD = 2_147_483_647  # 2^31 - 1: acc*257 + 2^28 stays far inside BIGINT
+
+
+@query(
+    "q26_fingerprint_rolling",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({sql_tokens('text')},
+                        tok -> {{hex}}) AS vals
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(vals, (a, b) -> (a * {_RK_BASE} + b) % {_RK_MOD}) AS fingerprint
+FROM t
+""".replace(
+        "{hex}",
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(tok), {p + 1}, 1)) - 1) * "
+            f"CAST({16 ** (6 - p)} AS BIGINT)"
+            for p in range(7)
+        )
+        + ")",
+    ),
+    tags=("text", "fingerprint"),
+)
+def q26_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: token→28-bit hash, then a
+    Rabin-Karp left fold ``h = (h*257 + v) mod (2^31-1)``. Per-row
+    sequential arithmetic, zero shuffle — the cheapest whole-document
+    signature for change detection at scale.
+
+    DuckDB's ``list_reduce`` seeds the fold with the first element, so
+    the Spark ``aggregate`` slices off element 1 as its init to keep
+    the folds identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    vals = (
+        "transform(split(lower(trim(text)), '\\\\s+'), "
+        "tok -> CAST(conv(substr(md5(encode(tok, 'utf-8')), 1, 7), 16, 10) AS BIGINT))"
+    )
+    fold = (
+        f"aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), element_at(vals, 1), "
+        f"(a, b) -> (a * {_RK_BASE} + b) % {_RK_MOD})"
+    )
+    return (
+        docs.select("doc_id", F.expr(vals).alias("vals"))
+        .select("doc_id", F.expr(fold).alias("fingerprint"))
+    )

@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the scale contract (SURVEY.md §4 /
+BASELINE.md) says filters and projections must reach the parquet scan,
+dimension joins must broadcast, and hot paths must stay inside
+whole-stage codegen. These tests freeze that plan shape so a
+regression (e.g. an accidental UDF or a lost broadcast hint) fails
+loudly rather than silently costing 10× at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from spark_sql_pubsub_connector_spark.plans import all_specs
+
+SPECS = all_specs()
+
+
+def plan_of(spark, sf_dir, name, mode="formatted") -> str:
+    df = SPECS[name].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q03_filter_predicate")
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning_projection(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q08_join_shuffle_agg")
+    # lineitem scan must read only the 3 needed columns, not all 11
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    li_line = [l for l in scan_lines if "l_orderkey" in l]
+    assert li_line and "l_shipdate" not in li_line[0], li_line
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q07_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_is_left_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q09_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q06_topk_per_group")
+    # rank-limit pushdown: only k rows per partition survive pre-shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary", mode="simple")
+    # two HashAggregate stages around one Exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_no_python_udfs_in_core_corpus(spark, sf_dir):
+    """Everything except the multimodal mapInPandas queries must stay
+    JVM-side (BatchEvalPython / ArrowEvalPython absent from plans)."""
+    for name, spec in sorted(SPECS.items()):
+        if "multimodal" in spec.tags or "streaming" in spec.tags:
+            continue
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_lsh_join_is_hash_join_on_bucket(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q22_embedding_neardup", mode="simple")
+    # blocked all-pairs must join on the bucket key, not nested-loop
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["q20_knn_bruteforce", "q21_ann_lsh"])
+def test_knn_query_side_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name, mode="simple")
+    assert "Broadcast" in plan
