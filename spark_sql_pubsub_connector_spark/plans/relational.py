@@ -562,3 +562,152 @@ def q15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("session_end_us"),
         esum("value", 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q34 — collection (array) function surface over tokenized text
+# --------------------------------------------------------------------------
+@query(
+    "q34_collection_funcs",
+    oracle="""
+SELECT doc_id,
+       len(w) AS n_tok,
+       array_to_string(w[1:5], ' ')             AS first5,
+       w[-1]                                    AS last_tok,
+       array_to_string(list_sort(w)[1:3], ' ')  AS sorted3,
+       CAST(coalesce(list_position(w, 'the'), 0) AS BIGINT) AS the_pos
+FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents)
+""",
+    tags=("collection",),
+)
+def q34_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (size/slice/element_at/sort_array/
+    array_position) — the collection ops a message-attribute or token
+    pipeline leans on. Pure per-row projection, no shuffle; Spark and
+    DuckDB agree because tokens are lowercase ASCII (binary collation
+    identical) and both engines' slice semantics are 1-based
+    inclusive."""
+    from ..functions.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tok"),
+        F.concat_ws(" ", F.slice(w, 1, 5)).alias("first5"),
+        F.element_at(w, -1).alias("last_tok"),
+        F.concat_ws(" ", F.slice(F.sort_array(w), 1, 3)).alias("sorted3"),
+        F.array_position(w, "the").alias("the_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — CUBE grouping sets
+# --------------------------------------------------------------------------
+@query(
+    "q35_cube",
+    oracle=f"""
+SELECT coalesce(c_mktsegment, 'ALL')    AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       {sql_esum("o_totalprice", 2, "sum_total")}
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+)
+def q35_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, priority): all four grouping sets in one
+    pass — Spark expands the sets map-side, so the shuffle still
+    carries only partial aggregates (4× group count, not 4× data)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            esum("o_totalprice", 2).alias("sum_total"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — correlated-aggregate predicate (orders above customer average)
+# --------------------------------------------------------------------------
+@query(
+    "q36_above_cust_avg",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM orders
+JOIN (
+  SELECT o_custkey AS ck, {sql_eavg("o_totalprice", 2, "cust_avg")}
+  FROM orders GROUP BY o_custkey
+) a ON a.ck = o_custkey
+WHERE o_totalprice > cust_avg
+""",
+    tags=("agg", "subquery"),
+)
+def q36_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery pattern (each order vs its customer's
+    average) decorrelated into aggregate + self-join — exactly the
+    rewrite Catalyst itself applies to correlated scalar subqueries.
+    Both sides compute the average with identical exact-integer sums,
+    so the > predicate flips on neither engine."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    avg = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        eavg("o_totalprice", 2).alias("cust_avg")
+    )
+    return (
+        o.join(avg, o.o_custkey == avg.ck)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — date/time function surface
+# --------------------------------------------------------------------------
+@query(
+    "q37_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)    AS y,
+       month(o_orderdate)   AS m,
+       day(o_orderdate)     AS d,
+       quarter(o_orderdate) AS q,
+       dayofweek(o_orderdate) + 1 AS dow,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS ship_by,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')    AS age_days
+FROM orders
+WHERE o_orderkey < 5000
+""",
+    tags=("scalar", "date"),
+)
+def q37_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: extraction, arithmetic, formatting.
+    DuckDB numbers Sunday 0 where Spark uses 1, so the oracle shifts —
+    values, not conventions, are what must agree."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("ship_by"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("age_days"),
+    )

@@ -124,6 +124,69 @@ def q31_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q33_stream_stateful_counts",
+    oracle=None,  # arbitrary-stateful: per-batch emission is not SQL
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def q33_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    PySpark surface for operators Structured Streaming lacks,
+    SURVEY.md §2.3): per-user running (n_events, sum_value) maintained
+    in keyed GroupState across micro-batches, emitting the updated
+    totals each batch. State shards with the groupBy shuffle and is
+    O(distinct users) — the scale-safe shape for arbitrary stateful
+    logic."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev, run = _streamed_events(spark, sf_dir, "stateful")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value_q2", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("sv_q2", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, sv = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer cents, like functions/exact.py
+            sv += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, sv))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_q2": [sv]}
+        )
+
+    counts = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain_to_memory(counts, f"stateful_{run.replace('-', '_')}", "update")
+
+
+@query(
     "q32_stream_sink_roundtrip",
     oracle=None,  # connector lifecycle check, not a relational result
     tags=("streaming", "sink"),
