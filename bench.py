@@ -42,18 +42,84 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    try:
+        result["connector"] = connector_throughput(spark, sf_dir)
+    except Exception as e:  # never let the connector probe break the line
+        result["connector_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(result))
     spark.stop()
+
+
+def connector_throughput(spark, sf_dir: str, n_msgs: int = 20_000) -> dict:
+    """Single-node connector throughput: drain ``n_msgs`` through the
+    pubsub source (availableNow, 8×1000-msg partitions), then through
+    source→sink republish. The reference's capacity envelope is
+    256 partitions × 1,000 msgs per trigger (BASELINE.md); this
+    measures what one JVM actually sustains end-to-end."""
+    import tempfile
+    import uuid
+
+    from spark_sql_pubsub_connector_spark.sources.broker import FileBroker
+    from spark_sql_pubsub_connector_spark.streaming import (
+        read_stream,
+        seed_topic_from_events,
+        write_stream,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    broker_dir = tempfile.mkdtemp(prefix=f"bench-broker-{run}-")
+    topic, sub, sub2 = f"bt-{run}", f"bs-{run}", f"bs2-{run}"
+    seed_topic_from_events(
+        spark, sf_dir, broker_dir, topic, sub, limit=n_msgs, ack_deadline_s=600
+    )
+    broker = FileBroker(broker_dir)
+
+    # source-only drain
+    src = read_stream(
+        spark, broker_dir, sub, num_partitions=8, max_messages_per_partition=1000
+    )
+    t0 = time.perf_counter()
+    q = (
+        src.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"bench-ck1-{run}-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    source_s = time.perf_counter() - t0
+
+    # source→sink republish (second subscription on the same topic)
+    broker.create_subscription(sub2, topic, ack_deadline_s=600)
+    broker.create_topic(f"{topic}-out")
+    src2 = read_stream(
+        spark, broker_dir, sub2, num_partitions=8, max_messages_per_partition=1000
+    )
+    out = src2.select("data", "attributes")
+    t0 = time.perf_counter()
+    q2 = write_stream(
+        out,
+        broker_dir,
+        f"{topic}-out",
+        tempfile.mkdtemp(prefix=f"bench-ck2-{run}-"),
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(600)
+    roundtrip_s = time.perf_counter() - t0
+    published = len(broker.topic_messages(f"{topic}-out"))
+
+    return {
+        "n_msgs": n_msgs,
+        "source_msgs_per_s": round(n_msgs / source_s, 1),
+        "roundtrip_msgs_per_s": round(published / roundtrip_s, 1),
+        "roundtrip_published": published,
+    }
 
 
 if __name__ == "__main__":

@@ -186,6 +186,43 @@ class FileBroker:
         with open(path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
+    def _scan_unacked(self, state: dict, topic: str):
+        """Yield log records from the subscription's scan cursor onward,
+        advancing the cursor past the fully-acked prefix.
+
+        The log is append-only and ``seq`` is dense, so each sub keeps
+        ``scan_pos = [seq, byte_offset]`` — the first line not yet known
+        to be acked. Pulls then seek instead of re-parsing the whole
+        log (the whole-log scan made pulls O(log²) over a topic's
+        lifetime; with the cursor they are O(new messages)). Lazy
+        parsing also lets callers stop at ``max_messages`` without
+        touching the rest of the file.
+        """
+        path = os.path.join(self._topic_dir(topic), "log.jsonl")
+        if not os.path.exists(path):
+            return
+        below = state["acked_below"]
+        pos = state.get("scan_pos", [0, 0])[1]
+        cursor_set = False
+        with open(path, "rb") as fh:
+            fh.seek(pos)
+            for raw in fh:
+                line_start = pos
+                pos += len(raw)
+                if not raw.strip():
+                    continue
+                rec = json.loads(raw)
+                s = rec["seq"]
+                if s < below:
+                    continue  # acked prefix — cursor will skip it next time
+                if not cursor_set:
+                    state["scan_pos"] = [s, line_start]
+                    cursor_set = True
+                yield rec
+        if not cursor_set:
+            # everything up to EOF is acked; next scan starts at the end
+            state["scan_pos"] = [below, pos]
+
     def _load_sub(self, sub: str) -> dict:
         path = self._sub_path(sub)
         if not os.path.exists(path):
@@ -231,7 +268,7 @@ class FileBroker:
             below = state["acked_below"]
             leased_seqs = {l["seq"] for l in state["leases"].values()}
             out: list[ReceivedMessage] = []
-            for rec in self._read_log(state["topic"]):
+            for rec in self._scan_unacked(state, state["topic"]):
                 if len(out) >= max_messages:
                     break
                 s = rec["seq"]
@@ -297,14 +334,13 @@ class FileBroker:
         with self._lock():
             state = self._load_sub(sub)
             acked = set(state["acked"])
-            below = state["acked_below"]
             out: dict[str, int] = {}
-            for rec in self._read_log(state["topic"]):
-                s = rec["seq"]
-                if s < below or s in acked:
+            for rec in self._scan_unacked(state, state["topic"]):
+                if rec["seq"] in acked:
                     continue
                 r = rec.get("region", "global")
                 out[r] = out.get(r, 0) + 1
+            self._store_sub(sub, state)  # persist the advanced cursor
         return out
 
     def topic_messages(self, topic: str) -> list[PubsubMessage]:

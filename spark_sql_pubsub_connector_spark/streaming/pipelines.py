@@ -96,6 +96,7 @@ def write_stream(
     topic: str,
     checkpoint: str,
     project_id: str = "test-project",
+    trigger_available_now: bool = False,
     **options,
 ):
     """df.writeStream.format("pubsub")…start() (append mode)."""
@@ -108,6 +109,8 @@ def write_stream(
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
     for k, v in options.items():
         writer = writer.option(k, str(v))
     return writer.start()
