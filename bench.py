@@ -29,8 +29,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     specs = {n: s for n, s in sorted(all_specs().items()) if s.bench}
 
-    # JVM/codegen warm-up on a trivial plan so q1 isn't charged for it
+    # Warm the fixed-cost paths so the first query isn't charged for
+    # them: codegen pipeline, parquet reader + filesystem init (via the
+    # 5-row region table), and the noop sink committer.
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count()
+    warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():

@@ -711,3 +711,86 @@ def q37_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("ship_by"),
         F.datediff(F.lit("1998-12-31").cast("date"), d).alias("age_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — pivot (conditional aggregation) + count distinct
+# --------------------------------------------------------------------------
+@query(
+    "q38_pivot_status",
+    oracle=f"""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       {sql_esum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", 2, "open_total")},
+       {sql_esum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 2, "filled_total")},
+       {sql_esum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END", 2, "partial_total")}
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "pivot"),
+)
+def q38_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation — the portable (and
+    at scale *preferable*) form of `groupBy().pivot()`: one pass, no
+    second job to discover pivot values, still fully partial-agg'd.
+    count(DISTINCT) adds the expand-then-dedup aggregate path."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def status_total(s: str):
+        return esum(
+            F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(
+                F.lit(0.0)
+            ),
+            2,
+        )
+
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            status_total("O").alias("open_total"),
+            status_total("F").alias("filled_total"),
+            status_total("P").alias("partial_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — exact percentiles on the integer grid
+# --------------------------------------------------------------------------
+@query(
+    "q39_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(quantile_cont(CAST(round(l_quantity * 100, 0) AS BIGINT), 0.5) AS DOUBLE) / 100  AS median_qty,
+       CAST(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.9) AS DOUBLE) / 100 AS p90_price,
+       CAST(min(round(l_quantity * 100, 0)) AS DOUBLE) / 100 AS min_qty,
+       CAST(max(round(l_extendedprice * 100, 0)) AS DOUBLE) / 100 AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p90 with linear interpolation, computed on the
+    integer cents grid: both engines interpolate (1-f)·a + f·b over
+    identical BIGINTs, so the one double expression matches exactly.
+    Spark's `percentile` is the exact (sort-based) aggregate — at
+    100 TB you'd swap in approx_percentile and drop the oracle to a
+    tolerance check; the exact form is what the correctness gate can
+    hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(qty_c, F.lit(0.5)).cast("double") / 100).alias("median_qty"),
+        (F.percentile(price_c, F.lit(0.9)).cast("double") / 100).alias("p90_price"),
+        (F.min(qty_c).cast("double") / 100).alias("min_qty"),
+        (F.max(price_c).cast("double") / 100).alias("max_price"),
+    )

@@ -379,3 +379,90 @@ def test_dynamic_partitioning_region_split(spark, broker_dir):
         assert b.backlog("s") == 0
     finally:
         reader.stop()
+
+
+def test_split_stream_two_sinks_rejected(spark, broker, broker_dir, tmp_path):
+    """PubsubConnectorTest.scala:201-246: splitting ONE source DataFrame
+    into two sinks means two queries each claiming the subscription —
+    the second must fail with the conflict error (ack/cache state is a
+    per-subscription singleton). The documented workaround is
+    foreachBatch fan-out (streaming/pipelines.foreach_batch_fanout)."""
+    _publish_canonical(broker, 20)
+    df = read_stream(spark, broker_dir, "s")
+    q1 = (
+        df.writeStream.format("memory")
+        .queryName("split_a")
+        .option("checkpointLocation", str(tmp_path / "cka"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and broker.backlog("s") > 0:
+            time.sleep(0.5)
+        q2 = (
+            df.writeStream.format("memory")
+            .queryName("split_b")
+            .option("checkpointLocation", str(tmp_path / "ckb"))
+            .start()
+        )
+        with pytest.raises(Exception) as ei:
+            q2.awaitTermination(60)
+            if q2.exception() is not None:
+                raise q2.exception()
+        assert "already consumed" in str(ei.value)
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+
+
+def test_watermark_drops_late_events(spark, broker_dir, tmp_path):
+    """Watermark semantics over the connector: in append mode a window
+    only emits once the watermark passes it, and events arriving after
+    that are dropped from the result (late-data discipline the driver's
+    §2.3 streaming operators rely on)."""
+    b = FileBroker(broker_dir)
+    b.create_topic("wm")
+    b.create_subscription("wm-s", "wm", ack_deadline_s=300)
+    base = 1_700_000_000_000_000  # µs
+
+    def msg(i, ts_us):
+        return PubsubMessage(
+            data=f"e{i}".encode(), attributes={}, publish_ts_us=ts_us
+        )
+
+    # batch 1: two events in window [0,60s) and one far ahead at +10min
+    # (advances the watermark past the first window)
+    b.publish("wm", [msg(0, base), msg(1, base + 1_000_000), msg(2, base + 600_000_000)])
+    df = read_stream(spark, broker_dir, "wm-s", max_messages_per_partition=10)
+    agg = (
+        df.withWatermark("publish_timestamp", "1 minute")
+        .groupBy(F.window("publish_timestamp", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wmck"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and b.backlog("wm-s") > 0:
+            time.sleep(0.5)
+        q.processAllAvailable()
+        # batch 2: a LATE event for the first (already-emitted) window
+        b.publish("wm", [msg(3, base + 2_000_000)])
+        deadline = time.time() + 90
+        while time.time() < deadline and b.backlog("wm-s") > 0:
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = {r["ws"].timestamp(): r["n"] for r in spark.table("wm_out").collect()}
+    # first window emitted with exactly the 2 on-time events; the late
+    # third never re-emits or bumps the count
+    first_window_start = (base // 1_000_000) // 60 * 60  # minute-aligned
+    assert rows.get(first_window_start) == 2, rows
