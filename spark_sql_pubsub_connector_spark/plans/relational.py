@@ -794,3 +794,45 @@ def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(qty_c).cast("double") / 100).alias("min_qty"),
         (F.max(price_c).cast("double") / 100).alias("max_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q40 — salted two-phase aggregation (skew mitigation)
+# --------------------------------------------------------------------------
+@query(
+    "q40_skewed_agg_salted",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n,
+       {sql_esum("value", 2, "sum_value")},
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "skew", "salt"),
+)
+def q40_skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: `events` has a handful of event_type
+    values, so a naive groupBy concentrates each type on one reducer.
+    Phase 1 groups by (event_type, salt=event_id%16) — 16-way fan-out
+    of every hot key; phase 2 merges the partials. Results are
+    identical to the plain GROUP BY (the oracle), because count/sum
+    compose and the distinct-user set is unioned exactly via a
+    two-level distinct. At 100 TB this caps any single reducer's input
+    at 1/16th of the hottest key (AQE's skew handling covers joins;
+    salting is the aggregation-side analog)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "user_id", (F.col("event_id") % 16).alias("salt")
+    )
+    phase1 = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("psum_q2"),
+        F.collect_set("user_id").alias("pusers"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("psum_q2").cast("double") / 100).alias("sum_value"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("pusers")))).cast(
+            "long"
+        ).alias("n_users"),
+    )

@@ -466,3 +466,73 @@ def test_watermark_drops_late_events(spark, broker_dir, tmp_path):
     # third never re-emits or bumps the count
     first_window_start = (base // 1_000_000) // 60 * 60  # minute-aligned
     assert rows.get(first_window_start) == 2, rows
+
+
+def test_foreach_batch_fanout_two_sinks(spark, broker, broker_dir, tmp_path):
+    """The reference's documented workaround for stream splitting
+    (README.md:131): ONE query, two sinks inside foreachBatch — both
+    sinks see every message without violating the single-consumer
+    rule."""
+    from spark_sql_pubsub_connector_spark.streaming import foreach_batch_fanout
+
+    _publish_canonical(broker, 40)
+    df = read_stream(spark, broker_dir, "s", max_messages_per_partition=10)
+    seen_a, seen_b = [], []
+
+    def sink_a(batch_df, batch_id):
+        seen_a.extend(r["message_id"] for r in batch_df.collect())
+
+    def sink_b(batch_df, batch_id):
+        seen_b.extend(r["message_id"] for r in batch_df.collect())
+
+    q = foreach_batch_fanout(df, str(tmp_path / "fanout-ck"), sink_a, sink_b)
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and broker.backlog("s") > 0:
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert sorted(seen_a, key=int) == [str(i) for i in range(40)]
+    assert seen_a == seen_b
+
+
+def test_sink_batch_idempotence(spark, broker, broker_dir, tmp_path):
+    """S14: re-delivered batch ids are skipped (PubsubSink.scala:17-18
+    semantics) — committing the same batchId twice publishes once."""
+    import pyarrow  # noqa: F401  (env sanity)
+    from pyspark.sql.types import (
+        BinaryType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+    )
+
+    broker.create_topic("idem")
+    schema = StructType(
+        [
+            StructField("data", BinaryType()),
+            StructField("attributes", MapType(StringType(), StringType())),
+        ]
+    )
+    opts = {
+        "project_id": "test-project",
+        "topic": "idem",
+        "broker_dir": broker_dir,
+    }
+    w = PubsubStreamWriter(opts, schema)
+    from pyspark.sql import Row
+
+    msg = w.write(iter([Row(data=b"payload", attributes={"k": "v"})]))
+    w.commit([msg], batchId=7)
+    n_after_first = len(broker.topic_messages("idem"))
+    # Spark re-delivers the same batch after a sink-side failure/restart
+    msg2 = w.write(iter([Row(data=b"payload", attributes={"k": "v"})]))
+    w.commit([msg2], batchId=7)
+    assert len(broker.topic_messages("idem")) == n_after_first == 1
