@@ -111,28 +111,56 @@ class _PartitionPayload:
     region: str | None
 
 
+def _records_to_arrow(payload: _PartitionPayload, records: list[dict]):
+    """One Arrow RecordBatch for the whole partition — the DataSource
+    API accepts RecordBatches from read(), which skips per-row pickling
+    (the dominant cost of the tuple path: ~1000 rows × 7 fields per
+    partition through the Python/JVM boundary)."""
+    import base64
+
+    import pyarrow as pa
+
+    n = len(records)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([payload.subscription_path] * n, type=pa.string()),
+            pa.array([r["ack_id"] for r in records], type=pa.string()),
+            pa.array([r["message_id"] for r in records], type=pa.string()),
+            pa.array([r["ordering_key"] for r in records], type=pa.string()),
+            pa.array(
+                [base64.b64decode(r["data_b64"]) for r in records], type=pa.binary()
+            ),
+            pa.array(
+                [r["publish_ts_us"] for r in records],
+                type=pa.timestamp("us", tz="UTC"),
+            ),
+            pa.array(
+                [list((r.get("attributes") or {}).items()) for r in records],
+                type=pa.map_(pa.string(), pa.string()),
+            ),
+        ],
+        names=[
+            "subscription",
+            "ack_id",
+            "message_id",
+            "ordering_key",
+            "data",
+            "publish_timestamp",
+            "attributes",
+        ],
+    )
+
+
 def _pull_or_replay(payload: _PartitionPayload):
     """Executor-side body of read(): replay from the partition cache if
     present, else pull once and persist atomically (S7 + S9)."""
     import base64
-    from datetime import datetime, timezone
-
-    def rows_from_records(records):
-        for rec in records:
-            yield (
-                payload.subscription_path,
-                rec["ack_id"],
-                rec["message_id"],
-                rec["ordering_key"],
-                base64.b64decode(rec["data_b64"]),
-                datetime.fromtimestamp(rec["publish_ts_us"] / 1e6, tz=timezone.utc),
-                rec.get("attributes") or {},
-            )
 
     if os.path.exists(payload.cache_file):
         with open(payload.cache_file) as fh:
             records = [json.loads(line) for line in fh if line.strip()]
-        yield from rows_from_records(records)
+        if records:
+            yield _records_to_arrow(payload, records)
         return
 
     broker = FileBroker(payload.broker_dir)
@@ -156,7 +184,8 @@ def _pull_or_replay(payload: _PartitionPayload):
         for rec in records:
             fh.write(json.dumps(rec) + "\n")
     os.replace(tmp, payload.cache_file)
-    yield from rows_from_records(records)
+    if records:
+        yield _records_to_arrow(payload, records)
 
 
 class PubsubStreamReader(DataSourceStreamReader):

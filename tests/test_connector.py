@@ -257,6 +257,15 @@ def test_write_schema_validation(spark, broker, broker_dir, tmp_path):
     assert isinstance(ds.streamWriter(good, overwrite=False), PubsubStreamWriter)
 
 
+def _read_rows(reader, part):
+    """Flatten read()'s Arrow RecordBatches back to row tuples (the
+    engine does this JVM-side; direct-call tests do it here)."""
+    rows = []
+    for batch in reader.read(part):
+        rows.extend(tuple(d.values()) for d in batch.to_pylist())
+    return rows
+
+
 def test_replay_determinism(spark, broker, broker_dir):
     """SURVEY.md §4.3-1: re-evaluating the same batch returns identical
     rows (the RDD-block-cache semantics, S9)."""
@@ -279,9 +288,9 @@ def test_replay_determinism(spark, broker, broker_dir):
         end = reader.latestOffset()
         parts = reader.partitions(start, end)
         assert len(parts) == 3
-        first = [sorted(tuple(map(str, r)) for r in reader.read(p)) for p in parts]
+        first = [sorted(tuple(map(str, r)) for r in _read_rows(reader, p)) for p in parts]
         # second evaluation replays the cache, not the broker
-        second = [sorted(tuple(map(str, r)) for r in reader.read(p)) for p in parts]
+        second = [sorted(tuple(map(str, r)) for r in _read_rows(reader, p)) for p in parts]
         assert first == second
         n = sum(len(x) for x in first)
         assert n == 30
@@ -317,7 +326,7 @@ def test_uncommitted_batch_redelivered(spark, broker_dir):
         }
     )
     parts = r1.partitions(r1.initialOffset(), r1.latestOffset())
-    pulled = [row for p in parts for row in r1.read(p)]
+    pulled = [row for p in parts for row in _read_rows(r1, p)]
     assert len(pulled) == 10
     r1.stop()  # dies without commit
     r2 = PubsubStreamReader(
@@ -331,7 +340,7 @@ def test_uncommitted_batch_redelivered(spark, broker_dir):
     )
     try:
         parts2 = r2.partitions(r2.initialOffset(), r2.latestOffset())
-        again = [row for p in parts2 for row in r2.read(p)]
+        again = [row for p in parts2 for row in _read_rows(r2, p)]
         assert {r[2] for r in again} == {str(i) for i in range(10)}
     finally:
         r2.stop()
@@ -373,7 +382,7 @@ def test_dynamic_partitioning_region_split(spark, broker_dir):
         parts = reader.partitions(start, end)
         regions = [p.value.region for p in parts]
         assert "us-east1" in regions and "eu-west1" in regions
-        rows = [row for p in parts for row in reader.read(p)]
+        rows = [row for p in parts for row in _read_rows(reader, p)]
         assert len(rows) == 33
         reader.commit(end)
         assert b.backlog("s") == 0
