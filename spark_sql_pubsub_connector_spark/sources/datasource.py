@@ -42,6 +42,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
+    DataSourceStreamArrowWriter,
     DataSource,
     DataSourceStreamReader,
     DataSourceStreamWriter,
@@ -389,7 +390,7 @@ def _sink_state_path(opts: PubsubWriteOptions) -> str:
     return os.path.join(opts.broker_dir, ".sink_state", _sanitize(opts.topic) + ".json")
 
 
-class PubsubStreamWriter(DataSourceStreamWriter):
+class PubsubStreamWriter(DataSourceStreamArrowWriter):
     """Staged-commit publisher: executors stage messages, the driver's
     commit() appends them to the topic log exactly once per batch id.
 
@@ -397,6 +398,10 @@ class PubsubStreamWriter(DataSourceStreamWriter):
     (PubsubWriter.scala:64-89, at-least-once): staging gives the same
     batch-id idempotence the reference implements driver-side
     (PubsubSink.scala:17-18) without re-publishing on task retries.
+
+    Arrow variant: write() receives pyarrow RecordBatches, so column
+    extraction is one vectorized ``to_pylist`` per column instead of
+    per-Row field access (mirrors the source's RecordBatch read path).
     """
 
     def __init__(self, options: dict, schema: StructType):
@@ -407,6 +412,7 @@ class PubsubStreamWriter(DataSourceStreamWriter):
     def write(self, iterator) -> PubsubCommitMessage:
         # executor-side: re-validate the ordering-key contract like
         # PubsubWriter.scala:36-45, then stage this partition's messages
+        import base64
         import time as _time
 
         opts = self.opts
@@ -415,32 +421,37 @@ class PubsubStreamWriter(DataSourceStreamWriter):
         tmp = os.path.join(stage, f"stage-{uuid.uuid4().hex}.jsonl.tmp")
         now_us = int(_time.time() * 1e6)
         n = 0
-        import base64
-
         with open(tmp, "w") as fh:
-            for row in iterator:
-                data = row["data"]
-                if data is None:
-                    raise ValueError("'data' must not be null")
-                attributes = row["attributes"] or {}
-                key = ""
+            for batch in iterator:
+                names = batch.schema.names
+                datas = batch.column(names.index("data")).to_pylist()
+                attrs = batch.column(names.index("attributes")).to_pylist()
                 if opts.ordering_key is not None:
-                    key = row[opts.ordering_key]
-                    if key is None:
-                        key = ""
-                fh.write(
-                    json.dumps(
-                        {
-                            "ordering_key": str(key),
-                            "data_b64": base64.b64encode(bytes(data)).decode(),
-                            "attributes": dict(attributes),
-                            "publish_ts_us": now_us,
-                            "region": "global",
-                        }
+                    keys = batch.column(names.index(opts.ordering_key)).to_pylist()
+                else:
+                    keys = None
+                for i, data in enumerate(datas):
+                    if data is None:
+                        raise ValueError("'data' must not be null")
+                    a = attrs[i]
+                    # pyarrow MapArray rows arrive as [(k, v), ...]
+                    attributes = dict(a) if a else {}
+                    key = ""
+                    if keys is not None and keys[i] is not None:
+                        key = keys[i]
+                    fh.write(
+                        json.dumps(
+                            {
+                                "ordering_key": str(key),
+                                "data_b64": base64.b64encode(bytes(data)).decode(),
+                                "attributes": attributes,
+                                "publish_ts_us": now_us,
+                                "region": "global",
+                            }
+                        )
+                        + "\n"
                     )
-                    + "\n"
-                )
-                n += 1
+                    n += 1
         final = tmp[: -len(".tmp")]
         os.replace(tmp, final)
         return PubsubCommitMessage(staged_file=final, count=n)

@@ -536,12 +536,21 @@ def test_sink_batch_idempotence(spark, broker, broker_dir, tmp_path):
         "broker_dir": broker_dir,
     }
     w = PubsubStreamWriter(opts, schema)
-    from pyspark.sql import Row
+    import pyarrow as pa
 
-    msg = w.write(iter([Row(data=b"payload", attributes={"k": "v"})]))
+    def one_batch():
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([b"payload"], type=pa.binary()),
+                pa.array([[("k", "v")]], type=pa.map_(pa.string(), pa.string())),
+            ],
+            names=["data", "attributes"],
+        )
+
+    msg = w.write(iter([one_batch()]))
     w.commit([msg], batchId=7)
     n_after_first = len(broker.topic_messages("idem"))
     # Spark re-delivers the same batch after a sink-side failure/restart
-    msg2 = w.write(iter([Row(data=b"payload", attributes={"k": "v"})]))
+    msg2 = w.write(iter([one_batch()]))
     w.commit([msg2], batchId=7)
     assert len(broker.topic_messages("idem")) == n_after_first == 1
