@@ -836,3 +836,48 @@ def q40_skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# q41 — set operations (INTERSECT / EXCEPT)
+# --------------------------------------------------------------------------
+@query(
+    "q41_set_ops",
+    oracle="""
+WITH both_side AS (
+  SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+),
+only_building AS (
+  SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+SELECT nk, 'both' AS which FROM both_side
+UNION ALL
+SELECT nk, 'building_only' AS which FROM only_building
+""",
+    tags=("setops",),
+)
+def q41_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics) — Spark plans both
+    as existence joins (left-semi / left-anti over distinct inputs), so
+    they scale like any keyed join: shuffle on the compared columns,
+    no materialized set structures."""
+    c = load_table(spark, sf_dir, "customer")
+    building = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    machinery = (
+        c.filter(F.col("c_mktsegment") == "MACHINERY")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    both_side = building.intersect(machinery).withColumn("which", F.lit("both"))
+    only_b = building.exceptAll(machinery).withColumn(
+        "which", F.lit("building_only")
+    )
+    return both_side.unionAll(only_b)
