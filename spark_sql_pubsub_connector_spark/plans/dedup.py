@@ -173,20 +173,26 @@ JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
 def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs: docs agreeing on any MinHash band.
 
-    The self-join is keyed on (band, band_hash) — a shuffle whose
-    groups are bucket-sized, never the O(n²) pair space. 8 hashes / 4
-    bands of 2 gives P(candidate) = 1-(1-j²)⁴: ≈1 for true near-dups
-    (j≥0.9), ≈4% noise at j=0.1."""
+    Pairs come from grouping by (band, band_hash) and exploding each
+    bucket's member list — ONE pass over the expensive minhash subtree
+    (a band-keyed self-join would execute it twice) and one shuffle
+    keyed by bucket, never the O(n²) pair space. 8 hashes / 4 bands of
+    2 gives P(candidate) = 1-(1-j²)⁴: ≈1 for true near-dups (j≥0.9),
+    ≈4% noise at j=0.1. Bucket lists stay small by construction (hash
+    buckets), so the per-bucket pair expansion is bounded."""
     bands = _minhash_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = (
+        "filter(flatten(transform(ds, a -> transform(ds, b -> struct(a AS doc_a, b AS doc_b)))), "
+        "p -> p.doc_a < p.doc_b)"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
