@@ -554,3 +554,18 @@ def test_sink_batch_idempotence(spark, broker, broker_dir, tmp_path):
     msg2 = w.write(iter([one_batch()]))
     w.commit([msg2], batchId=7)
     assert len(broker.topic_messages("idem")) == n_after_first == 1
+
+
+def test_batch_read_write_unsupported(spark, broker_dir):
+    """The reference declares exactly MICRO_BATCH_READ and a streaming
+    sink (PubsubTable.scala:20-22) — batch spark.read/write must fail."""
+    register_pubsub(spark)
+    with pytest.raises(Exception, match="stream|batch|unsupported|support"):
+        (
+            spark.read.format("pubsub")
+            .option("project_id", "p")
+            .option("subscription", "s")
+            .option("broker_dir", broker_dir)
+            .load()
+            .collect()
+        )

@@ -93,3 +93,33 @@ def test_plan_partitioning_region_split():
     assert regions["us-east1"].num_partitions == 8
     # minor region still gets >= total//n_regions partitions
     assert regions["eu-west1"].num_partitions >= info.total_partitions // 2
+
+
+def test_batches_to_drain_formula(tmp_path):
+    """S5: availableNow batch estimate = max(ceil(backlog/capacity), 1)
+    (PubsubSubscriptionMonitor.scala:96-113 semantics)."""
+    from spark_sql_pubsub_connector_spark.sources.broker import (
+        FileBroker,
+        PubsubMessage,
+    )
+    from spark_sql_pubsub_connector_spark.sources.monitor import BacklogMonitor
+
+    b = FileBroker(str(tmp_path / "broker"))
+    b.create_topic("t")
+    b.create_subscription("s", "t")
+    opts = validate_read_options(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": str(tmp_path / "broker"),
+            "num_partitions": "4",
+            "max_messages_per_partition": "10",
+        }
+    )
+    mon = BacklogMonitor(b, "s", opts)
+    mon.refresh()
+    assert mon.batches_to_drain(40) == 1  # empty backlog -> 1 batch
+    b.publish("t", [PubsubMessage(data=b"x", publish_ts_us=1) for _ in range(95)])
+    mon.refresh()
+    assert mon.batches_to_drain(40) == 3  # ceil(95/40)
+    assert mon.batches_to_drain(100) == 1
