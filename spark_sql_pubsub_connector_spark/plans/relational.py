@@ -881,3 +881,75 @@ def q41_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "which", F.lit("building_only")
     )
     return both_side.unionAll(only_b)
+
+
+# --------------------------------------------------------------------------
+# q42 — global top-k (TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+@query(
+    "q42_global_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+    tags=("sort", "limit", "topk"),
+)
+def q42_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 by price: orderBy+limit compiles to
+    TakeOrderedAndProject — each task keeps a 25-row heap and the
+    driver merges, so no full sort ever materializes (asserted in
+    tests/test_plans.py). The o_orderkey tiebreak makes the cutoff
+    deterministic for the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — fuzzy-match join (blocked Levenshtein)
+# --------------------------------------------------------------------------
+@query(
+    "q43_fuzzy_type_match",
+    oracle="""
+WITH t AS (
+  SELECT DISTINCT p_name AS nm, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+FROM t a
+JOIN t b ON a.blk = b.blk AND a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 5
+""",
+    tags=("join", "fuzzy", "levenshtein"),
+)
+def q43_fuzzy_type_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with blocking: distinct part names are
+    blocked on their first word, pairs within a block are scored with
+    Levenshtein and kept under a distance cutoff. The blocking key
+    turns an O(n²) edit-distance sweep into per-block pair sets — the
+    same candidate-then-verify shape as the LSH dedup pipeline, for
+    typo-level (not shingle-level) similarity."""
+    t = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.col("p_name").alias("nm"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+        )
+        .distinct()
+    )
+    a = t.select(F.col("nm").alias("name_a"), F.col("blk").alias("blk"))
+    b = t.select(F.col("nm").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+    )

@@ -88,3 +88,9 @@ def test_lsh_join_is_hash_join_on_bucket(spark, sf_dir):
 def test_knn_query_side_broadcast(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name, mode="simple")
     assert "Broadcast" in plan
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q42_global_topk", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full global sort materialized
