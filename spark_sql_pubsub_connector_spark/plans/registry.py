@@ -15,7 +15,14 @@ Contract notes (from /root/repo/__spark_entry__.py):
     value hash;
   - timestamps are exported as epoch microseconds (bigint) or
     'yyyy-MM-dd' strings — never raw timestamp columns — to avoid
-    timezone/precision representation differences.
+    timezone/precision representation differences;
+  - EVERY integer aggregate exported from an oracle must be wrapped in
+    ``CAST(... AS BIGINT)``: DuckDB ``sum(BIGINT)``/``list_sum`` return
+    HUGEINT, which pandas renders as float64 (``3.0``) while Spark
+    returns int64 (``3``) — identical values, different driver hash
+    (tests/test_oracle_dtypes.py enforces this corpus-wide);
+  - never export raw binary columns: ``bytearray`` is unhashable in the
+    driver's pandas canonicalizer — export ``lower(hex(...))`` instead.
 """
 
 from __future__ import annotations

@@ -88,7 +88,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   CAST(event_id AS VARCHAR)                    AS id_str,
-  CAST(props AS BLOB)                          AS data,
+  lower(hex(CAST(props AS BLOB)))              AS data_hex,
   upper(event_type)                            AS event_type_u,
   CAST(round(value * 100, 0) AS BIGINT)        AS value_cents
 FROM events
@@ -99,11 +99,16 @@ WHERE event_id < 2000
 def q02_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirrors `CAST(data AS STRING)` / `CAST(value AS BINARY) as data`
     from the reference README.md:66-67,89 — pure narrow projection, no
-    shuffle; the cast chain stays inside whole-stage codegen."""
+    shuffle; the cast chain stays inside whole-stage codegen.
+
+    The binary cast is still exercised, but the exported column is its
+    hex encoding: raw bytes crash the driver's pandas canonicalizer
+    (`bytearray` is unhashable), so both engines export
+    ``lower(hex(...))`` of the same bytes instead."""
     ev = load_table(spark, sf_dir, "events")
     return ev.filter(F.col("event_id") < 2000).select(
         F.col("event_id").cast("string").alias("id_str"),
-        F.col("props").cast("binary").alias("data"),
+        F.lower(F.hex(F.col("props").cast("binary"))).alias("data_hex"),
         F.upper("event_type").alias("event_type_u"),
         F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
     )

@@ -59,8 +59,8 @@ d AS (
 )
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_char) AS total_chars,
-       sum(n_tok) AS total_tokens,
+       CAST(sum(n_char) AS BIGINT) AS total_chars,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        CAST(sum(n_stop) AS DOUBLE) / sum(n_tok)     AS stop_ratio,
        CAST(sum(sum_tok_len) AS DOUBLE) / sum(n_tok) AS avg_token_len,
        CAST(sum(n_uniq) AS DOUBLE) / sum(n_tok)      AS type_token_ratio
@@ -196,9 +196,9 @@ WITH d AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(n_char) AS total_chars,
-       sum(n_ws)  AS ws_tokens,
-       sum(n_bpe) AS bpe_tokens,
+       CAST(sum(n_char) AS BIGINT) AS total_chars,
+       CAST(sum(n_ws)  AS BIGINT) AS ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
        CAST(sum(n_bpe) AS DOUBLE) / count(*) AS bpe_per_doc
 FROM d
 GROUP BY source

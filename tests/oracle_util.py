@@ -19,9 +19,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse float-representation noise one decimal beyond the
-        # query-side rounding
-        return round(v, 9)
+        # exact bit equality — the driver's gate has zero tolerance, so
+        # the local mirror must be at least as strict
+        return v
     if isinstance(v, (bytes, bytearray, memoryview)):
         return bytes(v)
     if isinstance(v, _dt.datetime):
