@@ -366,9 +366,16 @@ class RealBrokerClient:
     interface; swapping it for this class is the only change needed to
     run against the real service (endpoint/emulator handling would
     mirror Subscriber.scala:72-78 / CachedPublishers.scala:38-47).
+
+    Region-pinned pulls would target ``options.region_endpoint(region)``
+    (package.scala:87-97) — the FileBroker models the same routing as a
+    pull-side region filter instead.
     """
 
-    def __init__(self, *a, **kw):
+    def __init__(self, *a, region: str | None = None, **kw):
+        from .options import region_endpoint
+
+        self.endpoint = region_endpoint(region)
         try:
             import google.cloud.pubsub_v1  # noqa: F401
         except ImportError as e:

@@ -4,11 +4,23 @@ stream writer on the Python DataSource API (PySpark 4.x).
 Parity map to the reference (SURVEY.md §2.1):
   S1/S2  name()="pubsub", fixed read schema, streaming-only capability
   S4     synthetic monotone batch-counter offsets ({"batch_id": n}) —
-         Pub/Sub has no offsets (PubsubMicroBatchStream.scala:35-38)
+         Pub/Sub has no offsets (PubsubMicroBatchStream.scala:35-38).
+         The counter survives restarts: persisted per subscription
+         (.offsets/) and re-synced from checkpointed offsets in
+         partitions()/commit(), mirroring the reference's
+         deserializeOffset + processedOffsets re-sync
+         (PubsubMicroBatchStream.scala:87-89)
   S5     AvailableNow drain: latestOffset() advances by
          ceil(backlog/capacity) units per trigger, so the start-time
          snapshot covers the whole backlog
-         (PubsubSubscriptionMonitor.scala:96-113 analog)
+         (PubsubSubscriptionMonitor.scala:96-113 analog). The Python
+         DataSource API has no SupportsTriggerAvailableNow hook
+         (PythonMicroBatchStream falls back to single-batch
+         execution), so one availableNow run drains
+         min(backlog, max_dynamic_partitions × max_messages) in a
+         single bounded batch; a backlog beyond that envelope drains
+         across repeated runs on the same checkpoint (tested:
+         test_available_now_bounded_drain_across_runs)
   S6/S13 per-batch partition planning — static num_partitions, or
          backlog-driven with per-region splits via BacklogMonitor
   S7/S8  per-task pull of ≤ max_messages_per_partition messages,
@@ -102,6 +114,20 @@ def _read_cache_dir(opts: PubsubReadOptions) -> str:
     )
 
 
+def _offset_state_path(opts: PubsubReadOptions) -> str:
+    """Persisted high-water mark of the synthetic offset counter, keyed
+    by subscription (the registry guarantees one consumer per
+    subscription). The reference re-syncs its counter from the
+    checkpointed offsets (PubsubMicroBatchStream.scala:87-89,
+    processedOffsets = end in planInputPartitions); the Python API
+    builds a fresh reader on restart, so the counter must also survive
+    the process — otherwise latestOffset() regresses behind the
+    checkpoint and the stream stalls until it catches back up."""
+    return os.path.join(
+        opts.broker_dir, ".offsets", _sanitize(opts.subscription) + ".json"
+    )
+
+
 @dataclass
 class _PartitionPayload:
     broker_dir: str
@@ -192,7 +218,13 @@ def _pull_or_replay(payload: _PartitionPayload):
 class PubsubStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.opts: PubsubReadOptions = validate_read_options(options)
-        self.stream_id = uuid.uuid4().hex
+        # stable identity (option) lets a crashed query re-claim its
+        # subscription immediately; otherwise a fresh uuid per run and
+        # the registry TTL governs crash recovery
+        self.stream_id = self.opts.stream_id or uuid.uuid4().hex
+        st = self._restore_state()
+        self._last = st["planned"]  # high-water mark of planned offsets
+        self._committed = st["committed"]  # floor: all acked below this
         self.broker = FileBroker(self.opts.broker_dir)
         self.registry = StreamRegistry(self.opts.broker_dir)
         # S12 guard is claimed lazily on the first offset/partition call:
@@ -219,9 +251,49 @@ class PubsubStreamReader(DataSourceStreamReader):
             self.registry.heartbeat(self.opts.subscription, self.stream_id)
 
     # -- offsets (S4/S5) ---------------------------------------------------
+    def _restore_state(self) -> dict:
+        try:
+            with open(_offset_state_path(self.opts)) as fh:
+                st = json.load(fh)
+            return {
+                "planned": int(st.get("planned", 0)),
+                "committed": int(st.get("committed", 0)),
+            }
+        except (OSError, ValueError):
+            return {"planned": 0, "committed": 0}
+
+    def _persist_state(self) -> None:
+        path = _offset_state_path(self.opts)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"planned": self._last, "committed": self._committed}, fh)
+        os.replace(tmp, path)
+
+    def _advance_to(self, n: int, committed: bool = False) -> None:
+        """Monotone counter update + persistence (only on increase)."""
+        changed = False
+        if n > self._last:
+            self._last = n
+            changed = True
+        if committed and n > self._committed:
+            self._committed = n
+            changed = True
+        if changed:
+            self._persist_state()
+
     def initialOffset(self) -> dict:
+        # PubsubMicroBatchStream.scala:87 starts at 0; resuming from the
+        # COMMITTED floor for a fresh checkpoint is equivalent (the
+        # offset is synthetic — consumption position lives in the
+        # broker's ack state) and keeps batch keys monotone across
+        # queries on one subscription. Never return the planned
+        # high-water mark: Trigger.AvailableNow's single-batch fallback
+        # calls latestOffset() (to fix the drain target) BEFORE
+        # initialOffset(), and returning the advanced counter would
+        # collapse the first batch to an empty [n, n] range.
         self._ensure_registered()
-        return {"batch_id": 0}  # PubsubMicroBatchStream.scala:87
+        return {"batch_id": self._committed}
 
     def _base_partitions(self) -> int:
         if self.monitor is not None:
@@ -235,19 +307,23 @@ class PubsubStreamReader(DataSourceStreamReader):
         # tasks (the reference's 256×1000 ingest envelope, BASELINE.md)
         self._ensure_registered()
         backlog = self.broker.backlog(self.opts.subscription)
-        n = getattr(self, "_last", 0)
+        n = self._last
         if backlog > 0:
             base = self._base_partitions()
             capacity = base * self.opts.max_messages_per_partition
             max_units = max(1, self.opts.max_dynamic_partitions // base)
             units = min(max_units, max(1, -(-backlog // capacity)))
             n += units
-        self._last = n
+        self._advance_to(n)
         return {"batch_id": n}
 
     # -- partition planning (S6/S13) --------------------------------------
     def partitions(self, start: dict, end: dict):
         self._ensure_registered()
+        # restart re-sync: a recovered run replans its uncommitted batch
+        # from checkpointed offsets before ever calling latestOffset —
+        # never let the counter sit behind them
+        self._advance_to(max(start["batch_id"], end["batch_id"]))
         units = max(1, end["batch_id"] - start["batch_id"])
         batch_key = f"b{start['batch_id']}-{end['batch_id']}"
         cache_dir = os.path.join(_read_cache_dir(self.opts), batch_key)
@@ -294,6 +370,7 @@ class PubsubStreamReader(DataSourceStreamReader):
 
     # -- commit: ack + evict (S10/S11) -------------------------------------
     def commit(self, end: dict) -> None:
+        self._advance_to(end["batch_id"], committed=True)
         root = _read_cache_dir(self.opts)
         if not os.path.isdir(root):
             return
@@ -378,7 +455,7 @@ def _validate_write_schema(schema: StructType, opts: PubsubWriteOptions) -> None
 
 @dataclass
 class PubsubCommitMessage(WriterCommitMessage):
-    staged_file: str
+    staged_files: tuple[str, ...]
     count: int
 
 
@@ -387,7 +464,17 @@ def _stage_dir(opts: PubsubWriteOptions) -> str:
 
 
 def _sink_state_path(opts: PubsubWriteOptions) -> str:
-    return os.path.join(opts.broker_dir, ".sink_state", _sanitize(opts.topic) + ".json")
+    """Committed-batch-id record, namespaced by (topic, sink_id): batch
+    ids are per-query (they restart at 0 for every new checkpoint), so
+    a topic-global record would silently drop batches from a second
+    query or a re-created one — idempotence must only suppress
+    redeliveries of the *same* query."""
+    assert opts.sink_id is not None
+    return os.path.join(
+        opts.broker_dir,
+        ".sink_state",
+        _sanitize(opts.topic) + "__" + _sanitize(opts.sink_id) + ".json",
+    )
 
 
 class PubsubStreamWriter(DataSourceStreamArrowWriter):
@@ -412,16 +499,34 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
     def write(self, iterator) -> PubsubCommitMessage:
         # executor-side: re-validate the ordering-key contract like
         # PubsubWriter.scala:36-45, then stage this partition's messages
+        # in publish_batch_size chunks — the staged-file analog of the
+        # client library's batching element-count threshold
+        # (CachedPublishers.scala:19-35: publishes flush every
+        # publish_batch_size messages; here every chunk is one atomic
+        # append unit at commit time)
         import base64
         import time as _time
 
         opts = self.opts
         stage = _stage_dir(opts)
         os.makedirs(stage, exist_ok=True)
-        tmp = os.path.join(stage, f"stage-{uuid.uuid4().hex}.jsonl.tmp")
         now_us = int(_time.time() * 1e6)
         n = 0
-        with open(tmp, "w") as fh:
+        finals: list[str] = []
+        fh = None
+        tmp = None
+
+        def _roll():
+            nonlocal fh, tmp
+            if fh is not None:
+                fh.close()
+                final = tmp[: -len(".tmp")]
+                os.replace(tmp, final)
+                finals.append(final)
+            tmp = os.path.join(stage, f"stage-{uuid.uuid4().hex}.jsonl.tmp")
+            fh = open(tmp, "w")
+
+        try:
             for batch in iterator:
                 names = batch.schema.names
                 datas = batch.column(names.index("data")).to_pylist()
@@ -439,6 +544,8 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
                     key = ""
                     if keys is not None and keys[i] is not None:
                         key = keys[i]
+                    if fh is None or n % opts.publish_batch_size == 0:
+                        _roll()
                     fh.write(
                         json.dumps(
                             {
@@ -452,12 +559,21 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
                         + "\n"
                     )
                     n += 1
-        final = tmp[: -len(".tmp")]
-        os.replace(tmp, final)
-        return PubsubCommitMessage(staged_file=final, count=n)
+            if fh is not None:
+                fh.close()
+                final = tmp[: -len(".tmp")]
+                os.replace(tmp, final)
+                finals.append(final)
+                fh = None
+        finally:
+            if fh is not None:
+                fh.close()
+        return PubsubCommitMessage(staged_files=tuple(finals), count=n)
 
     # -- driver-side commit/abort -----------------------------------------
     def _last_committed(self) -> int:
+        if self.opts.sink_id is None:
+            return -1
         path = _sink_state_path(self.opts)
         if os.path.exists(path):
             with open(path) as fh:
@@ -465,6 +581,8 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         return -1
 
     def _record_committed(self, batch_id: int) -> None:
+        if self.opts.sink_id is None:
+            return
         path = _sink_state_path(self.opts)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -473,10 +591,13 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         os.replace(tmp, path)
 
     def commit(self, messages, batchId: int) -> None:
-        staged = [m.staged_file for m in messages if m is not None]
+        staged = [f for m in messages if m is not None for f in m.staged_files]
         if batchId <= self._last_committed():
-            # re-delivered batch (PubsubSink.scala:17-18): drop the
-            # duplicate staging, publish nothing
+            # re-delivered batch of the SAME query (PubsubSink.scala:
+            # 17-18): drop the duplicate staging, publish nothing.
+            # Without a sink_id this guard is off and a redelivered
+            # batch republishes — at-least-once, like the reference
+            # across restarts.
             for f in staged:
                 if os.path.exists(f):
                     os.remove(f)
@@ -490,8 +611,11 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
-            if m is not None and os.path.exists(m.staged_file):
-                os.remove(m.staged_file)
+            if m is None:
+                continue
+            for f in m.staged_files:
+                if os.path.exists(f):
+                    os.remove(f)
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,8 @@ BACKLOG_THRESHOLD = "backlog_threshold"
 MAX_DYNAMIC_PARTITIONS = "max_dynamic_partitions"
 REGION_SPLIT_THRESHOLD = "region_split_threshold"
 PUBLISH_BATCH_SIZE = "publish_batch_size"
+STREAM_ID = "stream_id"  # stable consumer identity (crash recovery)
+SINK_ID = "sink_id"  # stable writer identity (cross-restart idempotence)
 
 DEFAULT_NUM_PARTITIONS = 4  # package.scala:36
 DEFAULT_MAX_MESSAGES_PER_PARTITION = 1000  # package.scala:33
@@ -35,6 +37,19 @@ DEFAULT_MAX_DYNAMIC_PARTITIONS = 256  # PubsubSubscriptionMonitor.scala:26-31
 DEFAULT_REGION_SPLIT_THRESHOLD = 0.7  # package.scala:118
 DEFAULT_ACK_DEADLINE_SECONDS = 60.0
 DEFAULT_PUBLISH_BATCH_SIZE = 100
+
+DEFAULT_ENDPOINT = "pubsub.googleapis.com:443"
+
+
+def region_endpoint(region: str | None = None) -> str:
+    """Region → service endpoint mapping (package.scala:87-97): a
+    region-pinned pull targets ``$region-pubsub.googleapis.com:443``;
+    no region means the global endpoint. Pure function — consumed by
+    ``RealBrokerClient`` when a real client library is present; the
+    FileBroker models the same routing as a pull-side region filter."""
+    if region is None or str(region).strip() == "" or region == "global":
+        return DEFAULT_ENDPOINT
+    return f"{region}-pubsub.googleapis.com:443"
 
 
 def _require(options: dict, key: str) -> str:
@@ -78,6 +93,10 @@ class PubsubReadOptions:
     max_dynamic_partitions: int = DEFAULT_MAX_DYNAMIC_PARTITIONS
     region_split_threshold: float = DEFAULT_REGION_SPLIT_THRESHOLD
     ack_deadline_seconds: float = DEFAULT_ACK_DEADLINE_SECONDS
+    # Stable consumer identity: a restarted query passing the same
+    # stream_id (e.g. its checkpoint path) re-claims the subscription
+    # immediately instead of waiting out the registry's crash TTL.
+    stream_id: str | None = None
 
     @property
     def subscription_path(self) -> str:
@@ -99,6 +118,15 @@ class PubsubWriteOptions:
     broker_dir: str
     ordering_key: str | None = None
     publish_batch_size: int = DEFAULT_PUBLISH_BATCH_SIZE
+    # Stable writer identity (usually the checkpoint location). When
+    # set, committed batch ids persist under (topic, sink_id) and
+    # re-delivered batches are suppressed across restarts
+    # (effectively-once). When unset, redelivery after a restart
+    # republishes — the reference's documented at-least-once
+    # (PubsubSink.scala:17-18 keeps latestBatchId per JVM instance; the
+    # Python API constructs a fresh writer per commit, so only
+    # persisted, query-scoped state can survive).
+    sink_id: str | None = None
 
     @property
     def topic_path(self) -> str:
@@ -128,6 +156,11 @@ def validate_read_options(options: dict) -> PubsubReadOptions:
         ack_deadline_seconds=float(
             options.get(ACK_DEADLINE_SECONDS, DEFAULT_ACK_DEADLINE_SECONDS)
         ),
+        stream_id=(
+            str(options[STREAM_ID])
+            if options.get(STREAM_ID) not in (None, "")
+            else None
+        ),
     )
 
 
@@ -141,6 +174,9 @@ def validate_write_options(options: dict) -> PubsubWriteOptions:
         ordering_key=str(key) if key not in (None, "") else None,
         publish_batch_size=_pos_int(
             options, PUBLISH_BATCH_SIZE, DEFAULT_PUBLISH_BATCH_SIZE
+        ),
+        sink_id=(
+            str(options[SINK_ID]) if options.get(SINK_ID) not in (None, "") else None
         ),
     )
 

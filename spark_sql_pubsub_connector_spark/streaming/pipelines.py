@@ -99,7 +99,12 @@ def write_stream(
     trigger_available_now: bool = False,
     **options,
 ):
-    """df.writeStream.format("pubsub")…start() (append mode)."""
+    """df.writeStream.format("pubsub")…start() (append mode).
+
+    Passes ``sink_id=checkpoint`` so the sink's batch-id idempotence is
+    scoped to this query: redeliveries of the same query are suppressed
+    across restarts (effectively-once) without ever swallowing batches
+    from other queries writing the same topic."""
     register_pubsub(df.sparkSession)
     writer = (
         df.writeStream.format("pubsub")
@@ -107,6 +112,7 @@ def write_stream(
         .option("topic", topic)
         .option("broker_dir", broker_dir)
         .option("checkpointLocation", checkpoint)
+        .option("sink_id", options.pop("sink_id", checkpoint))
         .outputMode("append")
     )
     if trigger_available_now:

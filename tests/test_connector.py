@@ -507,10 +507,7 @@ def test_foreach_batch_fanout_two_sinks(spark, broker, broker_dir, tmp_path):
     assert seen_a == seen_b
 
 
-def test_sink_batch_idempotence(spark, broker, broker_dir, tmp_path):
-    """S14: re-delivered batch ids are skipped (PubsubSink.scala:17-18
-    semantics) — committing the same batchId twice publishes once."""
-    import pyarrow  # noqa: F401  (env sanity)
+def _sink_schema():
     from pyspark.sql.types import (
         BinaryType,
         MapType,
@@ -519,41 +516,236 @@ def test_sink_batch_idempotence(spark, broker, broker_dir, tmp_path):
         StructType,
     )
 
-    from spark_sql_pubsub_connector_spark.sources.datasource import (
-        PubsubStreamWriter,
-    )
-
-    broker.create_topic("idem")
-    schema = StructType(
+    return StructType(
         [
             StructField("data", BinaryType()),
             StructField("attributes", MapType(StringType(), StringType())),
         ]
     )
+
+
+def _one_batch(payload=b"payload"):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([payload], type=pa.binary()),
+            pa.array([[("k", "v")]], type=pa.map_(pa.string(), pa.string())),
+        ],
+        names=["data", "attributes"],
+    )
+
+
+def test_sink_batch_idempotence(spark, broker, broker_dir, tmp_path):
+    """S14: re-delivered batch ids of the SAME query (sink_id) are
+    skipped (PubsubSink.scala:17-18 semantics) — committing the same
+    batchId twice publishes once. The Python API builds a fresh writer
+    per commit, so the guard rides in persisted (topic, sink_id) state
+    rather than an instance field."""
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+    )
+
+    broker.create_topic("idem")
     opts = {
         "project_id": "test-project",
         "topic": "idem",
         "broker_dir": broker_dir,
+        "sink_id": str(tmp_path / "ckpt_idem"),
     }
-    w = PubsubStreamWriter(opts, schema)
-    import pyarrow as pa
-
-    def one_batch():
-        return pa.RecordBatch.from_arrays(
-            [
-                pa.array([b"payload"], type=pa.binary()),
-                pa.array([[("k", "v")]], type=pa.map_(pa.string(), pa.string())),
-            ],
-            names=["data", "attributes"],
-        )
-
-    msg = w.write(iter([one_batch()]))
-    w.commit([msg], batchId=7)
+    schema = _sink_schema()
+    msg = PubsubStreamWriter(opts, schema).write(iter([_one_batch()]))
+    PubsubStreamWriter(opts, schema).commit([msg], batchId=7)
     n_after_first = len(broker.topic_messages("idem"))
     # Spark re-delivers the same batch after a sink-side failure/restart
-    msg2 = w.write(iter([one_batch()]))
-    w.commit([msg2], batchId=7)
+    # — and constructs a NEW writer instance for the re-commit
+    msg2 = PubsubStreamWriter(opts, schema).write(iter([_one_batch()]))
+    PubsubStreamWriter(opts, schema).commit([msg2], batchId=7)
     assert len(broker.topic_messages("idem")) == n_after_first == 1
+
+
+def test_sink_second_query_not_suppressed(spark, broker, broker_dir, tmp_path):
+    """Batch ids are per-query (every new checkpoint restarts at 0), so
+    the idempotence record is namespaced by sink_id: a second query —
+    or a re-created one on a fresh checkpoint — writing the same topic
+    must NOT have its batches swallowed by the first query's state."""
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+    )
+
+    broker.create_topic("multi")
+    schema = _sink_schema()
+    opts_a = {
+        "project_id": "p",
+        "topic": "multi",
+        "broker_dir": broker_dir,
+        "sink_id": "query-a",
+    }
+    opts_b = dict(opts_a, sink_id="query-b")
+    wa = PubsubStreamWriter(opts_a, schema)
+    wa.commit([wa.write(iter([_one_batch(b"from-a")]))], batchId=0)
+    wb = PubsubStreamWriter(opts_b, schema)
+    wb.commit([wb.write(iter([_one_batch(b"from-b")]))], batchId=0)
+    datas = {m.data for m in broker.topic_messages("multi")}
+    assert datas == {b"from-a", b"from-b"}
+
+
+def test_sink_publish_batch_size_chunks_staging(spark, broker, broker_dir):
+    """S16: publish_batch_size bounds each staged append unit — the
+    element-count flush threshold of the reference's client batching
+    (CachedPublishers.scala:19-35)."""
+    import pyarrow as pa
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+    )
+
+    broker.create_topic("chunk")
+    n = 25
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"m{i}".encode() for i in range(n)], type=pa.binary()),
+            pa.array([[("k", "v")]] * n, type=pa.map_(pa.string(), pa.string())),
+        ],
+        names=["data", "attributes"],
+    )
+    w = PubsubStreamWriter(
+        {
+            "project_id": "p",
+            "topic": "chunk",
+            "broker_dir": broker_dir,
+            "publish_batch_size": "10",
+        },
+        _sink_schema(),
+    )
+    msg = w.write(iter([batch]))
+    assert msg.count == 25
+    assert len(msg.staged_files) == 3  # 10 + 10 + 5
+    w.commit([msg], batchId=0)
+    assert len(broker.topic_messages("chunk")) == 25
+
+
+def test_restart_resumes_offset_counter(spark, broker, broker_dir):
+    """S4 restart semantics (PubsubMicroBatchStream.scala:87-89): a
+    reader built after a restart resumes the synthetic offset counter
+    from persisted state instead of regressing to 0, and replays an
+    uncommitted batch from its cache so commit() can still ack it."""
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    _publish_canonical(broker, 10)
+    opts = {
+        "project_id": "p",
+        "subscription": "s",
+        "broker_dir": broker_dir,
+        "num_partitions": "1",
+        "max_messages_per_partition": "10",
+        # stable identity → the restarted reader re-claims the
+        # subscription immediately (no registry-TTL wait)
+        "stream_id": "restart-ck",
+    }
+    r1 = PubsubStreamReader(opts)
+    start, end = r1.initialOffset(), r1.latestOffset()
+    assert (start["batch_id"], end["batch_id"]) == (0, 1)
+    parts = r1.partitions(start, end)
+    first = sorted(tuple(map(str, r)) for p in parts for r in _read_rows(r1, p))
+    # r1 "crashes" here: no commit, no stop — Spark has the offsets in
+    # its write-ahead log and will replan the same batch after restart
+    r2 = PubsubStreamReader(opts)
+    try:
+        # initialOffset reports the COMMITTED floor (0 — r1 never
+        # committed); the planned high-water mark (1) is restored
+        # separately so latestOffset never regresses below it
+        assert r2.initialOffset()["batch_id"] == 0
+        parts2 = r2.partitions(start, end)  # checkpointed offsets replayed
+        second = sorted(
+            tuple(map(str, r)) for p in parts2 for r in _read_rows(r2, p)
+        )
+        assert first == second  # served from the batch cache, no re-pull
+        r2.commit(end)
+        assert broker.backlog("s") == 0  # acks landed despite the restart
+        # counter never regresses: with an empty backlog latestOffset
+        # holds at the committed position
+        assert r2.latestOffset()["batch_id"] == 1
+    finally:
+        r2.stop()
+
+
+def test_stream_id_reclaims_after_crash(spark, broker, broker_dir):
+    """A stable stream_id (e.g. the checkpoint path) lets a restarted
+    query re-claim its subscription immediately instead of waiting out
+    the registry's crash TTL; other identities still conflict."""
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    _publish_canonical(broker, 5)
+    opts = {
+        "project_id": "p",
+        "subscription": "s",
+        "broker_dir": broker_dir,
+        "stream_id": "ckpt-alpha",
+    }
+    r1 = PubsubStreamReader(opts)
+    r1.initialOffset()  # claims the subscription; then "crashes" (no stop)
+    r2 = PubsubStreamReader(opts)
+    try:
+        r2.initialOffset()  # same identity → immediate re-claim
+        with pytest.raises(StreamConflictError, match="already consumed"):
+            PubsubStreamReader(dict(opts, stream_id="other")).initialOffset()
+    finally:
+        r2.stop()
+
+
+def test_available_now_bounded_drain_across_runs(spark, broker_dir, tmp_path):
+    """S5 under the Python DataSource API: PythonMicroBatchStream has no
+    SupportsTriggerAvailableNow hook, so Trigger.AvailableNow falls back
+    to single-batch execution. The source makes that single batch a
+    BOUNDED full drain — min(backlog, max_dynamic_partitions ×
+    max_messages) — and a backlog beyond the envelope drains across
+    repeated availableNow runs on the same checkpoint, exactly once."""
+    b = FileBroker(broker_dir)
+    b.create_topic("t")
+    b.create_subscription("s", "t", ack_deadline_s=300)
+    _publish_canonical(b, 50)
+    n_msgs = 50
+
+    def run(name):
+        df = read_stream(
+            spark,
+            broker_dir,
+            "s",
+            max_messages_per_partition=1,  # envelope = 32 msgs/trigger
+            num_partitions=4,
+            max_dynamic_partitions=32,
+            # stable identity: run 2 re-claims the subscription even if
+            # run 1's reader teardown (stop→unregister) is still in
+            # flight — exactly how a restarted production query avoids
+            # the registry's crash TTL
+            stream_id="an-ck",
+        )
+        seen: list[str] = []
+
+        def sink(batch_df, batch_id):
+            seen.extend(r["message_id"] for r in batch_df.collect())
+
+        # foreachBatch (not memory sink): supports restart from the
+        # same checkpoint, which is the whole point of this test
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "an_ck"))
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return seen
+
+    first = run("an_run1")
+    assert len(first) == 32  # bounded: one trigger ≤ the drain envelope
+    second = run("an_run2")
+    assert len(second) == 18  # restart resumed the counter and drained
+    assert sorted(first + second, key=int) == [str(i) for i in range(n_msgs)]
 
 
 def test_batch_read_write_unsupported(spark, broker_dir):

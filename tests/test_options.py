@@ -123,3 +123,42 @@ def test_batches_to_drain_formula(tmp_path):
     mon.refresh()
     assert mon.batches_to_drain(40) == 3  # ceil(95/40)
     assert mon.batches_to_drain(100) == 1
+
+
+def test_region_endpoint_mapping():
+    """Region → endpoint derivation (package.scala:87-97): a region pins
+    the pull to its regional endpoint; none/global uses the default."""
+    from spark_sql_pubsub_connector_spark.sources.options import (
+        DEFAULT_ENDPOINT,
+        region_endpoint,
+    )
+
+    assert region_endpoint() == DEFAULT_ENDPOINT
+    assert region_endpoint(None) == DEFAULT_ENDPOINT
+    assert region_endpoint("") == DEFAULT_ENDPOINT
+    assert region_endpoint("global") == DEFAULT_ENDPOINT
+    assert region_endpoint("us-east1") == "us-east1-pubsub.googleapis.com:443"
+    assert region_endpoint("europe-west4") == (
+        "europe-west4-pubsub.googleapis.com:443"
+    )
+
+
+def test_stream_and_sink_identity_options():
+    from spark_sql_pubsub_connector_spark.sources.options import (
+        validate_write_options,
+    )
+
+    r = validate_read_options(
+        {"project_id": "p", "subscription": "s", "broker_dir": "/b"}
+    )
+    assert r.stream_id is None
+    r2 = validate_read_options(
+        {"project_id": "p", "subscription": "s", "broker_dir": "/b", "stream_id": "ck"}
+    )
+    assert r2.stream_id == "ck"
+    w = validate_write_options({"project_id": "p", "topic": "t", "broker_dir": "/b"})
+    assert w.sink_id is None
+    w2 = validate_write_options(
+        {"project_id": "p", "topic": "t", "broker_dir": "/b", "sink_id": "/ck/x"}
+    )
+    assert w2.sink_id == "/ck/x"
