@@ -819,27 +819,29 @@ GROUP BY event_type
 def q40_skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: `events` has a handful of event_type
     values, so a naive groupBy concentrates each type on one reducer.
-    Phase 1 groups by (event_type, salt=event_id%16) — 16-way fan-out
-    of every hot key; phase 2 merges the partials. Results are
-    identical to the plain GROUP BY (the oracle), because count/sum
-    compose and the distinct-user set is unioned exactly via a
-    two-level distinct. At 100 TB this caps any single reducer's input
-    at 1/16th of the hottest key (AQE's skew handling covers joins;
-    salting is the aggregation-side analog)."""
+    Two-level exact form: level 1 groups by (event_type, user_id) —
+    the distinct key itself is the salt, fanning every hot event_type
+    across as many reducers as it has users, with map-side partial
+    aggregation collapsing repeats before the shuffle. Level 2 merges
+    per-user partials per type: n = Σ pn, sum composes, and n_users is
+    simply the level-1 row count. No collect_set / array state
+    anywhere — per-reducer memory stays O(1) per key regardless of how
+    many distinct users the hottest type has (the round-1 form
+    materialized per-salt user arrays, which re-created the skew it
+    was built to avoid)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "value", "user_id", (F.col("event_id") % 16).alias("salt")
+        "event_type", "value", "user_id"
     )
-    phase1 = ev.groupBy("event_type", "salt").agg(
+    lvl1 = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("pn"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("psum_q2"),
-        F.collect_set("user_id").alias("pusers"),
     )
-    return phase1.groupBy("event_type").agg(
+    return lvl1.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
         (F.sum("psum_q2").cast("double") / 100).alias("sum_value"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("pusers")))).cast(
-            "long"
-        ).alias("n_users"),
+        # one level-1 row per (type, user); count(col) skips null users
+        # exactly like the oracle's count(DISTINCT user_id)
+        F.count(F.col("user_id")).alias("n_users"),
     )
 
 

@@ -94,3 +94,14 @@ def test_global_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q42_global_topk", mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no full global sort materialized
+
+def test_skewed_agg_has_no_array_state(spark, sf_dir):
+    """q40's exact distinct must be the two-level hash aggregate, never
+    collect_set/collect_list: per-group array state re-creates the skew
+    the query exists to avoid (millions of users per hot event_type)."""
+    plan = plan_of(spark, sf_dir, "q40_skewed_agg_salted", mode="simple")
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "SortAggregate" not in plan
+    # two-level: (event_type, user_id) partials then event_type merge
+    assert plan.count("HashAggregate") >= 3, plan
