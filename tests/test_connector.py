@@ -761,3 +761,72 @@ def test_batch_read_write_unsupported(spark, broker_dir):
             .load()
             .collect()
         )
+
+
+def test_stateful_dedup_effectively_once_across_restart(spark, broker_dir, tmp_path):
+    """At-least-once source delivery + checkpointed dedup state =
+    effectively-once output, across a restart with forced redelivery
+    (the pairing the reference documents, README.md:125).
+
+    Run 1 drains a backlog with duplicate keys through
+    dropDuplicatesWithinWatermark and stops before its acks land
+    (source.commit fires on the NEXT run). The short ack deadline then
+    expires every lease → the broker redelivers the full backlog to
+    run 2 on the same checkpoint — whose restored state drops every
+    redelivered row. No key may ever appear twice across both runs."""
+    import json as _json
+
+    b = FileBroker(broker_dir)
+    b.create_topic("t")
+    b.create_subscription("s", "t", ack_deadline_s=3)  # fast lease expiry
+    base = 1_700_000_000_000_000
+    msgs = [
+        PubsubMessage(
+            data=_json.dumps({"k": k, "dup": dup}).encode(),
+            attributes={},
+            ordering_key=str(k),
+            publish_ts_us=base + k * 1_000_000,
+        )
+        for k in range(10)
+        for dup in range(3)
+    ]
+    b.publish("t", msgs)
+
+    def run():
+        df = read_stream(
+            spark,
+            broker_dir,
+            "s",
+            num_partitions=2,
+            max_messages_per_partition=100,
+            stream_id="dedup-restart-ck",
+        )
+        deduped = (
+            df.withWatermark("publish_timestamp", "1 hour")
+            .dropDuplicatesWithinWatermark(["ordering_key"])
+            .select("ordering_key", "message_id")
+        )
+        seen: list[tuple[str, str]] = []
+
+        def sink(batch_df, batch_id):
+            seen.extend(
+                (r["ordering_key"], r["message_id"]) for r in batch_df.collect()
+            )
+
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "dedup_ck"))
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return seen
+
+    first = run()
+    assert sorted({k for k, _ in first}, key=int) == [str(i) for i in range(10)]
+    assert len(first) == 10  # duplicates within the batch already dropped
+    time.sleep(4)  # leases expire: the whole backlog redelivers
+    assert FileBroker(broker_dir).backlog("s") == 30
+    second = run()
+    # the restored state recognizes every redelivered key
+    assert second == [], second
