@@ -11,6 +11,7 @@ from .registry import all_specs, oracle_sql, queries  # noqa: F401
 
 from . import dedup  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
+from . import pipeline  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import streaming_ops  # noqa: F401,E402
 from . import text  # noqa: F401,E402

@@ -1,0 +1,284 @@
+"""Training-data pipeline operators over ``documents`` (SURVEY.md §2.3
+extension surface — the curation steps an LLM-scale corpus pipeline
+runs between raw crawl and tokenizer):
+
+  q44  test-set decontamination — n-gram overlap join train↔test
+  q45  deterministic stratified sampling — hash-bucket per stratum
+  q46  sequence packing — docs → fixed-token context windows
+  q47  canonical-representative dedup map — keep-best by quality rank
+
+Scale design: q44 joins on a 48-bit shingle hash with a document-
+frequency cap applied BEFORE the join, so ubiquitous n-grams ("of the
+and") can never explode the shuffle — Σ|df-capped bucket|² bounds the
+join, the same blocking discipline as dedup.py's LSH candidates. q45
+is a pure scan + hash filter (zero shuffle). q46's running sum windows
+by ``source`` so packing state never exceeds one shard's docs per
+task — the per-shard packing real pipelines use (a global pack order
+would serialize the corpus through one partition). q47 is one window
+over the fingerprint partition — WindowGroupLimit-style per-group
+selection, no array state.
+
+Cross-engine: md5-only hashing (functions/textops), integer token
+arithmetic, ``CAST(... AS BIGINT)`` around every exported integer
+aggregate (DuckDB HUGEINT rule, plans/registry.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.textops import (
+    hex_prefix_int,
+    shingles,
+    sql_hex_prefix_int,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+from .registry import query
+from .tables import load_table
+
+# q44 knobs: test corpus = one source shard; shingles above the df cap
+# are dropped (they carry no contamination signal and would dominate
+# the join); a pair is contaminated at >= MIN_SHARED distinct shingles.
+_TEST_SOURCE = "src0"
+_NGRAM = 3
+_DF_CAP = 10
+_MIN_SHARED = 3
+_KEY_HEX = 12  # 48-bit shingle keys
+
+# q46: context-window capacity in whitespace tokens
+_PACK_CAPACITY = 256
+
+
+# --------------------------------------------------------------------------
+# q44 — test-set decontamination (n-gram overlap join)
+# --------------------------------------------------------------------------
+@query(
+    "q44_decontaminate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {sql_tokens('text')} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, source, unnest(list_distinct({sql_shingles('w', _NGRAM)})) AS s
+  FROM tok WHERE len(w) >= {_NGRAM}
+),
+keyed AS (
+  SELECT doc_id, source, {sql_hex_prefix_int('md5(s)', _KEY_HEX)} AS k FROM sh
+),
+rare AS (
+  SELECT k FROM keyed GROUP BY k HAVING count(DISTINCT doc_id) <= {_DF_CAP}
+),
+fk AS (SELECT keyed.* FROM keyed JOIN rare USING (k)),
+pairs AS (
+  SELECT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id,
+         count(*) AS n_shared
+  FROM fk tr JOIN fk te ON tr.k = te.k
+  WHERE tr.source <> '{_TEST_SOURCE}' AND te.source = '{_TEST_SOURCE}'
+  GROUP BY 1, 2
+)
+SELECT train_doc_id, test_doc_id, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs
+WHERE n_shared >= {_MIN_SHARED}
+""",
+    tags=("pipeline", "decontaminate", "join"),
+)
+def q44_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: find training documents sharing >=
+    MIN_SHARED distinct token {3}-grams with any held-out (test-shard)
+    document — the overlap audit every LLM training run owes its evals.
+
+    Shape: shingle → 48-bit md5 key → document-frequency cap (drops
+    ubiquitous n-grams BEFORE the join, the scale guard) → train↔test
+    hash join on the key → per-pair distinct-shingle count. The df cap
+    bounds every key's bucket at DF_CAP docs, so the join output is
+    Σ|bucket_train|·|bucket_test| ≤ DF_CAP² per key — never O(n²). At
+    100 TB you'd persist the keyed shingle table once instead of
+    recomputing it per side; the per-side recompute here only touches
+    that side's rows (the source filter pushes down to the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", tokens("text").alias("w"))
+    sh = (
+        tok.filter(F.size("w") >= _NGRAM)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(shingles("w", _NGRAM))).alias("s"),
+        )
+    )
+    keyed = sh.select(
+        "doc_id",
+        "source",
+        hex_prefix_int(F.md5(F.encode(F.col("s"), "UTF-8")), _KEY_HEX).alias("k"),
+    )
+    rare = (
+        keyed.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("k")
+    )
+    fk = keyed.join(rare, "k")
+    tr = fk.filter(F.col("source") != _TEST_SOURCE).select(
+        F.col("k"), F.col("doc_id").alias("train_doc_id")
+    )
+    te = fk.filter(F.col("source") == _TEST_SOURCE).select(
+        F.col("k"), F.col("doc_id").alias("test_doc_id")
+    )
+    return (
+        tr.join(te, "k")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — deterministic stratified sampling
+# --------------------------------------------------------------------------
+@query(
+    "q45_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {sql_hex_prefix_int("md5(CAST(doc_id AS VARCHAR))", 8)} % 5 = 0
+""",
+    tags=("pipeline", "sample"),
+)
+def q45_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample: keep a document iff the first 32 bits
+    of md5(doc_id) fall in bucket 0 of 5. Hash sampling (vs random) is
+    what a training pipeline needs — reproducible across reruns,
+    engines, and partitionings, and consistent per key so downstream
+    joins on the sample stay aligned. Pure scan + filter: zero
+    shuffle, embarrassingly parallel at any scale; stratification is
+    free because the hash is uniform within every (lang, source)
+    stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        hex_prefix_int(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 8)
+        % 5
+    )
+    return docs.filter(bucket == 0).select("doc_id", "lang", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# q46 — sequence packing into fixed-token context windows
+# --------------------------------------------------------------------------
+@query(
+    "q46_sequence_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, len({sql_tokens('text')}) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+),
+b AS (
+  SELECT source,
+         CAST(floor(CAST(cum - n_tok AS DOUBLE) / {_PACK_CAPACITY}) AS BIGINT)
+           AS bin,
+         doc_id, n_tok
+  FROM c
+)
+SELECT source, bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM b
+GROUP BY source, bin
+""",
+    tags=("pipeline", "packing", "window"),
+)
+def q46_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in stable doc_id order) to
+    fixed-capacity context windows by running token count — the
+    pretraining batch-construction step. A document starting before a
+    {capacity}-token boundary joins that window (windows may overflow
+    by one doc, the standard greedy-order approximation).
+
+    The running sum partitions by ``source``: packing state never
+    exceeds one shard's rows per task, which is how real pipelines
+    scale packing (a single global order would serialize 100 TB
+    through one window partition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    b = c.select(
+        "source",
+        F.floor(
+            (F.col("cum") - F.col("n_tok")).cast("double") / _PACK_CAPACITY
+        ).cast("long").alias("bin"),
+        "doc_id",
+        "n_tok",
+    )
+    return b.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — canonical-representative dedup map (keep-best by quality rank)
+# --------------------------------------------------------------------------
+@query(
+    "q47_dedup_canonical_map",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id,
+       fingerprint,
+       first_value(doc_id) OVER (
+         PARTITION BY fingerprint
+         ORDER BY n_chars DESC, doc_id ASC) AS keep_id,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size
+FROM fp
+""",
+    tags=("pipeline", "dedup", "window"),
+)
+def q47_dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized dedup *map*: every document annotated with
+    its group's canonical representative (longest text wins, doc_id
+    tiebreak) — the doc_id→keep_id mapping a pipeline joins against to
+    filter a corpus while keeping provenance. Complements
+    q16_dedup_exact: rank-based keep-best selection over a window
+    rather than agg-min, and it returns the full mapping, not one row
+    per group. One shuffle on the fingerprint; per-group state is a
+    single running first_value/count — no arrays."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.encode(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                "UTF-8",
+            )
+        ).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.first("doc_id").over(w).alias("keep_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("fingerprint"))
+        .alias("group_size"),
+    )

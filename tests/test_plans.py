@@ -105,3 +105,38 @@ def test_skewed_agg_has_no_array_state(spark, sf_dir):
     assert "SortAggregate" not in plan
     # two-level: (event_type, user_id) partials then event_type merge
     assert plan.count("HashAggregate") >= 3, plan
+
+
+def test_decontaminate_joins_on_hash_key(spark, sf_dir):
+    """q44's train↔test overlap must be a hash join on the 48-bit
+    shingle key (df-capped buckets), never a cartesian expansion."""
+    plan = plan_of(spark, sf_dir, "q44_decontaminate", mode="simple")
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_has_no_shuffle(spark, sf_dir):
+    """q45 is scan + hash filter: an Exchange in this plan means the
+    sampler stopped being embarrassingly parallel."""
+    plan = plan_of(spark, sf_dir, "q45_stratified_sample", mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_windows_by_source(spark, sf_dir):
+    """q46's running sum must partition by source (per-shard packing);
+    a missing partition key would serialize the corpus through one
+    window task."""
+    plan = plan_of(spark, sf_dir, "q46_sequence_packing", mode="formatted")
+    assert "Window" in plan
+    assert any(
+        "source" in l
+        for l in plan.splitlines()
+        if "Window" in l or "hashpartitioning" in l
+    ), plan
+
+
+def test_canonical_map_has_no_array_state(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q47_dedup_canonical_map", mode="simple")
+    assert "collect_list" not in plan and "collect_set" not in plan
+    assert "ObjectHashAggregate" not in plan
