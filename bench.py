@@ -5,6 +5,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is executed once for warm-up-free wall time measured around
 a full plan execution (count-style action that forces every operator).
+
+Profile notes (round 2, sf0.1): cold-run times are dominated by
+whole-stage-codegen compilation, not execution — q01 runs 1.7 s cold /
+0.69 s steady, q17 4.5 s cold / 1.1 s steady. The parquet scans stay on
+the vectorized reader (`nanosAsLong` affects only the events table's
+ns column and costs ~0.06 s on a 600 k-row scan), and splitting the
+small local files 10-ways moves nothing — so the headline total is a
+codegen+execute measurement by design, comparable across rounds.
 """
 
 from __future__ import annotations
