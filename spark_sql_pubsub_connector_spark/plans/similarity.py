@@ -242,3 +242,99 @@ def q22_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim_q9") >= NEARDUP_SIM_Q)
     )
+
+
+# --------------------------------------------------------------------------
+# q49 — IVF coarse-centroid assignment (index-build / k-means E-step)
+# --------------------------------------------------------------------------
+_IVF_K = 8
+_IVF_SCALE = 1_000_000  # same grid as quant_arr_expr
+
+
+def _ivf_centroids() -> list[list[int]]:
+    """Deterministic md5-derived centroids on the quantized grid
+    (values in [-scale, scale]) — identical literals on both engines,
+    like vecops.hyperplanes; a real deployment would train these with
+    k-means and broadcast them the same way."""
+    import hashlib
+
+    cs = []
+    for k in range(_IVF_K):
+        row = []
+        for i in range(64):
+            h = hashlib.md5(f"ivf:{k}:{i}".encode()).digest()
+            row.append(int.from_bytes(h[:4], "big") % (2 * _IVF_SCALE + 1) - _IVF_SCALE)
+        cs.append(row)
+    return cs
+
+
+_IVF_CS = _ivf_centroids()
+
+
+def _ivf_dist_exprs(one_based: bool) -> list[str]:
+    """Per-centroid exact squared distance over the quantized array
+    ``q`` — BIGINT-safe: |q_i - c_i| ≤ 2e6, squared 4e12, ×64 ≈ 2.6e14."""
+    out = []
+    for row in _IVF_CS:
+        terms = " + ".join(
+            f"(q[{i + 1 if one_based else i}] - ({c})) * "
+            f"(q[{i + 1 if one_based else i}] - ({c}))"
+            for i, c in enumerate(row)
+        )
+        out.append(f"({terms})")
+    return out
+
+
+@query(
+    "q49_ivf_assign",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, {sql_quant_arr('embedding')} AS q FROM embeddings
+),
+d AS (
+  SELECT vec_id,
+         {", ".join(f"{x} AS d{k}" for k, x in enumerate(_ivf_dist_exprs(True)))}
+  FROM e
+),
+a AS (
+  SELECT vec_id,
+         least({", ".join(f"d{k}" for k in range(_IVF_K))}) AS dist_q,
+         CASE {" ".join(f"WHEN d{k} = least({', '.join(f'd{j}' for j in range(_IVF_K))}) THEN {k}" for k in range(_IVF_K))} END AS cell
+  FROM d
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(dist_q AS BIGINT) AS dist_q
+FROM a
+""",
+    tags=("similarity", "ivf"),
+)
+def q49_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build / k-means E-step: assign every embedding to its
+    nearest coarse centroid (exact integer squared distance on the
+    quantized grid, argmin with lowest-id tiebreak). The cell id is
+    the partition key an IVF ANN search probes — q21's sign-LSH
+    buckets replaced by learned centroids.
+
+    Scale shape: the centroid table is a compile-time literal (in a
+    real deployment: a broadcast of k·dim floats), so this is one scan
+    with per-row codegen arithmetic — zero shuffle, linear at any
+    corpus size."""
+    dists = _ivf_dist_exprs(False)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(quant_arr_expr("embedding")).alias("q")
+    )
+    d = e.select(
+        "vec_id", *[F.expr(x).alias(f"d{k}") for k, x in enumerate(dists)]
+    )
+    least = F.least(*[F.col(f"d{k}") for k in range(_IVF_K)])
+    expr = None
+    for k in range(_IVF_K):
+        cond = F.col(f"d{k}") == F.col("dist_q")
+        expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
+    return (
+        d.withColumn("dist_q", least)
+        .select(
+            "vec_id",
+            expr.cast("long").alias("cell"),
+            F.col("dist_q").cast("long").alias("dist_q"),
+        )
+    )

@@ -187,6 +187,111 @@ def q33_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q48_stream_transform_with_state",
+    oracle=None,  # arbitrary-stateful: per-batch emission is not SQL
+    tags=("streaming", "stateful", "transformWithState"),
+)
+def q48_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing on Spark 4's transformWithState
+    API (the successor to applyInPandasWithState, q33): a
+    ``StatefulProcessor`` with a typed ``ValueState`` keeps per-
+    event_type running (n_events, sum_value_q2) across micro-batches
+    and emits the updated totals each batch. Requires the RocksDB
+    state-store provider — the production provider anyway.
+
+    transformWithState's state protocol speaks protobuf between the
+    JVM and the Python worker; this container ships no
+    ``google.protobuf``, so when that import is missing the SAME
+    processor logic runs through applyInPandasWithState instead
+    (identical keying, state contents, and per-batch emission —
+    sanctioned import-try gating, like the multimodal codecs)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev, run = _streamed_events(spark, sf_dir, "tws")
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value_q2", LongType()),
+        ]
+    )
+
+    def fold(n: int, sv: int, pdfs) -> tuple[int, int]:
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer cents, like functions/exact.py
+            sv += int((pdf["value"] * 100).round().astype("int64").sum())
+        return n, sv
+
+    keyed = ev.select("event_type", "value").groupBy("event_type")
+
+    try:
+        import google.protobuf  # noqa: F401  (TWS state protocol dep)
+
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._agg = handle.getValueState("agg", "n LONG, sv LONG")
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, sv = self._agg.get() if self._agg.exists() else (0, 0)
+                n, sv = fold(n, sv, rows)
+                self._agg.update((n, sv))
+                yield pd.DataFrame(
+                    {
+                        "event_type": [key[0]],
+                        "n_events": [n],
+                        "sum_value_q2": [sv],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        counts = keyed.transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    except ImportError:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        state_schema = StructType(
+            [StructField("n", LongType()), StructField("sv", LongType())]
+        )
+
+        def update(key, pdfs, state: GroupState):
+            n, sv = state.get if state.exists else (0, 0)
+            n, sv = fold(n, sv, pdfs)
+            state.update((n, sv))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n_events": [n], "sum_value_q2": [sv]}
+            )
+
+        counts = keyed.applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return _drain_to_memory(counts, f"tws_{run.replace('-', '_')}", "update")
+
+
+@query(
     "q32_stream_sink_roundtrip",
     oracle=None,  # connector lifecycle check, not a relational result
     tags=("streaming", "sink"),

@@ -140,3 +140,11 @@ def test_canonical_map_has_no_array_state(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q47_dedup_canonical_map", mode="simple")
     assert "collect_list" not in plan and "collect_set" not in plan
     assert "ObjectHashAggregate" not in plan
+
+
+def test_ivf_assign_has_no_shuffle(spark, sf_dir):
+    """q49 is a single scan with literal-centroid arithmetic — an
+    Exchange would mean the assignment stopped being map-only."""
+    plan = plan_of(spark, sf_dir, "q49_ivf_assign", mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
