@@ -98,7 +98,12 @@ class FileBroker:
             "ack_deadline_s": ack_deadline_s,
             "acked_below": 0,  # all seqs < this are acked (compaction)
             "acked": [],  # sparse acked seqs >= acked_below
-            "leases": {},  # ack_id -> {seq, expiry}
+            # one group per pull: [expiry, [seq, ...]] — grouped (not
+            # per-message dict entries) so the sub state re-serialized
+            # on every pull stays ~7 bytes per outstanding message; the
+            # ack id carries the seq (``ack-{seq}-{nonce}``), so acks
+            # never need a per-id lookup table
+            "lease_groups": [],
         }
         with self._lock():
             with open(self._sub_path(sub), "w") as fh:
@@ -228,7 +233,14 @@ class FileBroker:
         if not os.path.exists(path):
             raise KeyError(f"no such subscription: {sub}")
         with open(path) as fh:
-            return json.load(fh)
+            state = json.load(fh)
+        if "leases" in state:  # migrate the legacy per-id lease format
+            groups: dict[float, list[int]] = {}
+            for l in state.pop("leases").values():
+                groups.setdefault(l["expiry"], []).append(l["seq"])
+            state["lease_groups"] = [[e, ss] for e, ss in sorted(groups.items())]
+        state.setdefault("lease_groups", [])
+        return state
 
     def _store_sub(self, sub: str, state: dict) -> None:
         tmp = self._sub_path(sub) + f".tmp.{uuid.uuid4().hex}"
@@ -238,9 +250,24 @@ class FileBroker:
 
     @staticmethod
     def _expire_leases(state: dict, now: float) -> None:
-        state["leases"] = {
-            aid: l for aid, l in state["leases"].items() if l["expiry"] > now
-        }
+        state["lease_groups"] = [
+            g for g in state["lease_groups"] if g[0] > now and g[1]
+        ]
+
+    @staticmethod
+    def _leased_seqs(state: dict) -> set[int]:
+        return {s for _, seqs in state["lease_groups"] for s in seqs}
+
+    @staticmethod
+    def _ack_seq(ack_id: str) -> int | None:
+        """Parse the seq out of an ``ack-{seq}-{nonce}`` ack id."""
+        parts = ack_id.split("-")
+        if len(parts) != 3 or parts[0] != "ack":
+            return None
+        try:
+            return int(parts[1])
+        except ValueError:
+            return None
 
     @staticmethod
     def _compact_acked(state: dict) -> None:
@@ -266,7 +293,8 @@ class FileBroker:
             self._expire_leases(state, now)
             acked = set(state["acked"])
             below = state["acked_below"]
-            leased_seqs = {l["seq"] for l in state["leases"].values()}
+            leased_seqs = self._leased_seqs(state)
+            new_seqs: list[int] = []
             out: list[ReceivedMessage] = []
             for rec in self._scan_unacked(state, state["topic"]):
                 if len(out) >= max_messages:
@@ -277,10 +305,7 @@ class FileBroker:
                 if region is not None and rec.get("region", "global") != region:
                     continue
                 ack_id = f"ack-{s}-{uuid.uuid4().hex[:8]}"
-                state["leases"][ack_id] = {
-                    "seq": s,
-                    "expiry": now + state["ack_deadline_s"],
-                }
+                new_seqs.append(s)
                 out.append(
                     ReceivedMessage(
                         ack_id=ack_id,
@@ -294,32 +319,60 @@ class FileBroker:
                         ),
                     )
                 )
+            if new_seqs:
+                state["lease_groups"].append(
+                    [now + state["ack_deadline_s"], new_seqs]
+                )
             self._store_sub(sub, state)
         return out
 
     def acknowledge(self, sub: str, ack_ids: list[str]) -> int:
         """Ack leased messages; unknown/expired ack ids are ignored
         (matching the real service's idempotent acks)."""
+        wanted = {
+            s for s in (self._ack_seq(a) for a in ack_ids) if s is not None
+        }
+        if not wanted:
+            return 0
         n = 0
         with self._lock():
             state = self._load_sub(sub)
-            for aid in ack_ids:
-                lease = state["leases"].pop(aid, None)
-                if lease is not None:
-                    state["acked"].append(lease["seq"])
-                    n += 1
+            for g in state["lease_groups"]:
+                if not wanted.isdisjoint(g[1]):
+                    keep = []
+                    for s in g[1]:
+                        if s in wanted:
+                            state["acked"].append(s)
+                            wanted.discard(s)
+                            n += 1
+                        else:
+                            keep.append(s)
+                    g[1] = keep
+            state["lease_groups"] = [g for g in state["lease_groups"] if g[1]]
             self._compact_acked(state)
             self._store_sub(sub, state)
         return n
 
     def modify_ack_deadline(self, sub: str, ack_ids: list[str], seconds: float) -> None:
         """0 seconds == nack → immediate redelivery."""
+        wanted = {
+            s for s in (self._ack_seq(a) for a in ack_ids) if s is not None
+        }
         now = time.time()
         with self._lock():
             state = self._load_sub(sub)
-            for aid in ack_ids:
-                if aid in state["leases"]:
-                    state["leases"][aid]["expiry"] = now + seconds
+            moved: list[int] = []
+            for g in state["lease_groups"]:
+                if not wanted.isdisjoint(g[1]):
+                    keep = []
+                    for s in g[1]:
+                        if s in wanted:
+                            moved.append(s)
+                        else:
+                            keep.append(s)
+                    g[1] = keep
+            if moved:
+                state["lease_groups"].append([now + seconds, moved])
             self._expire_leases(state, now)
             self._store_sub(sub, state)
 
