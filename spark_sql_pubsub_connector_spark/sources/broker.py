@@ -191,9 +191,10 @@ class FileBroker:
         with open(path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
-    def _scan_unacked(self, state: dict, topic: str):
-        """Yield log records from the subscription's scan cursor onward,
-        advancing the cursor past the fully-acked prefix.
+    def _scan_unacked(self, state: dict, topic: str, start_byte: int | None = None):
+        """Yield ``(record, line_start, line_end)`` triples from the
+        subscription's scan cursor (or ``start_byte``) onward, advancing
+        the cursor past the fully-acked prefix.
 
         The log is append-only and ``seq`` is dense, so each sub keeps
         ``scan_pos = [seq, byte_offset]`` — the first line not yet known
@@ -208,6 +209,9 @@ class FileBroker:
             return
         below = state["acked_below"]
         pos = state.get("scan_pos", [0, 0])[1]
+        track_cursor = start_byte is None or start_byte <= pos
+        if start_byte is not None:
+            pos = max(pos, start_byte)
         cursor_set = False
         with open(path, "rb") as fh:
             fh.seek(pos)
@@ -220,11 +224,11 @@ class FileBroker:
                 s = rec["seq"]
                 if s < below:
                     continue  # acked prefix — cursor will skip it next time
-                if not cursor_set:
+                if track_cursor and not cursor_set:
                     state["scan_pos"] = [s, line_start]
                     cursor_set = True
-                yield rec
-        if not cursor_set:
+                yield rec, line_start, pos
+        if track_cursor and not cursor_set:
             # everything up to EOF is acked; next scan starts at the end
             state["scan_pos"] = [below, pos]
 
@@ -250,13 +254,24 @@ class FileBroker:
 
     @staticmethod
     def _expire_leases(state: dict, now: float) -> None:
-        state["lease_groups"] = [
-            g for g in state["lease_groups"] if g[0] > now and g[1]
-        ]
+        """Drop expired lease groups, rewinding the delivery cursor to
+        the earliest expired group's log position so its messages get
+        rescanned (redelivered)."""
+        kept = []
+        dp = state.get("deliver_pos")
+        for g in state["lease_groups"]:
+            if g[0] > now and g[1]:
+                kept.append(g)
+            elif g[1]:  # expired with outstanding seqs → redeliver
+                gb = g[2] if len(g) > 2 else 0
+                dp = gb if dp is None else min(dp, gb)
+        state["lease_groups"] = kept
+        if dp is not None:
+            state["deliver_pos"] = dp
 
     @staticmethod
     def _leased_seqs(state: dict) -> set[int]:
-        return {s for _, seqs in state["lease_groups"] for s in seqs}
+        return {s for g in state["lease_groups"] for s in g[1]}
 
     @staticmethod
     def _ack_seq(ack_id: str) -> int | None:
@@ -296,14 +311,28 @@ class FileBroker:
             leased_seqs = self._leased_seqs(state)
             new_seqs: list[int] = []
             out: list[ReceivedMessage] = []
-            for rec in self._scan_unacked(state, state["topic"]):
+            # Region-less pulls resume at the delivery cursor: everything
+            # before it is acked or actively leased, so re-parsing those
+            # lines on every pull of a drain would be O(n²) JSON work.
+            # Region-pinned pulls skip other regions WITHOUT leasing
+            # them, so they scan from the ack cursor and leave the
+            # delivery cursor alone.
+            start_byte = state.get("deliver_pos") if region is None else None
+            group_start: int | None = None
+            consumed_to: int | None = None
+            for rec, line_start, line_end in self._scan_unacked(
+                state, state["topic"], start_byte
+            ):
                 if len(out) >= max_messages:
                     break
+                consumed_to = line_end
                 s = rec["seq"]
                 if s < below or s in acked or s in leased_seqs:
                     continue
                 if region is not None and rec.get("region", "global") != region:
                     continue
+                if group_start is None:
+                    group_start = line_start
                 ack_id = f"ack-{s}-{uuid.uuid4().hex[:8]}"
                 new_seqs.append(s)
                 out.append(
@@ -321,8 +350,10 @@ class FileBroker:
                 )
             if new_seqs:
                 state["lease_groups"].append(
-                    [now + state["ack_deadline_s"], new_seqs]
+                    [now + state["ack_deadline_s"], new_seqs, group_start or 0]
                 )
+            if region is None and consumed_to is not None:
+                state["deliver_pos"] = consumed_to
             self._store_sub(sub, state)
         return out
 
@@ -362,6 +393,7 @@ class FileBroker:
         with self._lock():
             state = self._load_sub(sub)
             moved: list[int] = []
+            moved_start: int | None = None
             for g in state["lease_groups"]:
                 if not wanted.isdisjoint(g[1]):
                     keep = []
@@ -371,8 +403,12 @@ class FileBroker:
                         else:
                             keep.append(s)
                     g[1] = keep
+                    gb = g[2] if len(g) > 2 else 0
+                    moved_start = gb if moved_start is None else min(moved_start, gb)
             if moved:
-                state["lease_groups"].append([now + seconds, moved])
+                state["lease_groups"].append(
+                    [now + seconds, moved, moved_start or 0]
+                )
             self._expire_leases(state, now)
             self._store_sub(sub, state)
 
@@ -388,7 +424,7 @@ class FileBroker:
             state = self._load_sub(sub)
             acked = set(state["acked"])
             out: dict[str, int] = {}
-            for rec in self._scan_unacked(state, state["topic"]):
+            for rec, _ls, _le in self._scan_unacked(state, state["topic"]):
                 if rec["seq"] in acked:
                     continue
                 r = rec.get("region", "global")
