@@ -161,7 +161,13 @@ class FileBroker:
 
     def commit_staged(self, topic: str, staged_files: list[str]) -> int:
         """Atomically append pre-staged JSONL message files to the topic
-        log (the sink's exactly-once commit); returns messages appended."""
+        log (the sink's exactly-once commit); returns messages appended.
+
+        Sequence numbers are spliced in as a text prefix — staged lines
+        are JSON objects (the writer emits them without seq or
+        message_id), so ``{"seq": N, "message_id": "N", <rest>`` is
+        valid JSON without re-parsing and re-serializing every message
+        under the broker lock."""
         d = self._topic_dir(topic)
         if not os.path.isdir(d):
             raise KeyError(f"no such topic: {topic}")
@@ -173,10 +179,19 @@ class FileBroker:
                 for path in staged_files:
                     with open(path) as src:
                         for line in src:
-                            rec = json.loads(line)
-                            rec["seq"] = seq
-                            rec["message_id"] = str(seq)
-                            log.write(json.dumps(rec) + "\n")
+                            line = line.strip()
+                            if not line:
+                                continue
+                            assert line[0] == "{", "staged line must be a JSON object"
+                            body = line[1:]
+                            sep = "" if body.lstrip().startswith("}") else " "
+                            log.write(
+                                f'{{"seq": {seq}, "message_id": "{seq}"'
+                                + ("," if sep else "")
+                                + sep
+                                + body
+                                + "\n"
+                            )
                             seq += 1
                             n += 1
             with open(os.path.join(d, ".seq"), "w") as fh:
