@@ -292,6 +292,37 @@ def q48_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "q50_stream_session_window",
+    oracle=None,  # session boundaries depend on micro-batch watermarks
+    tags=("streaming", "session", "watermark"),
+)
+def q50_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the streaming
+    twin of batch q15 (lag + running sum): per-user sessions close
+    after 30 minutes of event-time inactivity, emitted once the
+    watermark passes the session end. Session state is keyed by
+    (user_id, session) and bounded by the watermark — the merge-on-
+    overlap implementation Spark ships that the batch form emulates."""
+    ev, run = _streamed_events(spark, sf_dir, "sess")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(agg, f"sess_{run.replace('-', '_')}", "complete")
+
+
+@query(
     "q32_stream_sink_roundtrip",
     oracle=None,  # connector lifecycle check, not a relational result
     tags=("streaming", "sink"),
