@@ -282,3 +282,47 @@ def q26_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.expr(vals).alias("vals"))
         .select("doc_id", F.expr(fold).alias("fingerprint"))
     )
+
+
+# --------------------------------------------------------------------------
+# q51 — term scrubbing (redaction transform)
+# --------------------------------------------------------------------------
+_SCRUB_PATTERN = r"\b(the|a|of|to|and|in)\b"
+_SCRUB_TOKEN = "<T>"
+
+
+@query(
+    "q51_term_scrub",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_SCRUB_PATTERN}')) AS BIGINT)
+         AS n_scrubbed,
+       md5(regexp_replace(lower(text), '{_SCRUB_PATTERN}', '{_SCRUB_TOKEN}', 'g'))
+         AS scrubbed_md5
+FROM documents
+""",
+    tags=("text", "scrub", "transform"),
+)
+def q51_term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction *transform*: replace denylisted terms with a
+    placeholder token and count the replacements — the PII-scrub /
+    term-filter step of a cleaning pipeline (the rest of the corpus
+    analyzes text; this one rewrites it, verified via the md5 of the
+    scrubbed output). Word-boundary ``\\b`` and character classes
+    behave identically in Java regex (Spark) and RE2 (DuckDB); Spark
+    replaces globally by default, DuckDB needs the 'g' flag.
+
+    Scale shape: one regex pass per row inside codegen, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(lowered, F.lit(_SCRUB_PATTERN), 0)
+        ).cast("long").alias("n_scrubbed"),
+        F.md5(
+            F.encode(
+                F.regexp_replace(lowered, _SCRUB_PATTERN, _SCRUB_TOKEN), "UTF-8"
+            )
+        ).alias("scrubbed_md5"),
+    )
