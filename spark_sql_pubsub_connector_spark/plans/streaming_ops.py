@@ -361,17 +361,9 @@ def q32_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{topic}-out",
         ckpt,
         ordering_key="okey",
+        trigger_available_now=True,
     )
-    # availableNow isn't plumbed through write_stream options; drain by
-    # polling the source backlog like the reference's tests do
-    import time
-
-    deadline = time.time() + 240
-    while time.time() < deadline and broker.backlog(sub) > 0:
-        time.sleep(0.3)
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+    q.awaitTermination(240)
 
     msgs = broker.topic_messages(f"{topic}-out")
     rows = [

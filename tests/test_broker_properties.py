@@ -1,0 +1,106 @@
+"""Property tests for the broker's delivery invariants.
+
+The lease bookkeeping was rewritten for O(n) drains (grouped leases +
+a delivery cursor that rewinds on expiry), so these tests drive random
+interleavings of pull / ack / nack / expiry and check the semantics
+the connector is built on:
+
+  1. at-least-once: every published message is eventually delivered;
+  2. no double-lease: a message is never handed out twice while its
+     lease is active;
+  3. acked is final: an acked message is never redelivered;
+  4. backlog accounting matches the unacked set exactly.
+"""
+
+from __future__ import annotations
+
+import time
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_sql_pubsub_connector_spark.sources.broker import FileBroker, PubsubMessage
+
+
+def _mk(tmp_path, n, deadline):
+    b = FileBroker(str(tmp_path / "b"))
+    b.create_topic("t")
+    b.create_subscription("s", "t", ack_deadline_s=deadline)
+    b.publish(
+        "t",
+        [PubsubMessage(data=f"m{i}".encode(), publish_ts_us=1) for i in range(n)],
+    )
+    return b
+
+
+# op stream: (kind, arg) — pull size, ack a sampled prefix, or nack it
+_OPS = st.lists(
+    st.tuples(st.sampled_from(["pull", "ack", "nack"]), st.integers(1, 7)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(1, 30), ops=_OPS)
+def test_random_interleavings_preserve_delivery_invariants(tmp_path_factory, n, ops):
+    tmp = tmp_path_factory.mktemp("prop")
+    b = _mk(tmp, n, deadline=600)  # long deadline: no surprise expiry
+    outstanding: dict[str, str] = {}  # ack_id -> message_id (active leases)
+    acked_ids: set[str] = set()
+    delivered_ids: set[str] = set()
+
+    for kind, k in ops:
+        if kind == "pull":
+            got = b.pull("s", k)
+            for rm in got:
+                mid = rm.message.message_id
+                # acked is final + no double-lease while active
+                assert mid not in acked_ids, "redelivered an acked message"
+                assert mid not in outstanding.values(), "double-leased"
+                outstanding[rm.ack_id] = mid
+                delivered_ids.add(mid)
+        elif kind == "ack" and outstanding:
+            batch = list(outstanding)[:k]
+            n_acked = b.acknowledge("s", batch)
+            assert n_acked == len(batch)
+            for aid in batch:
+                acked_ids.add(outstanding.pop(aid))
+        elif kind == "nack" and outstanding:
+            batch = list(outstanding)[:k]
+            b.modify_ack_deadline("s", batch, 0.0)  # immediate redelivery
+            for aid in batch:
+                outstanding.pop(aid)
+
+    # backlog = everything not acked (leased still counts, like the metric)
+    assert b.backlog("s") == n - len(acked_ids)
+
+    # drain the rest: everything unacked must still be deliverable
+    while True:
+        got = b.pull("s", 10)
+        if not got:
+            break
+        for rm in got:
+            assert rm.message.message_id not in acked_ids
+            delivered_ids.add(rm.message.message_id)
+    assert delivered_ids | acked_ids == {str(i) for i in range(n)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(n=st.integers(2, 20), first=st.integers(1, 10))
+def test_expiry_redelivers_exactly_the_unacked(tmp_path_factory, n, first):
+    tmp = tmp_path_factory.mktemp("exp")
+    b = _mk(tmp, n, deadline=0.05)
+    got = b.pull("s", min(first, n))
+    # ack half of what we pulled before the lease lapses
+    keep = [rm.ack_id for rm in got[: len(got) // 2]]
+    b.acknowledge("s", keep)
+    acked = {rm.message.message_id for rm in got[: len(got) // 2]}
+    time.sleep(0.08)  # every remaining lease expires
+    seen: set[str] = set()
+    while True:
+        more = b.pull("s", 10)
+        if not more:
+            break
+        seen |= {rm.message.message_id for rm in more}
+    assert seen == {str(i) for i in range(n)} - acked
