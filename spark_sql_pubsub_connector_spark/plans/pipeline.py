@@ -94,10 +94,15 @@ def q44_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubiquitous n-grams BEFORE the join, the scale guard) → train↔test
     hash join on the key → per-pair distinct-shingle count. The df cap
     bounds every key's bucket at DF_CAP docs, so the join output is
-    Σ|bucket_train|·|bucket_test| ≤ DF_CAP² per key — never O(n²). At
-    100 TB you'd persist the keyed shingle table once instead of
-    recomputing it per side; the per-side recompute here only touches
-    that side's rows (the source filter pushes down to the scan)."""
+    Σ|bucket_train|·|bucket_test| ≤ DF_CAP² per key — never O(n²).
+
+    The keyed shingle table feeds three consumers (the df-count pass
+    and both join sides), so it is materialized ONCE via
+    ``localCheckpoint`` instead of letting Catalyst re-evaluate the
+    shingle+md5 subtree per consumer — the decontamination pipelines
+    this models write that table to storage for the same reason (at
+    cluster scale: a reliable checkpoint / parquet stage, not
+    executor-local blocks)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "source", tokens("text").alias("w"))
     sh = (
@@ -112,7 +117,7 @@ def q44_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         hex_prefix_int(F.md5(F.encode(F.col("s"), "UTF-8")), _KEY_HEX).alias("k"),
-    )
+    ).localCheckpoint(eager=True)
     rare = (
         keyed.groupBy("k")
         .agg(F.countDistinct("doc_id").alias("df"))
