@@ -20,8 +20,8 @@ NUM_PARTITIONS = "num_partitions"
 MAX_MESSAGES_PER_PARTITION = "max_messages_per_partition"
 DYNAMIC_PARTITIONING = "dynamic_partitioning"
 ORDERING_KEY = "ordering_key"
-BROKER_DIR = "broker_dir"  # fake-broker root (stands in for endPoint)
-ENDPOINT = "endpoint"
+BROKER_DIR = "broker_dir"  # fake-broker root (stands in for endPoint;
+# a real-client endpoint would come from region_endpoint() below)
 ACK_DEADLINE_SECONDS = "ack_deadline_seconds"
 BACKLOG_THRESHOLD = "backlog_threshold"
 MAX_DYNAMIC_PARTITIONS = "max_dynamic_partitions"
