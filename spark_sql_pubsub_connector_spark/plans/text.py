@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.textops import sql_tokens, tokens
+from ..functions.textops import sql_shingles, sql_tokens, tokens
 from .registry import query
 from .tables import load_table
 
@@ -325,4 +325,149 @@ def q51_term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regexp_replace(lowered, _SCRUB_PATTERN, _SCRUB_TOKEN), "UTF-8"
             )
         ).alias("scrubbed_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — per-document quality filter (Gopher-style rules)
+# --------------------------------------------------------------------------
+_QF_MIN_TOK = 5
+_QF_MAX_TOK = 100_000
+_QF_MIN_MEAN_LEN = 2.0
+_QF_MAX_MEAN_LEN = 12.0
+_QF_MIN_STOP = 0.01
+
+
+@query(
+    "q52_quality_filter",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         {sql_tokens('text')} AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(w, t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+  FROM d
+)
+SELECT doc_id, n_tok,
+       CAST(sum_len AS DOUBLE) / n_tok AS mean_tok_len,
+       CAST(n_stop AS DOUBLE) / n_tok  AS stop_ratio,
+       (n_tok BETWEEN {_QF_MIN_TOK} AND {_QF_MAX_TOK}) AS ok_length,
+       (CAST(sum_len AS DOUBLE) / n_tok BETWEEN {_QF_MIN_MEAN_LEN} AND {_QF_MAX_MEAN_LEN})
+         AS ok_word_len,
+       (CAST(n_stop AS DOUBLE) / n_tok >= {_QF_MIN_STOP}) AS ok_stopwords,
+       ((n_tok BETWEEN {_QF_MIN_TOK} AND {_QF_MAX_TOK})
+        AND (CAST(sum_len AS DOUBLE) / n_tok
+             BETWEEN {_QF_MIN_MEAN_LEN} AND {_QF_MAX_MEAN_LEN})
+        AND (CAST(n_stop AS DOUBLE) / n_tok >= {_QF_MIN_STOP})) AS keep
+FROM m
+""",
+    tags=("text", "quality", "filter"),
+)
+def q52_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality *filter decisions* — the Gopher-style rule
+    set (token-count bounds, mean word length window, minimum stopword
+    ratio) that decides keep/drop for every document, with the
+    individual rule flags kept for audit. q23 reports corpus-level
+    stats; this emits the row-level verdicts a cleaning pipeline
+    actually joins against.
+
+    All signals are per-row array arithmetic (zero shuffle); each
+    ratio is one double division of exact BIGINTs, so the boolean
+    threshold comparisons are bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        F.expr(
+            "CAST(aggregate(transform({w}, t -> length(t)), "
+            "CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)".format(
+                w="split(lower(trim(text)), '\\\\s+')"
+            )
+        ).alias("sum_len"),
+        F.expr(
+            "CAST(size(filter({w}, t -> t IN ({s}))) AS BIGINT)".format(
+                w="split(lower(trim(text)), '\\\\s+')", s=_STOP_SQL
+            )
+        ).alias("n_stop"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_tok")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    ok_length = F.col("n_tok").between(_QF_MIN_TOK, _QF_MAX_TOK)
+    ok_word_len = mean_len.between(_QF_MIN_MEAN_LEN, _QF_MAX_MEAN_LEN)
+    ok_stop = stop_ratio >= _QF_MIN_STOP
+    return m.select(
+        "doc_id",
+        "n_tok",
+        mean_len.alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_length & ok_word_len & ok_stop).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — repeated-n-gram fraction (boilerplate / spam detection)
+# --------------------------------------------------------------------------
+@query(
+    "q53_repetition_ngrams",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({{sh}}) AS s
+  FROM t WHERE len(w) >= 3
+),
+cnt AS (
+  SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s
+),
+agg AS (
+  SELECT doc_id,
+         CAST(max(c) AS BIGINT) AS top_ngram_count,
+         CAST(sum(c) AS BIGINT) AS total_ngrams
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, top_ngram_count, total_ngrams,
+       CAST(top_ngram_count AS DOUBLE) / total_ngrams AS top_ngram_frac,
+       (CAST(top_ngram_count AS DOUBLE) / total_ngrams > 0.2) AS is_repetitive
+FROM agg
+""".replace("{sh}", sql_shingles("w", 3)),
+    tags=("text", "quality", "repetition"),
+)
+def q53_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/spam signal: the fraction of a document's token
+    trigrams taken by its single most repeated trigram — high values
+    mean templated or looping text (the repeated-n-gram rules of
+    public web-corpus cleaning recipes). Docs shorter than one
+    trigram are excluded.
+
+    Shape: explode trigrams → groupBy(doc, ngram) with map-side
+    partials → per-doc max/sum — linear in corpus size, state bounded
+    per (doc, ngram) key, no arrays."""
+    from ..functions.textops import shingles as _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w"))
+    sh = t.filter(F.size("w") >= 3).select(
+        "doc_id", F.explode(_shingles("w", 3)).alias("s")
+    )
+    cnt = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_ngram_count"),
+        F.sum("c").cast("long").alias("total_ngrams"),
+    )
+    frac = F.col("top_ngram_count").cast("double") / F.col("total_ngrams")
+    return agg.select(
+        "doc_id",
+        "top_ngram_count",
+        "total_ngrams",
+        frac.alias("top_ngram_frac"),
+        (frac > 0.2).alias("is_repetitive"),
     )

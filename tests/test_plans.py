@@ -148,3 +148,16 @@ def test_ivf_assign_has_no_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q49_ivf_assign", mode="simple")
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_quality_filter_has_no_shuffle(spark, sf_dir):
+    """q52 emits per-row verdicts — pure scan arithmetic, no Exchange."""
+    plan = plan_of(spark, sf_dir, "q52_quality_filter", mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_agg_is_partial_then_final(spark, sf_dir):
+    """q53's (doc, ngram) count must combine map-side before shuffling."""
+    plan = plan_of(spark, sf_dir, "q53_repetition_ngrams", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "collect_list" not in plan and "collect_set" not in plan
