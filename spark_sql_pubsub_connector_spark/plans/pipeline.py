@@ -10,13 +10,17 @@ runs between raw crawl and tokenizer):
 Scale design: q44 joins on a 48-bit shingle hash with a document-
 frequency cap applied BEFORE the join, so ubiquitous n-grams ("of the
 and") can never explode the shuffle — Σ|df-capped bucket|² bounds the
-join, the same blocking discipline as dedup.py's LSH candidates. q45
-is a pure scan + hash filter (zero shuffle). q46's running sum windows
-by ``source`` so packing state never exceeds one shard's docs per
-task — the per-shard packing real pipelines use (a global pack order
-would serialize the corpus through one partition). q47 is one window
-over the fingerprint partition — WindowGroupLimit-style per-group
-selection, no array state.
+join, the same blocking discipline as dedup.py's LSH candidates; its
+keyed shingle table is staged to parquet once (durable where
+localCheckpoint is not). q45 is a pure scan + hash filter (zero
+shuffle). q46 packs hierarchically: running sum per (source,
+doc_id-range bucket) — every window partition bounded at _PACK_BUCKET
+docs — plus a per-bucket exclusive prefix offset from a
+corpus/_PACK_BUCKET-sized second aggregate; bit-identical to the flat
+per-source running sum the oracle specifies, but no shard ever
+serializes through one task. q47 is one window over the fingerprint
+partition — WindowGroupLimit-style per-group selection, no array
+state.
 
 Cross-engine: md5-only hashing (functions/textops), integer token
 arithmetic, ``CAST(... AS BIGINT)`` around every exported integer
@@ -24,6 +28,9 @@ aggregate (DuckDB HUGEINT rule, plans/registry.py).
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -48,8 +55,29 @@ _DF_CAP = 10
 _MIN_SHARED = 3
 _KEY_HEX = 12  # 48-bit shingle keys
 
-# q46: context-window capacity in whitespace tokens
+# q46: context-window capacity in whitespace tokens, and the doc_id
+# range each packing bucket covers. Both powers of two so the one
+# double division in the bin computation stays exact cross-engine.
 _PACK_CAPACITY = 256
+_PACK_BUCKET = 128
+
+
+def _materialize(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    """Durable intermediate stage: write ``df`` to a session-scoped
+    temp dir as parquet and read it back. Cluster-safe where
+    ``localCheckpoint`` is not — a lost executor re-reads the file
+    instead of killing the query — and each re-read benefits from
+    column pruning / filter pushdown on the staged table. On a real
+    cluster the temp root would live on the job's shared filesystem;
+    the one materialization cost is identical."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "pubsub_spark_stage",
+        spark.sparkContext.applicationId,
+    )
+    path = os.path.join(root, name)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 # --------------------------------------------------------------------------
@@ -97,12 +125,13 @@ def q44_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ|bucket_train|·|bucket_test| ≤ DF_CAP² per key — never O(n²).
 
     The keyed shingle table feeds three consumers (the df-count pass
-    and both join sides), so it is materialized ONCE via
-    ``localCheckpoint`` instead of letting Catalyst re-evaluate the
-    shingle+md5 subtree per consumer — the decontamination pipelines
-    this models write that table to storage for the same reason (at
-    cluster scale: a reliable checkpoint / parquet stage, not
-    executor-local blocks)."""
+    and both join sides), so it is materialized ONCE as a parquet
+    stage in a session-scoped temp dir and re-read, instead of letting
+    Catalyst re-evaluate the shingle+md5 subtree per consumer — the
+    same one materialization real decontamination pipelines pay, but
+    durable: unlike ``localCheckpoint`` (executor-local blocks, lost
+    with any executor), a parquet stage survives executor loss on a
+    cluster, and the re-read prunes to exactly the three columns."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "source", tokens("text").alias("w"))
     sh = (
@@ -117,7 +146,8 @@ def q44_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         hex_prefix_int(F.md5(F.encode(F.col("s"), "UTF-8")), _KEY_HEX).alias("k"),
-    ).localCheckpoint(eager=True)
+    )
+    keyed = _materialize(spark, keyed, "q44_keyed")
     rare = (
         keyed.groupBy("k")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -207,22 +237,51 @@ def q46_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     {capacity}-token boundary joins that window (windows may overflow
     by one doc, the standard greedy-order approximation).
 
-    The running sum partitions by ``source``: packing state never
-    exceeds one shard's rows per task, which is how real pipelines
-    scale packing (a single global order would serialize 100 TB
-    through one window partition)."""
+    Hierarchical running sum (the oracle's single
+    ``sum() OVER (PARTITION BY source ORDER BY doc_id)`` would funnel
+    each source shard — cardinality ~20 — through one window task,
+    ~5 TB/task at 100 TB): docs are bucketed into deterministic
+    ``doc_id DIV {bucket}`` ranges, the running sum is computed per
+    (source, bucket) — every window partition bounded at {bucket}
+    docs — and each bucket's exclusive prefix total (from a tiny
+    second aggregate, |corpus|/{bucket} rows) shifts the local sums
+    back to the global cumulative value. Two fine-grained shuffles
+    replace one serialized window; the result is bit-identical to the
+    flat running sum, which stays the oracle spec."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
-    w = (
-        Window.partitionBy("source")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tok"),
+        F.expr(f"doc_id DIV {_PACK_BUCKET}").alias("bucket"),
+    )
+    # per-(source, bucket) running sum: every partition holds at most
+    # _PACK_BUCKET docs regardless of corpus size
+    wl = (
+        Window.partitionBy("source", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = d.withColumn("cum", F.sum("n_tok").over(w))
-    b = c.select(
+    c = d.withColumn("lcum", F.sum("n_tok").over(wl))
+    # exclusive prefix total per bucket within its source — the second
+    # aggregate is _PACK_BUCKET× smaller than the corpus
+    tot = d.groupBy("source", "bucket").agg(F.sum("n_tok").alias("tot"))
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tot.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("tot").over(wo), F.lit(0)).alias("pre"),
+    )
+    c2 = c.join(off, ["source", "bucket"])
+    b = c2.select(
         "source",
         F.floor(
-            (F.col("cum") - F.col("n_tok")).cast("double") / _PACK_CAPACITY
+            (F.col("pre") + F.col("lcum") - F.col("n_tok")).cast("double")
+            / _PACK_CAPACITY
         ).cast("long").alias("bin"),
         "doc_id",
         "n_tok",

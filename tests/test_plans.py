@@ -123,16 +123,20 @@ def test_stratified_sample_has_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
-def test_sequence_packing_windows_by_source(spark, sf_dir):
-    """q46's running sum must partition by source (per-shard packing);
-    a missing partition key would serialize the corpus through one
-    window task."""
+def test_sequence_packing_windows_by_source_and_bucket(spark, sf_dir):
+    """q46's running sum must partition by the composite
+    (source, bucket) key — hierarchical packing. A source-only key
+    would funnel each ~20-cardinality shard through one window task
+    (~5 TB/task at 100 TB); no key at all would serialize the corpus."""
     plan = plan_of(spark, sf_dir, "q46_sequence_packing", mode="formatted")
     assert "Window" in plan
-    assert any(
-        "source" in l
+    win_lines = [
+        l
         for l in plan.splitlines()
-        if "Window" in l or "hashpartitioning" in l
+        if "Window" in l or "windowspecdefinition" in l
+    ]
+    assert any(
+        "source" in l and "bucket" in l for l in win_lines
     ), plan
 
 
