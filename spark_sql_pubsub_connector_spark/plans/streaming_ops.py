@@ -235,8 +235,22 @@ def q48_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFra
             StatefulProcessorHandle,
         )
 
+        _has_tws = True
+    except ImportError:
+        _has_tws = False
+
+    if _has_tws:
+        # transformWithState requires the RocksDB provider, but the conf
+        # is session-wide: set it only for this query's start and restore
+        # the prior value afterwards so later streaming queries on the
+        # shared session keep their own provider (ADVICE r2)
+        _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+        try:
+            prev_provider = spark.conf.get(_PROVIDER_KEY)
+        except Exception:
+            prev_provider = None
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            _PROVIDER_KEY,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
@@ -266,7 +280,18 @@ def q48_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFra
             outputMode="Update",
             timeMode="None",
         )
-    except ImportError:
+        try:
+            # the provider is read at query start, so it must stay set
+            # through the drain; restore once the query has terminated
+            return _drain_to_memory(
+                counts, f"tws_{run.replace('-', '_')}", "update"
+            )
+        finally:
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, prev_provider)
+    else:
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
         state_schema = StructType(

@@ -182,7 +182,17 @@ class FileBroker:
                             line = line.strip()
                             if not line:
                                 continue
-                            assert line[0] == "{", "staged line must be a JSON object"
+                            if line[0] != "{":
+                                # never assert here: under ``python -O``
+                                # an assert vanishes and a malformed
+                                # line would be spliced verbatim into
+                                # the shared topic log while the broker
+                                # lock is held, corrupting it for every
+                                # consumer
+                                raise ValueError(
+                                    f"staged line must be a JSON object "
+                                    f"(got {line[:40]!r} in {path})"
+                                )
                             body = line[1:]
                             sep = "" if body.lstrip().startswith("}") else " "
                             log.write(

@@ -109,9 +109,21 @@ def _sanitize(name: str) -> str:
 
 
 def _read_cache_dir(opts: PubsubReadOptions) -> str:
+    """Per-subscription replay-cache root; each stream scopes its batch
+    dirs one level deeper under its stream_id. Scoping by consumer
+    identity keeps commit()'s ack sweep from ever acking a crashed
+    predecessor's cache: those messages were skipped as still-leased by
+    the new query, so acking them would drop them from every committed
+    batch (at-least-once break). Stale foreign dirs are purged —
+    unacked — at registration; the broker's lease expiry redelivers
+    their messages."""
     return os.path.join(
         opts.broker_dir, ".read_cache", _sanitize(opts.subscription)
     )
+
+
+def _stream_cache_dir(opts: PubsubReadOptions, stream_id: str) -> str:
+    return os.path.join(_read_cache_dir(opts), _sanitize(stream_id))
 
 
 def _offset_state_path(opts: PubsubReadOptions) -> str:
@@ -247,8 +259,24 @@ class PubsubStreamReader(DataSourceStreamReader):
         if not self._registered:
             self.registry.register(self.opts.subscription, self.stream_id)  # S12
             self._registered = True
+            self._purge_foreign_cache_dirs()
         else:
             self.registry.heartbeat(self.opts.subscription, self.stream_id)
+
+    def _purge_foreign_cache_dirs(self) -> None:
+        """Remove replay-cache dirs left by other stream_ids on this
+        subscription. The registry admits one consumer at a time, so any
+        foreign dir belongs to a dead query; its messages must be
+        redelivered by lease expiry, never acked by us (ADVICE r2:
+        acking a predecessor's cached ack_ids drops messages this query
+        skipped as leased)."""
+        root = _read_cache_dir(self.opts)
+        if not os.path.isdir(root):
+            return
+        own = _sanitize(self.stream_id)
+        for d in os.listdir(root):
+            if d != own:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     # -- offsets (S4/S5) ---------------------------------------------------
     def _restore_state(self) -> dict:
@@ -326,7 +354,9 @@ class PubsubStreamReader(DataSourceStreamReader):
         self._advance_to(max(start["batch_id"], end["batch_id"]))
         units = max(1, end["batch_id"] - start["batch_id"])
         batch_key = f"b{start['batch_id']}-{end['batch_id']}"
-        cache_dir = os.path.join(_read_cache_dir(self.opts), batch_key)
+        cache_dir = os.path.join(
+            _stream_cache_dir(self.opts, self.stream_id), batch_key
+        )
 
         plan: list[tuple[int, str | None]] = []  # (index, region)
         if self.monitor is not None:
@@ -371,7 +401,9 @@ class PubsubStreamReader(DataSourceStreamReader):
     # -- commit: ack + evict (S10/S11) -------------------------------------
     def commit(self, end: dict) -> None:
         self._advance_to(end["batch_id"], committed=True)
-        root = _read_cache_dir(self.opts)
+        # sweep is scoped to THIS stream's cache dirs: foreign dirs are
+        # purged unacked at registration, never acknowledged here
+        root = _stream_cache_dir(self.opts, self.stream_id)
         if not os.path.isdir(root):
             return
         end_id = end["batch_id"]
@@ -513,17 +545,21 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         now_us = int(_time.time() * 1e6)
         n = 0
         finals: list[str] = []
+        tmps: list[str] = []
         fh = None
-        tmp = None
 
+        # chunks stay .tmp until the whole partition succeeds, then are
+        # promoted together: a mid-task failure leaves only .tmp files,
+        # which the except path unlinks — nothing mid-promoted can ever
+        # be orphaned in .sink_stage/ outside a commit message (ADVICE
+        # r2: the old per-chunk promotion leaked completed chunks of
+        # failed tasks forever, since abort() only sees commit messages)
         def _roll():
-            nonlocal fh, tmp
+            nonlocal fh
             if fh is not None:
                 fh.close()
-                final = tmp[: -len(".tmp")]
-                os.replace(tmp, final)
-                finals.append(final)
             tmp = os.path.join(stage, f"stage-{uuid.uuid4().hex}.jsonl.tmp")
+            tmps.append(tmp)
             fh = open(tmp, "w")
 
         try:
@@ -546,6 +582,12 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
                         key = keys[i]
                     if fh is None or n % opts.publish_batch_size == 0:
                         _roll()
+                    # INVARIANT: no top-level "seq"/"message_id" keys —
+                    # FileBroker.commit_staged splices those in as a
+                    # text prefix and a duplicate here would win at
+                    # json.loads (last key wins), corrupting ordering.
+                    # User content only ever appears NESTED (attributes
+                    # values, base64 data), never as a top-level key.
                     fh.write(
                         json.dumps(
                             {
@@ -561,13 +603,20 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
                     n += 1
             if fh is not None:
                 fh.close()
+                fh = None
+            # whole partition succeeded: promote every chunk at once
+            for tmp in tmps:
                 final = tmp[: -len(".tmp")]
                 os.replace(tmp, final)
                 finals.append(final)
-                fh = None
-        finally:
+        except BaseException:
             if fh is not None:
                 fh.close()
+                fh = None
+            for tmp in tmps:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            raise
         return PubsubCommitMessage(staged_files=tuple(finals), count=n)
 
     # -- driver-side commit/abort -----------------------------------------

@@ -346,6 +346,61 @@ def test_uncommitted_batch_redelivered(spark, broker_dir):
         r2.stop()
 
 
+def test_commit_never_acks_foreign_stream_cache(spark, broker, broker_dir):
+    """ADVICE r2 (medium): a crashed query's replay-cache dirs must not
+    be swept into a successor's commit-time ack — those messages were
+    skipped by the successor as still-leased, so acking them would drop
+    them from every committed batch. The successor purges foreign dirs
+    unacked; lease expiry redelivers."""
+    import os
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+        _read_cache_dir,
+    )
+
+    _publish_canonical(broker, 10)
+    r1 = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "1",
+            "max_messages_per_partition": "10",
+            "stream_id": "run1",
+        }
+    )
+    parts = r1.partitions(r1.initialOffset(), r1.latestOffset())
+    pulled = [row for p in parts for row in _read_rows(r1, p)]
+    assert len(pulled) == 10
+    r1.stop()  # crash before commit: cache dirs + broker leases remain
+    root = _read_cache_dir(r1.opts)
+    assert os.listdir(root), "predecessor cache should exist"
+
+    r2 = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "1",
+            "max_messages_per_partition": "10",
+            "stream_id": "run2",
+        }
+    )
+    try:
+        end = r2.latestOffset()
+        parts2 = r2.partitions(r2.initialOffset(), end)
+        # messages are still leased to run1 → run2 sees none of them
+        assert [row for p in parts2 for row in _read_rows(r2, p)] == []
+        r2.commit(end)
+        # the commit must NOT have acked run1's cached ack_ids
+        assert broker.backlog("s") == 10
+        # and run1's stale dirs were purged (unacked) at registration
+        assert os.listdir(root) == ["run2"]
+    finally:
+        r2.stop()
+
+
 def test_dynamic_partitioning_region_split(spark, broker_dir):
     """S6/S13: skewed region backlog → region-pinned partitions."""
     from spark_sql_pubsub_connector_spark.sources.datasource import (
@@ -623,6 +678,55 @@ def test_sink_publish_batch_size_chunks_staging(spark, broker, broker_dir):
     assert len(msg.staged_files) == 3  # 10 + 10 + 5
     w.commit([msg], batchId=0)
     assert len(broker.topic_messages("chunk")) == 25
+
+
+def test_sink_failed_task_leaves_no_promoted_chunks(spark, broker, broker_dir):
+    """ADVICE r2 (low): a task that fails mid-write must not leave
+    promoted (non-.tmp) chunks in .sink_stage/ — abort() only sees
+    commit messages, so anything promoted outside one leaks forever.
+    Chunks stay .tmp until the whole partition succeeds; the except
+    path unlinks them."""
+    import os
+
+    import pyarrow as pa
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+        _stage_dir,
+    )
+
+    broker.create_topic("failchunk")
+    n = 25
+    good = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"m{i}".encode() for i in range(n)], type=pa.binary()),
+            pa.array([[("k", "v")]] * n, type=pa.map_(pa.string(), pa.string())),
+        ],
+        names=["data", "attributes"],
+    )
+    bad = pa.RecordBatch.from_arrays(
+        [
+            pa.array([None], type=pa.binary()),  # null data → ValueError
+            pa.array([[]], type=pa.map_(pa.string(), pa.string())),
+        ],
+        names=["data", "attributes"],
+    )
+    w = PubsubStreamWriter(
+        {
+            "project_id": "p",
+            "topic": "failchunk",
+            "broker_dir": broker_dir,
+            "publish_batch_size": "10",  # 2 full chunks roll before the bad row
+        },
+        _sink_schema(),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="'data' must not be null"):
+        w.write(iter([good, bad]))
+    stage = _stage_dir(w.opts)
+    leftovers = os.listdir(stage) if os.path.isdir(stage) else []
+    assert leftovers == [], f"stage dir must be empty after failure: {leftovers}"
 
 
 def test_restart_resumes_offset_counter(spark, broker, broker_dir):

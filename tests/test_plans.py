@@ -165,3 +165,22 @@ def test_repetition_agg_is_partial_then_final(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q53_repetition_ngrams", mode="simple")
     assert plan.count("HashAggregate") >= 2
     assert "collect_list" not in plan and "collect_set" not in plan
+
+
+def test_q48_restores_state_store_provider_conf(spark, sf_dir):
+    """ADVICE r2: q48 needs RocksDB for transformWithState but must not
+    leave the session-wide provider conf changed — later streaming
+    queries on the shared session would silently inherit it."""
+    from spark_sql_pubsub_connector_spark.plans import all_specs
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+    all_specs()["q48_stream_transform_with_state"].build(spark, sf_dir)
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before
