@@ -3,8 +3,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed once for warm-up-free wall time measured around
-a full plan execution (count-style action that forces every operator).
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3, per round-2
+advice): ``queries`` records the COLD first run — comparable with
+BENCH_r01/r02, which were single cold runs — and ``queries_warm_median``
+the median of the warm repeats, which separates codegen-compilation cost
+from steady-state execution. ``deltas_vs_prev`` reports cold-vs-cold
+percentage change against BENCH_r02.json when present.
 
 Profile notes (round 2, sf0.1): cold-run times are dominated by
 whole-stage-codegen compilation, not execution — q01 runs 1.7 s cold /
@@ -19,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,6 +35,7 @@ if REPO not in sys.path:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     from spark_sql_pubsub_connector_spark.plans import all_specs
     from spark_sql_pubsub_connector_spark.session import get_spark
@@ -44,14 +50,21 @@ def main() -> None:
     warm = spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count()
     warm.write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, spec in specs.items():
+    def run_once(spec) -> float:
         t0 = time.perf_counter()
         df = spec.build(spark, sf_dir)
         # write to a no-op sink: forces full evaluation of every row
         # without driver-side collect
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    warm_median: dict[str, float] = {}
+    for name, spec in specs.items():
+        runs = [run_once(spec) for _ in range(n_runs)]
+        timings[name] = round(runs[0], 4)  # cold, comparable with r1/r2
+        if len(runs) > 1:
+            warm_median[name] = round(statistics.median(runs[1:]), 4)
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -60,7 +73,24 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_runs": n_runs,
     }
+    if warm_median:
+        result["queries_warm_median"] = warm_median
+    prev = os.path.join(REPO, "BENCH_r02.json")
+    if os.path.exists(prev):
+        try:
+            with open(prev) as fh:
+                d = json.load(fh)
+            # the driver wraps bench output under "parsed"
+            pq = d.get("parsed", d).get("queries", {})
+            result["deltas_vs_prev"] = {
+                n: round(100.0 * (timings[n] - pq[n]) / pq[n], 1)
+                for n in timings
+                if n in pq and pq[n] > 0
+            }
+        except Exception:
+            pass
     try:
         result["connector"] = connector_throughput(spark, sf_dir)
     except Exception as e:  # never let the connector probe break the line
@@ -69,12 +99,19 @@ def main() -> None:
     spark.stop()
 
 
-def connector_throughput(spark, sf_dir: str, n_msgs: int = 20_000) -> dict:
+def connector_throughput(
+    spark, sf_dir: str, n_msgs: int = 20_000, warmup_msgs: int = 1_000
+) -> dict:
     """Single-node connector throughput: drain ``n_msgs`` through the
     pubsub source (availableNow, 8×1000-msg partitions), then through
     source→sink republish. The reference's capacity envelope is
     256 partitions × 1,000 msgs per trigger (BASELINE.md); this
-    measures what one JVM actually sustains end-to-end."""
+    measures what one JVM actually sustains end-to-end.
+
+    A small untimed roundtrip runs first so the timed drains measure
+    steady-state throughput rather than the one-time Python-runner and
+    streaming-codegen startup — the connector analog of the batch
+    warmup in main() (round-2 advice: n≥1 warm runs)."""
     import tempfile
     import uuid
 
@@ -85,26 +122,59 @@ def connector_throughput(spark, sf_dir: str, n_msgs: int = 20_000) -> dict:
         write_stream,
     )
 
+    def drain(src, ck):
+        q = (
+            src.writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
     run = uuid.uuid4().hex[:8]
     broker_dir = tempfile.mkdtemp(prefix=f"bench-broker-{run}-")
+    broker = FileBroker(broker_dir)
+
+    # untimed warmup: tiny source drain + sink republish
+    wtopic, wsub = f"bw-{run}", f"bws-{run}"
+    seed_topic_from_events(
+        spark, sf_dir, broker_dir, wtopic, wsub, limit=warmup_msgs, ack_deadline_s=600
+    )
+    drain(
+        read_stream(
+            spark, broker_dir, wsub, num_partitions=8, max_messages_per_partition=1000
+        ),
+        tempfile.mkdtemp(prefix=f"bench-ckw-{run}-"),
+    )
+    broker.create_subscription(f"{wsub}2", wtopic, ack_deadline_s=600)
+    broker.create_topic(f"{wtopic}-out")
+    wq = write_stream(
+        read_stream(
+            spark,
+            broker_dir,
+            f"{wsub}2",
+            num_partitions=8,
+            max_messages_per_partition=1000,
+        ).select("data", "attributes"),
+        broker_dir,
+        f"{wtopic}-out",
+        tempfile.mkdtemp(prefix=f"bench-ckw2-{run}-"),
+        trigger_available_now=True,
+        sink_partitions=8,
+    )
+    wq.awaitTermination(600)
+
     topic, sub, sub2 = f"bt-{run}", f"bs-{run}", f"bs2-{run}"
     seed_topic_from_events(
         spark, sf_dir, broker_dir, topic, sub, limit=n_msgs, ack_deadline_s=600
     )
-    broker = FileBroker(broker_dir)
 
     # source-only drain
     src = read_stream(
         spark, broker_dir, sub, num_partitions=8, max_messages_per_partition=1000
     )
     t0 = time.perf_counter()
-    q = (
-        src.writeStream.format("noop")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"bench-ck1-{run}-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    drain(src, tempfile.mkdtemp(prefix=f"bench-ck1-{run}-"))
     source_s = time.perf_counter() - t0
 
     # source→sink republish (second subscription on the same topic)
@@ -121,6 +191,7 @@ def connector_throughput(spark, sf_dir: str, n_msgs: int = 20_000) -> dict:
         f"{topic}-out",
         tempfile.mkdtemp(prefix=f"bench-ck2-{run}-"),
         trigger_available_now=True,
+        sink_partitions=8,  # 8 publisher tasks, matching pull parallelism
     )
     q2.awaitTermination(600)
     roundtrip_s = time.perf_counter() - t0

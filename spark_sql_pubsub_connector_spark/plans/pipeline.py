@@ -112,6 +112,7 @@ FROM pairs
 WHERE n_shared >= {_MIN_SHARED}
 """,
     tags=("pipeline", "decontaminate", "join"),
+    bench=True,
 )
 def q44_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: find training documents sharing >=

@@ -306,6 +306,7 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(dist_q AS BIGINT) AS dist_q
 FROM a
 """,
     tags=("similarity", "ivf"),
+    bench=True,
 )
 def q49_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build / k-means E-step: assign every embedding to its

@@ -216,8 +216,24 @@ class FileBroker:
         with open(path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
+    @staticmethod
+    def _seq_of(raw: bytes) -> int:
+        """Sequence number of a raw log line WITHOUT a full JSON parse.
+
+        Every log line starts with ``{"seq": N,`` — ``publish()`` emits
+        the dict with ``seq`` first and ``commit_staged`` splices the
+        same prefix textually — so the seq is an int slice. Pulls scan
+        under the global broker lock; parsing whole messages there
+        serialized every consumer behind per-message ``json.loads``
+        (the r2 bottleneck). Falls back to a full parse if the prefix
+        invariant is ever violated."""
+        try:
+            return int(raw[8 : raw.index(b",", 8)])
+        except ValueError:
+            return json.loads(raw)["seq"]
+
     def _scan_unacked(self, state: dict, topic: str, start_byte: int | None = None):
-        """Yield ``(record, line_start, line_end)`` triples from the
+        """Yield ``(seq, raw_line, line_start, line_end)`` from the
         subscription's scan cursor (or ``start_byte``) onward, advancing
         the cursor past the fully-acked prefix.
 
@@ -225,9 +241,9 @@ class FileBroker:
         ``scan_pos = [seq, byte_offset]`` — the first line not yet known
         to be acked. Pulls then seek instead of re-parsing the whole
         log (the whole-log scan made pulls O(log²) over a topic's
-        lifetime; with the cursor they are O(new messages)). Lazy
-        parsing also lets callers stop at ``max_messages`` without
-        touching the rest of the file.
+        lifetime; with the cursor they are O(new messages)). Lines stay
+        raw — only the seq prefix is decoded — so callers holding the
+        broker lock defer ``json.loads`` until after they release it.
         """
         path = os.path.join(self._topic_dir(topic), "log.jsonl")
         if not os.path.exists(path):
@@ -245,14 +261,13 @@ class FileBroker:
                 pos += len(raw)
                 if not raw.strip():
                     continue
-                rec = json.loads(raw)
-                s = rec["seq"]
+                s = self._seq_of(raw)
                 if s < below:
                     continue  # acked prefix — cursor will skip it next time
                 if track_cursor and not cursor_set:
                     state["scan_pos"] = [s, line_start]
                     cursor_set = True
-                yield rec, line_start, pos
+                yield s, raw, line_start, pos
         if track_cursor and not cursor_set:
             # everything up to EOF is acked; next scan starts at the end
             state["scan_pos"] = [below, pos]
@@ -327,7 +342,36 @@ class FileBroker:
         """Lease up to ``max_messages`` undelivered messages (optionally
         restricted to one region — the reference's per-region endpoint
         pulls, PubsubMicroBatchStream.scala:58-74)."""
+        return [
+            ReceivedMessage(
+                ack_id=ack_id,
+                message=PubsubMessage(
+                    data=base64.b64decode(rec["data_b64"]),
+                    attributes=rec.get("attributes") or {},
+                    ordering_key=rec.get("ordering_key", ""),
+                    message_id=rec["message_id"],
+                    publish_ts_us=rec["publish_ts_us"],
+                    region=rec.get("region", "global"),
+                ),
+            )
+            for ack_id, rec in self.pull_raw(sub, max_messages, region)
+        ]
+
+    def pull_raw(
+        self, sub: str, max_messages: int, region: str | None = None
+    ) -> list[tuple[str, dict]]:
+        """``pull`` without the payload decode: returns ``(ack_id,
+        record_dict)`` pairs with ``data_b64`` still base64-encoded.
+
+        All consumers serialize through the global broker lock, so the
+        critical section does only lease bookkeeping over RAW log lines
+        (seq comes from the ``_seq_of`` prefix); ``json.loads``, ack-id
+        minting, and any base64 work happen after the lock is released.
+        The connector's partition readers consume this directly — they
+        re-emit base64 into their replay cache anyway, so the
+        decode/re-encode round-trip of ``pull`` is skipped entirely."""
         now = time.time()
+        picked: list[tuple[int, bytes | dict]] = []
         with self._lock():
             state = self._load_sub(sub)
             self._expire_leases(state, now)
@@ -335,44 +379,35 @@ class FileBroker:
             below = state["acked_below"]
             leased_seqs = self._leased_seqs(state)
             new_seqs: list[int] = []
-            out: list[ReceivedMessage] = []
             # Region-less pulls resume at the delivery cursor: everything
             # before it is acked or actively leased, so re-parsing those
             # lines on every pull of a drain would be O(n²) JSON work.
             # Region-pinned pulls skip other regions WITHOUT leasing
             # them, so they scan from the ack cursor and leave the
-            # delivery cursor alone.
+            # delivery cursor alone; they are also the one case that
+            # must parse under the lock (the region filter needs the
+            # record body).
             start_byte = state.get("deliver_pos") if region is None else None
             group_start: int | None = None
             consumed_to: int | None = None
-            for rec, line_start, line_end in self._scan_unacked(
+            for s, raw, line_start, line_end in self._scan_unacked(
                 state, state["topic"], start_byte
             ):
-                if len(out) >= max_messages:
+                if len(picked) >= max_messages:
                     break
                 consumed_to = line_end
-                s = rec["seq"]
                 if s < below or s in acked or s in leased_seqs:
                     continue
-                if region is not None and rec.get("region", "global") != region:
-                    continue
+                item: bytes | dict = raw
+                if region is not None:
+                    rec = json.loads(raw)
+                    if rec.get("region", "global") != region:
+                        continue
+                    item = rec
                 if group_start is None:
                     group_start = line_start
-                ack_id = f"ack-{s}-{uuid.uuid4().hex[:8]}"
                 new_seqs.append(s)
-                out.append(
-                    ReceivedMessage(
-                        ack_id=ack_id,
-                        message=PubsubMessage(
-                            data=base64.b64decode(rec["data_b64"]),
-                            attributes=rec.get("attributes") or {},
-                            ordering_key=rec.get("ordering_key", ""),
-                            message_id=rec["message_id"],
-                            publish_ts_us=rec["publish_ts_us"],
-                            region=rec.get("region", "global"),
-                        ),
-                    )
-                )
+                picked.append((s, item))
             if new_seqs:
                 state["lease_groups"].append(
                     [now + state["ack_deadline_s"], new_seqs, group_start or 0]
@@ -380,7 +415,13 @@ class FileBroker:
             if region is None and consumed_to is not None:
                 state["deliver_pos"] = consumed_to
             self._store_sub(sub, state)
-        return out
+        return [
+            (
+                f"ack-{s}-{uuid.uuid4().hex[:8]}",
+                item if isinstance(item, dict) else json.loads(item),
+            )
+            for s, item in picked
+        ]
 
     def acknowledge(self, sub: str, ack_ids: list[str]) -> int:
         """Ack leased messages; unknown/expired ack ids are ignored
@@ -449,10 +490,10 @@ class FileBroker:
             state = self._load_sub(sub)
             acked = set(state["acked"])
             out: dict[str, int] = {}
-            for rec, _ls, _le in self._scan_unacked(state, state["topic"]):
-                if rec["seq"] in acked:
+            for s, raw, _ls, _le in self._scan_unacked(state, state["topic"]):
+                if s in acked:
                     continue
-                r = rec.get("region", "global")
+                r = json.loads(raw).get("region", "global")
                 out[r] = out.get(r, 0) + 1
             self._store_sub(sub, state)  # persist the advanced cursor
         return out

@@ -203,19 +203,22 @@ def _pull_or_replay(payload: _PartitionPayload):
         return
 
     broker = FileBroker(payload.broker_dir)
-    received = broker.pull(
+    # pull_raw keeps payloads base64-encoded: the replay cache stores
+    # base64 anyway, so the decode→re-encode of pull() would be pure
+    # overhead (the single decode happens once, in _records_to_arrow)
+    received = broker.pull_raw(
         payload.subscription, payload.max_messages, region=payload.region
     )
     records = [
         {
-            "ack_id": rm.ack_id,
-            "message_id": rm.message.message_id,
-            "ordering_key": rm.message.ordering_key,
-            "data_b64": base64.b64encode(rm.message.data).decode(),
-            "publish_ts_us": rm.message.publish_ts_us,
-            "attributes": rm.message.attributes,
+            "ack_id": ack_id,
+            "message_id": rec["message_id"],
+            "ordering_key": rec.get("ordering_key", ""),
+            "data_b64": rec["data_b64"],
+            "publish_ts_us": rec["publish_ts_us"],
+            "attributes": rec.get("attributes") or {},
         }
-        for rm in received
+        for ack_id, rec in received
     ]
     os.makedirs(os.path.dirname(payload.cache_file), exist_ok=True)
     tmp = payload.cache_file + f".tmp.{uuid.uuid4().hex}"

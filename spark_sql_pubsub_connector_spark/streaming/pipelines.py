@@ -97,6 +97,7 @@ def write_stream(
     checkpoint: str,
     project_id: str = "test-project",
     trigger_available_now: bool = False,
+    sink_partitions: int | None = None,
     **options,
 ):
     """df.writeStream.format("pubsub")…start() (append mode).
@@ -104,8 +105,20 @@ def write_stream(
     Passes ``sink_id=checkpoint`` so the sink's batch-id idempotence is
     scoped to this query: redeliveries of the same query are suppressed
     across restarts (effectively-once) without ever swallowing batches
-    from other queries writing the same topic."""
+    from other queries writing the same topic.
+
+    ``sink_partitions`` coalesces the write stage to that many publisher
+    tasks — the staged-commit analog of the reference's bounded
+    publisher-client cache (CachedPublishers.scala:27-35: one cached
+    publisher per topic, reused across partitions). Source micro-batches
+    often plan many small partitions (backlog ÷ max_messages); each sink
+    task pays a fixed Python-worker + staging-file cost, so matching the
+    publisher count to the actual executor slots cuts per-batch overhead
+    without touching pull parallelism (coalesce, not repartition — no
+    shuffle)."""
     register_pubsub(df.sparkSession)
+    if sink_partitions is not None:
+        df = df.coalesce(sink_partitions)
     writer = (
         df.writeStream.format("pubsub")
         .option("project_id", project_id)
