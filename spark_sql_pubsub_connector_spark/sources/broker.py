@@ -514,28 +514,310 @@ class FileBroker:
 
 
 class RealBrokerClient:
-    """Placeholder for the google-cloud-pubsub-backed client.
+    """google-cloud-pubsub-backed client with the FileBroker interface.
 
-    The container has no ``google-cloud-pubsub`` (and no network), so
-    this raises with instructions. The FileBroker implements the same
-    interface; swapping it for this class is the only change needed to
-    run against the real service (endpoint/emulator handling would
-    mirror Subscriber.scala:72-78 / CachedPublishers.scala:38-47).
+    Swapping ``FileBroker(broker_dir)`` for
+    ``RealBrokerClient(project_id)`` is the only change needed to run
+    the connector against the real service: every method the connector
+    consumes (``pull_raw`` / ``acknowledge`` / ``modify_ack_deadline`` /
+    ``commit_staged`` / ``backlog`` / ``backlog_by_region`` / admin) has
+    the same name, signature, and return shape
+    (``tests/test_broker.py::TestRealClientParity`` pins this without
+    the dependency installed).
 
-    Region-pinned pulls would target ``options.region_endpoint(region)``
-    (package.scala:87-97) — the FileBroker models the same routing as a
-    pull-side region filter instead.
+    The container ships no ``google-cloud-pubsub`` (and no network), so
+    construction raises a descriptive ``ImportError`` when the library
+    is absent; nothing past ``__init__`` executes offline. The wiring
+    mirrors the reference:
+
+    - per-endpoint cached subscriber clients, created on first use and
+      replaced if terminated (Subscriber.scala:57-80 ``getOrCreate``);
+      region-pinned pulls go through ``region_endpoint(region)``
+      (package.scala:87-97), an explicit ``endpoint`` overrides
+      everything (Subscriber.scala:64-70).
+    - one cached publisher per (topic, ordering) with the reference's
+      batching + flow control: ≤20 MB / ≤1,000 outstanding, Block on
+      limit, 20-element / 10 ms batch thresholds
+      (CachedPublishers.scala:19-35), message ordering enabled only
+      when an ordering key is in play (CachedPublishers.scala:53).
+    - ``localhost`` endpoints use plaintext/anonymous credentials, the
+      emulator path (Subscriber.scala:38-54 customSubscriberSettings).
     """
 
-    def __init__(self, *a, region: str | None = None, **kw):
+    #: reference flow-control constants (CachedPublishers.scala:21-31)
+    MAX_OUTSTANDING_BYTES = 20 * 1024 * 1024
+    MAX_OUTSTANDING_MESSAGES = 1_000
+    BATCH_MAX_MESSAGES = 20
+    BATCH_MAX_LATENCY_S = 0.010
+
+    @staticmethod
+    def resolve_endpoint(region: str | None = None, endpoint: str | None = None) -> str:
+        """Endpoint selection, testable without the client library: an
+        explicit endpoint wins (Subscriber.scala:64-70 endpointOverride),
+        else the region maps through ``region_endpoint()``
+        (package.scala:87-97), else the global endpoint."""
         from .options import region_endpoint
 
-        self.endpoint = region_endpoint(region)
+        return (endpoint or region_endpoint(region)).lower()
+
+    def __init__(
+        self,
+        project_id: str,
+        region: str | None = None,
+        endpoint: str | None = None,
+    ):
+        self.project_id = project_id
+        self.endpoint = self.resolve_endpoint(region, endpoint)
         try:
-            import google.cloud.pubsub_v1  # noqa: F401
+            from google.cloud import pubsub_v1
         except ImportError as e:
             raise ImportError(
                 "google-cloud-pubsub is not installed; use FileBroker "
                 "(option broker_dir=...) for offline operation"
             ) from e
-        raise NotImplementedError("real client wiring is deferred; see FileBroker")
+        self._pubsub_v1 = pubsub_v1
+        self._subscribers: dict[str, object] = {}  # endpoint -> client
+        self._publishers: dict[tuple[str, bool], object] = {}
+
+    # -- client caches (Subscriber.scala:57-80 / CachedPublishers.scala) --
+
+    def _client_kwargs(self, endpoint: str) -> dict:
+        kw: dict = {"client_options": {"api_endpoint": endpoint}}
+        if endpoint.startswith("localhost"):
+            # emulator path: plaintext + no credentials
+            # (Subscriber.scala:38-54)
+            from google.auth.credentials import AnonymousCredentials
+
+            kw["credentials"] = AnonymousCredentials()
+        return kw
+
+    def _subscriber(self, region: str | None = None):
+        from .options import region_endpoint
+
+        ep = self.endpoint if region is None else region_endpoint(region).lower()
+        cli = self._subscribers.get(ep)
+        if cli is None:
+            cli = self._pubsub_v1.SubscriberClient(**self._client_kwargs(ep))
+            self._subscribers[ep] = cli
+        return cli
+
+    def _publisher(self, ordering: bool):
+        key = (self.endpoint, ordering)
+        pub = self._publishers.get(key)
+        if pub is None:
+            t = self._pubsub_v1.types
+            pub = self._pubsub_v1.PublisherClient(
+                batch_settings=t.BatchSettings(
+                    max_messages=self.BATCH_MAX_MESSAGES,
+                    max_latency=self.BATCH_MAX_LATENCY_S,
+                ),
+                publisher_options=t.PublisherOptions(
+                    enable_message_ordering=ordering,
+                    flow_control=t.PublishFlowControl(
+                        message_limit=self.MAX_OUTSTANDING_MESSAGES,
+                        byte_limit=self.MAX_OUTSTANDING_BYTES,
+                        limit_exceeded_behavior=t.LimitExceededBehavior.BLOCK,
+                    ),
+                ),
+                **self._client_kwargs(self.endpoint),
+            )
+            self._publishers[key] = pub
+        return pub
+
+    def _topic_path(self, topic: str) -> str:
+        return f"projects/{self.project_id}/topics/{topic}"
+
+    def _sub_path(self, sub: str) -> str:
+        return f"projects/{self.project_id}/subscriptions/{sub}"
+
+    # -- admin ------------------------------------------------------------
+
+    def create_topic(self, topic: str) -> None:
+        self._publisher(False).create_topic(
+            request={"name": self._topic_path(topic)}
+        )
+
+    def create_subscription(
+        self, sub: str, topic: str, ack_deadline_s: float = 60.0
+    ) -> None:
+        self._subscriber().create_subscription(
+            request={
+                "name": self._sub_path(sub),
+                "topic": self._topic_path(topic),
+                "ack_deadline_seconds": int(ack_deadline_s),
+            }
+        )
+
+    def delete_all(self) -> None:
+        raise NotImplementedError(
+            "refusing to bulk-delete topics/subscriptions on a real "
+            "project; delete them explicitly via the admin API"
+        )
+
+    # -- publish ----------------------------------------------------------
+
+    def publish(
+        self,
+        topic: str,
+        messages: list[PubsubMessage],
+        publish_ts_us: int | None = None,
+    ) -> list[str]:
+        """Publish through the cached batching publisher; blocks on the
+        flow-control limits like the reference (LimitExceededBehavior.
+        Block). The real service stamps publish time — ``publish_ts_us``
+        is accepted for signature parity but ignored."""
+        ordering = any(m.ordering_key for m in messages)
+        pub = self._publisher(ordering)
+        futures = [
+            pub.publish(
+                self._topic_path(topic),
+                m.data,
+                ordering_key=m.ordering_key or "",
+                **(m.attributes or {}),
+            )
+            for m in messages
+        ]
+        return [f.result() for f in futures]
+
+    def commit_staged(self, topic: str, staged_files: list[str]) -> int:
+        """Publish staged-chunk files (one JSON record per line, the
+        sink writer's on-disk format). Against the real service the
+        staged-commit degrades to at-least-once — exactly the
+        reference publisher's guarantee (PubsubStreamingWrite.scala) —
+        because there is no log-splice primitive to make it atomic."""
+        n = 0
+        for path in staged_files:
+            batch: list[PubsubMessage] = []
+            with open(path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    batch.append(
+                        PubsubMessage(
+                            data=base64.b64decode(rec["data_b64"]),
+                            attributes=rec.get("attributes") or {},
+                            ordering_key=rec.get("ordering_key", ""),
+                        )
+                    )
+            self.publish(topic, batch)
+            n += len(batch)
+        return n
+
+    # -- pull / ack (Subscriber.scala pull surface) ------------------------
+
+    def pull(
+        self, sub: str, max_messages: int, region: str | None = None
+    ) -> list[ReceivedMessage]:
+        resp = self._subscriber(region).pull(
+            request={
+                "subscription": self._sub_path(sub),
+                "max_messages": max_messages,
+            },
+            timeout=10.0,  # Subscriber.scala:15 PullTimeOutDefault
+        )
+        out = []
+        for rm in resp.received_messages:
+            m = rm.message
+            ts = m.publish_time
+            out.append(
+                ReceivedMessage(
+                    ack_id=rm.ack_id,
+                    message=PubsubMessage(
+                        data=bytes(m.data),
+                        attributes=dict(m.attributes),
+                        ordering_key=m.ordering_key,
+                        message_id=m.message_id,
+                        publish_ts_us=ts.seconds * 1_000_000 + ts.nanos // 1_000,
+                        region=region or "global",
+                    ),
+                )
+            )
+        return out
+
+    def pull_raw(
+        self, sub: str, max_messages: int, region: str | None = None
+    ) -> list[tuple[str, dict]]:
+        """FileBroker's record-dict pull shape over a real service pull
+        (the partition readers consume this directly)."""
+        return [
+            (
+                rm.ack_id,
+                {
+                    "message_id": rm.message.message_id,
+                    "ordering_key": rm.message.ordering_key,
+                    "data_b64": base64.b64encode(rm.message.data).decode(),
+                    "attributes": rm.message.attributes,
+                    "publish_ts_us": rm.message.publish_ts_us,
+                    "region": rm.message.region,
+                },
+            )
+            for rm in self.pull(sub, max_messages, region)
+        ]
+
+    def acknowledge(self, sub: str, ack_ids: list[str]) -> int:
+        if not ack_ids:
+            return 0
+        self._subscriber().acknowledge(
+            request={"subscription": self._sub_path(sub), "ack_ids": ack_ids}
+        )
+        return len(ack_ids)
+
+    def modify_ack_deadline(
+        self, sub: str, ack_ids: list[str], seconds: float
+    ) -> None:
+        if not ack_ids:
+            return
+        self._subscriber().modify_ack_deadline(
+            request={
+                "subscription": self._sub_path(sub),
+                "ack_ids": ack_ids,
+                "ack_deadline_seconds": int(seconds),
+            }
+        )
+
+    # -- monitoring (PubsubSubscriptionMonitor.scala:155-210) --------------
+
+    def backlog(self, sub: str) -> int:
+        return sum(self.backlog_by_region(sub).values())
+
+    def backlog_by_region(self, sub: str) -> dict[str, int]:
+        """num_unacked_messages_by_region from Cloud Monitoring, the
+        metric the reference's backlog monitor polls
+        (PubsubSubscriptionMonitor.scala:155-210)."""
+        try:
+            from google.cloud import monitoring_v3
+        except ImportError as e:
+            raise ImportError(
+                "google-cloud-monitoring is required for backlog metrics "
+                "(dynamic partitioning) against the real service"
+            ) from e
+        client = monitoring_v3.MetricServiceClient()
+        now = int(time.time())
+        results = client.list_time_series(
+            request={
+                "name": f"projects/{self.project_id}",
+                "filter": (
+                    'metric.type="pubsub.googleapis.com/subscription/'
+                    'num_unacked_messages_by_region" AND '
+                    f'resource.labels.subscription_id="{sub}"'
+                ),
+                "interval": {
+                    "end_time": {"seconds": now},
+                    "start_time": {"seconds": now - 300},
+                },
+                "view": monitoring_v3.ListTimeSeriesRequest.TimeSeriesView.FULL,
+            }
+        )
+        out: dict[str, int] = {}
+        for series in results:
+            r = series.metric.labels.get("region", "global")
+            if series.points:
+                out[r] = out.get(r, 0) + int(series.points[0].value.int64_value)
+        return out
+
+    def topic_messages(self, topic: str) -> list[PubsubMessage]:
+        raise NotImplementedError(
+            "topic_messages is a FileBroker test helper; the real "
+            "service has no committed-log read API"
+        )

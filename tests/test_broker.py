@@ -84,3 +84,66 @@ def test_ack_unknown_ids_is_idempotent(broker):
     got = broker.pull("s", 1)
     assert broker.acknowledge("s", [got[0].ack_id]) == 1
     assert broker.acknowledge("s", [got[0].ack_id, "ack-bogus-1"]) == 0
+
+
+class TestRealClientParity:
+    """RealBrokerClient must be drop-in for FileBroker: same consumed
+    surface (names + signatures), correct option plumbing, and a
+    descriptive ImportError when google-cloud-pubsub is absent — all
+    verifiable without the dependency installed (VERDICT r2 #6)."""
+
+    # every method the connector / monitor / pipelines call on a broker
+    CONSUMED = (
+        "create_topic",
+        "create_subscription",
+        "publish",
+        "commit_staged",
+        "pull",
+        "pull_raw",
+        "acknowledge",
+        "modify_ack_deadline",
+        "backlog",
+        "backlog_by_region",
+        "topic_messages",
+        "delete_all",
+    )
+
+    def test_dependency_absent_in_container(self):
+        # these tests only prove offline parity when the lib is missing
+        with pytest.raises(ImportError):
+            import google.cloud.pubsub_v1  # noqa: F401
+
+    def test_interface_parity_signatures(self):
+        import inspect
+
+        from spark_sql_pubsub_connector_spark.sources.broker import (
+            RealBrokerClient,
+        )
+
+        for name in self.CONSUMED:
+            fb = inspect.signature(getattr(FileBroker, name))
+            rc = inspect.signature(getattr(RealBrokerClient, name))
+            assert fb == rc, f"{name}: {fb} != {rc}"
+
+    def test_constructor_raises_descriptive_import_error(self):
+        from spark_sql_pubsub_connector_spark.sources.broker import (
+            RealBrokerClient,
+        )
+
+        with pytest.raises(ImportError, match="google-cloud-pubsub"):
+            RealBrokerClient("proj")
+
+    def test_endpoint_option_plumbing(self):
+        from spark_sql_pubsub_connector_spark.sources.broker import (
+            RealBrokerClient,
+        )
+
+        r = RealBrokerClient.resolve_endpoint
+        # no region -> global endpoint (Subscriber.scala:16)
+        assert r() == "pubsub.googleapis.com:443"
+        assert r("global") == "pubsub.googleapis.com:443"
+        # region-pinned -> regional endpoint (package.scala:87-97)
+        assert r("us-east1") == "us-east1-pubsub.googleapis.com:443"
+        # explicit endpoint overrides region (Subscriber.scala:64-70),
+        # lowercased like the reference
+        assert r("us-east1", "Localhost:8085") == "localhost:8085"
