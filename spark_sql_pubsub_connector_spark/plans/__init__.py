@@ -14,4 +14,5 @@ from . import multimodal  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import streaming_ops  # noqa: F401,E402
+from . import temporal  # noqa: F401,E402
 from . import text  # noqa: F401,E402

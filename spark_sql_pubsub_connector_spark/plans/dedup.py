@@ -324,3 +324,98 @@ def q19_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jq6.alias("jaccard_q6"))
         .filter(F.col("jaccard_q6") >= _JACCARD_THRESHOLD_Q6)
     )
+
+
+# --------------------------------------------------------------------------
+# q54 — transitive dedup clusters (connected components)
+# --------------------------------------------------------------------------
+@query(
+    "q54_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_sql_minhash_bands()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a
+  JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.lab FROM edges e JOIN reach ON reach.node = e.dst
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
+FROM reach
+GROUP BY node
+""",
+    tags=("dedup", "graph", "iterative"),
+)
+def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash-LSH candidate-pair graph (q17). Pairwise candidates alone
+    under-merge — A~B and B~C puts A and C in the same duplicate
+    cluster even when LSH never paired them directly — so cluster
+    assignment (doc_id -> min doc_id of its component) is the operator
+    an LLM-dedup pipeline actually keeps one document per.
+
+    Distributed min-label propagation with pointer jumping:
+    each round (1) takes the min label over each node's neighbors and
+    itself (join edges->labels + groupBy-min: two fine-grained
+    shuffles keyed by doc_id), then (2) contracts label chains by one
+    hop (labels self-join: label := label(label)). The contraction
+    step makes convergence O(log D) rounds in the component diameter
+    D, not O(D) — the same doubling idea as the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce").
+    Convergence is detected from sum(label), which strictly decreases
+    until fixpoint — a 1-row aggregate per round, no driver-side data.
+
+    At 100 TB: every shuffle is keyed by doc_id/label (high
+    cardinality, no skew funnel); state per round is one (doc_id,
+    label) row per document; each round's frame is persisted and the
+    previous round unpersisted, so lineage stays O(1) (on a real
+    cluster, a reliable-checkpoint cadence every ~10 rounds bounds
+    recovery cost — near-dup components are shallow, typically 2-4
+    rounds). The oracle is the same fixpoint via a recursive CTE
+    (UNION-dedup transitive closure), feasible at oracle scale only.
+    """
+    pairs = q17_dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select("doc_id", F.col("doc_id").alias("component_id"))
+
+    lab = lab.persist()
+    prev_sum = lab.agg(F.sum("component_id")).collect()[0][0]
+    while True:
+        # (1) min over {self} ∪ neighbor labels, one groupBy-min
+        nbr = edges.join(
+            lab.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(F.col("src").alias("doc_id"), "component_id")
+        merged = (
+            lab.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+        )
+        # (2) pointer jumping: component_id := label(component_id);
+        # every label IS some doc's id, so the left join always hits
+        jump = merged.select(
+            F.col("doc_id").alias("component_id"),
+            F.col("component_id").alias("next_id"),
+        )
+        new_lab = (
+            merged.join(jump, "component_id", "left")
+            .select("doc_id", F.coalesce("next_id", "component_id").alias("component_id"))
+            .persist()
+        )
+        new_sum = new_lab.agg(F.sum("component_id")).collect()[0][0]
+        lab.unpersist()
+        lab = new_lab
+        if new_sum == prev_sum:  # labels only decrease; fixpoint reached
+            break
+        prev_sum = new_sum
+    return lab

@@ -1,0 +1,196 @@
+"""Temporal join operators: as-of join and time-range join.
+
+Spark has no native as-of/range join (the reference delegates all
+relational work to Spark, SURVEY.md §2.1 closing note — these are part
+of the driver-mandated extension surface for event-stream analytics).
+Both are implemented as compositions of built-in operators chosen for
+their shuffle shape, not as UDFs:
+
+  q55  as-of join     — union both sides into one frame, one window
+                        pass per key (the "union trick"): each
+                        purchase picks up the most recent strictly-
+                        prior click of the same user.
+  q59  range join     — equi-join on coarse time buckets, then the
+                        exact range predicate: candidate space is
+                        O(rows x buckets-overlapped), never the
+                        O(n x m) inequality-join cartesian.
+
+Scale design (100 TB):
+  - q55 is ONE shuffle keyed by user_id followed by an in-partition
+    sort — the minimum possible data movement for an as-of join; a
+    naive ``a JOIN b ON a.key = b.key AND b.ts <= a.ts`` + argmax
+    shuffles the full inequality cross product (every click pairs with
+    every later purchase of that user) before pruning it.
+  - q59's bucket key bounds each candidate group by construction; the
+    exact predicate runs inside whole-stage codegen after the hash
+    join. Bucket width trades shuffle fan-out (finer) against
+    candidate width (coarser) and is a literal, so Catalyst constant-
+    folds it into the join key expression.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .registry import query
+from .tables import load_table
+
+
+# --------------------------------------------------------------------------
+# q55 — as-of join (purchases to most recent prior click per user)
+# --------------------------------------------------------------------------
+@query(
+    "q55_asof_join",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_event_id,
+    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts_us
+  FROM ev
+)
+SELECT event_id AS purchase_id,
+       user_id,
+       ts_us    AS purchase_ts_us,
+       value    AS purchase_value,
+       click_event_id,
+       click_ts_us,
+       CAST(ts_us - click_ts_us AS BIGINT) AS gap_us
+FROM w
+WHERE event_type = 'purchase'
+""",
+    tags=("temporal", "asof", "window"),
+)
+def q55_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union trick: both event roles live in one
+    frame, so a single window pass per user — ordered by (ts_us,
+    event_id), frame ``UNBOUNDED PRECEDING .. 1 PRECEDING`` — carries
+    each purchase the latest strictly-prior click (composite order
+    makes same-microsecond ties deterministic). Purchases with no
+    prior click keep NULL, the as-of LEFT semantics.
+
+    This is how kdb/Flink-style as-of joins map onto Spark: the
+    alternative inequality-join + argmax materializes every
+    (click, later purchase) pair through the shuffle. DuckDB's native
+    ``ASOF JOIN`` expresses the same operator; the oracle uses the
+    identical window formulation instead because ASOF leaves
+    same-timestamp ties unspecified."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("click_event_id", click_id)
+        .withColumn("click_ts_us", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("value").alias("purchase_value"),
+            "click_event_id",
+            "click_ts_us",
+            (F.col("ts_us") - F.col("click_ts_us")).cast("long").alias("gap_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q59 — time-range join via bucketed equi-join
+# --------------------------------------------------------------------------
+_RANGE_US = 1_800_000_000  # pair events within 30 minutes
+_BUCKET_US = 1_800_000_000  # bucket width == range => probe 2 buckets
+
+
+@query(
+    "q59_range_join_bucketed",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events
+),
+err AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+pur AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id,
+       e.event_id AS error_id,
+       p.user_id,
+       CAST(p.ts_us - e.ts_us AS BIGINT) AS lag_us
+FROM pur p
+JOIN err e
+  ON p.user_id = e.user_id
+ AND e.ts_us <= p.ts_us
+ AND p.ts_us - e.ts_us <= {_RANGE_US}
+""",
+    tags=("temporal", "range-join"),
+)
+def q59_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — purchases paired with every error by the same user
+    in the preceding 10 minutes — executed as a bucketed equi-join:
+    each error lands in its time bucket and its successor (bucket
+    width == range, so a qualifying pair is never more than one bucket
+    apart), the join is an equi-join on (user_id, bucket), and the
+    exact range predicate prunes inside codegen. Spark would otherwise
+    plan the inequality join as BroadcastNestedLoopJoin / cartesian —
+    the classic range-join blowup this operator exists to avoid
+    (tests/test_plans.py pins SortMergeJoin/ShuffledHashJoin and bans
+    the nested-loop plans). Duplicate-free by construction: an
+    (error, purchase) pair matches in exactly one of the two probe
+    buckets."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    bucket = lambda c: F.expr(f"{c} DIV {_BUCKET_US}")  # integer division: exact  # noqa: E731
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts_us").alias("err_ts_us"),
+        F.explode(
+            F.array(bucket("ts_us"), bucket("ts_us") + 1)
+        ).alias("bucket"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("pur_ts_us"),
+        bucket("ts_us").alias("bucket"),
+    )
+    return (
+        pur.join(err, ["user_id", "bucket"])
+        .filter(
+            (F.col("err_ts_us") <= F.col("pur_ts_us"))
+            & (F.col("pur_ts_us") - F.col("err_ts_us") <= _RANGE_US)
+        )
+        .select(
+            "purchase_id",
+            "error_id",
+            "user_id",
+            (F.col("pur_ts_us") - F.col("err_ts_us")).cast("long").alias("lag_us"),
+        )
+    )

@@ -184,3 +184,41 @@ def test_q48_restores_state_store_provider_conf(spark, sf_dir):
     except Exception:
         after = None
     assert after == before
+
+
+def test_asof_join_single_shuffle_window(spark, sf_dir):
+    """q55: the union-trick as-of join is ONE hash exchange (by
+    user_id) + an in-partition sort feeding Window — no join operator
+    at all, and certainly no inequality-join cartesian."""
+    plan = plan_of(spark, sf_dir, "q55_asof_join", mode="simple")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """q59: the bucketed range join must plan as an equi-join (hash or
+    sort-merge); the nested-loop / cartesian plans Spark picks for raw
+    inequality joins are the failure mode this operator avoids."""
+    plan = plan_of(spark, sf_dir, "q59_range_join_bucketed", mode="simple")
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_clusters_shuffles_fine_grained(spark, sf_dir):
+    """q54: the CC iteration itself must stay scalar — min-label
+    HashAggregates keyed by doc_id, no cartesian, no collect_set/array
+    state in the label frame. (q17's bounded bucket collect_list is
+    allowed — it is the candidate-pair input, pinned by its own
+    test.)"""
+    plan = plan_of(spark, sf_dir, "q54_dedup_clusters", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "collect_set" not in plan
+    # the label merge is a scalar min aggregate, partial-then-final
+    assert "min(component_id" in plan, plan
