@@ -339,3 +339,98 @@ def q49_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist_q").cast("long").alias("dist_q"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q57 — int8 scalar quantization + reconstruction error
+# --------------------------------------------------------------------------
+_AMAX_SCALE = 1_000_000  # |x|max measured on the 1e-6 grid
+_ERR_SCALE = 10 ** 12  # squared reconstruction error on the 1e-12 grid
+
+
+@query(
+    "q57_int8_quantize",
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x ->
+           CAST(floor(abs(CAST(x AS DOUBLE)) * {_AMAX_SCALE} + 0.5) AS BIGINT)
+         )) AS BIGINT) AS amax_q6
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding, amax_q6,
+         list_transform(embedding, x ->
+           CASE WHEN amax_q6 = 0 THEN CAST(0 AS BIGINT) ELSE
+             greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+               CAST(floor(CAST(x AS DOUBLE)
+                          * (127.0 / (CAST(amax_q6 AS DOUBLE) / {_AMAX_SCALE}))
+                          + 0.5) AS BIGINT)))
+           END) AS code
+  FROM a
+)
+SELECT vec_id, amax_q6,
+       md5(array_to_string(code, ',')) AS code_md5,
+       CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+         CASE WHEN amax_q6 = 0 THEN CAST(0 AS BIGINT) ELSE
+           CAST(floor(
+             (CAST(embedding[i] AS DOUBLE)
+              - CAST(code[i] AS DOUBLE)
+                / (127.0 / (CAST(amax_q6 AS DOUBLE) / {_AMAX_SCALE})))
+             * (CAST(embedding[i] AS DOUBLE)
+              - CAST(code[i] AS DOUBLE)
+                / (127.0 / (CAST(amax_q6 AS DOUBLE) / {_AMAX_SCALE})))
+             * {_ERR_SCALE} + 0.5) AS BIGINT)
+         END)) AS BIGINT) AS sq_err_q12
+FROM q
+""",
+    tags=("similarity", "quantization"),
+)
+def q57_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x memory/bandwidth reduction every large-scale ANN index applies
+    before storage — plus per-vector reconstruction error: scale =
+    127/max|x| (the max measured on an exact 1e-6 grid so both engines
+    derive the identical double), code_i = clamp(round(x_i*scale)),
+    and sum((x_i - code_i/scale)^2) on an exact 1e-12 grid. The code
+    vector is exported as its md5 (portable array hash).
+
+    Scale: pure per-row array arithmetic inside whole-stage codegen —
+    zero shuffles, zero UDFs (plan-asserted no Exchange); at 100 TB
+    this is a scan-bound map over every partition independently."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = f"(127.0d / (CAST(amax_q6 AS DOUBLE) / {_AMAX_SCALE}))"
+    a = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            f"CAST(array_max(transform(embedding, x -> "
+            f"CAST(floor(abs(CAST(x AS DOUBLE)) * {_AMAX_SCALE} + 0.5d) AS BIGINT)"
+            f")) AS BIGINT)"
+        ).alias("amax_q6"),
+    )
+    q = a.withColumn(
+        "code",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CASE WHEN amax_q6 = 0 THEN CAST(0 AS BIGINT) ELSE "
+            f"greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), "
+            f"CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5d) AS BIGINT))) END)"
+        ),
+    )
+    recon = (
+        f"CAST(embedding[i] AS DOUBLE) - CAST(code[i] AS DOUBLE) / {scale}"
+    )
+    return q.select(
+        "vec_id",
+        "amax_q6",
+        F.expr("md5(concat_ws(',', transform(code, v -> CAST(v AS STRING))))").alias(
+            "code_md5"
+        ),
+        F.expr(
+            f"CAST(aggregate(sequence(0, size(embedding) - 1), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CASE WHEN amax_q6 = 0 THEN CAST(0 AS BIGINT) ELSE "
+            f"CAST(floor(({recon}) * ({recon}) * {_ERR_SCALE} + 0.5d) AS BIGINT) END"
+            f") AS BIGINT)"
+        ).alias("sq_err_q12"),
+    )

@@ -471,3 +471,168 @@ def q53_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("top_ngram_frac"),
         (frac > 0.2).alias("is_repetitive"),
     )
+
+
+# --------------------------------------------------------------------------
+# q56 — boilerplate n-gram coverage (the line-dedup analog for
+#        unstructured text)
+# --------------------------------------------------------------------------
+_BOILER_DF = 3  # a 3-gram appearing in >= 3 distinct docs is boilerplate
+_COV_SCALE = 1_000_000
+
+
+@query(
+    "q56_boilerplate_coverage",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
+s AS (SELECT doc_id, {sql_shingles('w', 3)} AS sh FROM t WHERE len(w) >= 3),
+g AS (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM s),
+df AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+  FROM g GROUP BY 1
+),
+boiler AS (SELECT gram FROM df WHERE n_docs >= {_BOILER_DF}),
+per_doc AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(b.gram) AS BIGINT) AS n_boiler
+  FROM g LEFT JOIN boiler b ON g.gram = b.gram
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, n_boiler,
+       CAST(floor(CAST(n_boiler AS DOUBLE) / n_grams * {_COV_SCALE} + 0.5)
+            AS BIGINT) AS boiler_cov_q6
+FROM per_doc
+""",
+    tags=("text", "boilerplate", "dedup"),
+)
+def q56_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — the unstructured-text analog of
+    line-level dedup (headers/footers/nav chrome in web corpora):
+    distinct 3-grams per document, corpus document-frequency per gram,
+    grams in >= {_BOILER_DF} docs are boilerplate, and each document
+    reports what fraction of its distinct grams is boilerplate (docs
+    above a coverage cutoff get dropped or cleaned downstream).
+
+    Scale: gram DF is explode -> hash aggregate (map-side partials
+    collapse each doc's repeats before the shuffle; the shuffle key is
+    the gram — high cardinality, no funnel). The boilerplate set is
+    tiny relative to the corpus (df-threshold keeps only the heavy
+    tail), so the coverage join broadcasts it; per-doc coverage is one
+    more doc_id-keyed aggregate. Total: two fine-grained shuffles plus
+    a broadcast join — no step carries more than one row per distinct
+    gram."""
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.textops import shingles as _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w"))
+    g = (
+        t.filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(_shingles("w", 3))).alias("gram"))
+    )
+    boiler = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_DF)
+        .select("gram", F.lit(True).alias("is_boiler"))
+    )
+    per_doc = (
+        g.join(broadcast(boiler), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("is_boiler").cast("long").alias("n_boiler"),
+        )
+    )
+    cov = F.floor(
+        F.col("n_boiler").cast("double") / F.col("n_grams") * _COV_SCALE + F.lit(0.5)
+    ).cast("long")
+    return per_doc.select(
+        "doc_id", "n_grams", "n_boiler", cov.alias("boiler_cov_q6")
+    )
+
+
+# --------------------------------------------------------------------------
+# q58 — corpus-rarity (TF-IDF-shaped) token scoring, top-3 per doc
+# --------------------------------------------------------------------------
+_RARITY_SCALE = 1_000_000
+_RARITY_TOPK = 3
+
+
+@query(
+    "q58_tfidf_rarity",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf * ((n.n_docs * {_RARITY_SCALE}) // df.df) AS BIGINT)
+           AS rarity_q6
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY rarity_q6 DESC, token
+  ) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, rarity_q6, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_RARITY_TOPK}
+""",
+    tags=("text", "tfidf", "two-pass"),
+)
+def q58_tfidf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass corpus-statistics scoring, the TF-IDF shape every
+    training-data pipeline needs (rare-token surfacing, keyword
+    extraction, topical filtering): pass 1 builds the corpus document-
+    frequency table, pass 2 scores each document's tokens as
+    tf x ⌊N·10⁶/df⌋ (an integer-exact IDF surrogate — same ordering
+    as log(N/df), no cross-engine libm dependence) and keeps the
+    top-{_RARITY_TOPK} rarest tokens per document.
+
+    Scale: tf and df are explode -> hash aggregates with map-side
+    partials (stopword-heavy tokens collapse per partition before the
+    shuffle, which is what bounds skew). The df table is (token, count)
+    — orders of magnitude smaller than the corpus; at 100 TB it joins
+    back by token bucketing, here Spark's planner broadcasts it. The
+    final top-k is a doc_id-keyed window with rank pushdown
+    (WindowGroupLimit keeps k rows per partition pre-shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # pass 0: one scalar, computed distributed
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf") * F.expr(f"({n_docs}L * {_RARITY_SCALE}) DIV df"))
+        .cast("long")
+        .alias("rarity_q6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("rarity_q6").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RARITY_TOPK)
+        .select("doc_id", "token", "tf", "df", "rarity_q6", "rnk")
+    )

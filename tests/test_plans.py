@@ -222,3 +222,28 @@ def test_dedup_clusters_shuffles_fine_grained(spark, sf_dir):
     assert "collect_set" not in plan
     # the label merge is a scalar min aggregate, partial-then-final
     assert "min(component_id" in plan, plan
+
+
+def test_int8_quantize_is_map_only(spark, sf_dir):
+    """q57: per-row array arithmetic must stay a zero-shuffle codegen
+    scan — any Exchange or Python eval is a plan regression."""
+    plan = plan_of(spark, sf_dir, "q57_int8_quantize", mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_coverage_broadcasts_gram_set(spark, sf_dir):
+    """q56: the df-thresholded boilerplate set is small by construction
+    and must broadcast; the coverage join must never shuffle the corpus
+    side by gram twice."""
+    plan = plan_of(spark, sf_dir, "q56_boilerplate_coverage", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    """q58: the per-doc top-k must get rank pushdown (WindowGroupLimit
+    keeps k rows per partition before the shuffle)."""
+    plan = plan_of(spark, sf_dir, "q58_tfidf_rarity", mode="simple")
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
