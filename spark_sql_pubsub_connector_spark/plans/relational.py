@@ -960,3 +960,53 @@ def q43_fuzzy_type_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# q60 — sliding-window aggregation (overlapping windows)
+# --------------------------------------------------------------------------
+_SLIDE_US = 1_800_000_000  # 30-minute hop
+_WIDTH_US = 3_600_000_000  # 1-hour window => every event in 2 windows
+
+
+@query(
+    "q60_window_sliding",
+    oracle=f"""
+WITH ev AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+x AS (
+  SELECT event_type, value,
+         unnest([(ts_us // {_SLIDE_US}) * {_SLIDE_US},
+                 (ts_us // {_SLIDE_US}) * {_SLIDE_US} - {_SLIDE_US}])
+           AS window_start_us
+  FROM ev
+)
+SELECT window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_esum("value", 2, "sum_value")}
+FROM x
+GROUP BY 1, 2
+""",
+    tags=("window", "time", "sliding"),
+)
+def q60_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window hopping every 30 minutes — the overlapping
+    complement of q14's tumbling window (each event lands in exactly
+    width/slide = 2 windows). Spark's ``window(ts, width, slide)``
+    replicates rows into their windows before the hash aggregate, so
+    the shuffle carries one partial row per (window, event_type) per
+    partition — map-side combine absorbs the 2x row expansion. The
+    oracle derives the same epoch-aligned window starts with integer
+    division and unnest."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), esum("value", 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -434,3 +434,119 @@ def q57_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f") AS BIGINT)"
         ).alias("sq_err_q12"),
     )
+
+
+# --------------------------------------------------------------------------
+# q61 — IVF probe search (the ANN query path over q49's index)
+# --------------------------------------------------------------------------
+_IVF_NPROBE = 2
+
+
+@query(
+    "q61_ivf_probe_search",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, {sql_quant_arr('embedding')} AS q, {_SQL_NORM} AS nrm
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, embedding, nrm,
+         {", ".join(f"{x} AS d{k}" for k, x in enumerate(_ivf_dist_exprs(True)))}
+  FROM e
+),
+corpus AS (
+  SELECT vec_id, embedding, nrm,
+         CASE {" ".join(f"WHEN d{k} = least({', '.join(f'd{j}' for j in range(_IVF_K))}) THEN {k}" for k in range(_IVF_K))} END AS cell
+  FROM d
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+         unnest([
+           list_sort([{", ".join(f"[d{k}, {k}]" for k in range(_IVF_K))}])[1][2],
+           list_sort([{", ".join(f"[d{k}, {k}]" for k in range(_IVF_K))}])[2][2]
+         ]) AS cell
+  FROM d WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {cosine_q_expr(sql_dot_q("p.qe", "c.embedding"), "p.qn", "c.nrm")} AS sim_q9
+  FROM probes p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_q9 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim_q9 FROM ranked WHERE rank <= {TOP_K}
+""",
+    tags=("similarity", "ivf", "ann"),
+)
+def q61_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: q49 assigns the corpus to coarse cells; each
+    query probes its nprobe={_IVF_NPROBE} nearest cells and reranks
+    only those cells' members by exact quantized cosine — the
+    FAISS-style two-level search that replaces q20's full scan with
+    ~nprobe/k of the corpus per query.
+
+    Scale shape: cell assignment is the q49 zero-shuffle scan; the
+    probe table (queries x nprobe rows) broadcasts, so the join never
+    shuffles the corpus; the rerank window gets rank pushdown
+    (WindowGroupLimit). Probe-cell selection sorts (distance, cell)
+    pairs — exact integer lexicographic order, so both engines pick
+    identical cells with deterministic ties."""
+    dists = _ivf_dist_exprs(False)
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.expr(quant_arr_expr("embedding")).alias("q"),
+    )
+    d = e.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        *[F.expr(x).alias(f"d{k}") for k, x in enumerate(dists)],
+    )
+    least = F.least(*[F.col(f"d{k}") for k in range(_IVF_K)])
+    cell = None
+    for k in range(_IVF_K):
+        cond = F.col(f"d{k}") == least
+        cell = F.when(cond, F.lit(k)) if cell is None else cell.when(cond, F.lit(k))
+    corpus = d.select("vec_id", "embedding", "nrm", cell.alias("cell"))
+
+    pairs = ", ".join(
+        f"struct(d{k} AS d, CAST({k} AS BIGINT) AS c)" for k in range(_IVF_K)
+    )
+    probe_cells = F.expr(
+        f"transform(slice(array_sort(array({pairs})), 1, {_IVF_NPROBE}), p -> p.c)"
+    )
+    probes = (
+        d.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.explode(probe_cells).alias("probe_cell"),
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("dot", F.expr(dot_q_expr("qe", "embedding")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(cosine_q_expr("dot", "qn", "nrm")).alias("sim_q9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim_q9")
+    )

@@ -247,3 +247,12 @@ def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q58_tfidf_rarity", mode="simple")
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_ivf_probe_search_broadcasts_probes(spark, sf_dir):
+    """q61: the (queries x nprobe) probe table must broadcast so the
+    corpus side never shuffles; rerank gets rank pushdown."""
+    plan = plan_of(spark, sf_dir, "q61_ivf_probe_search", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
