@@ -168,3 +168,30 @@ def test_q31_dedup_invariants_vs_batch(spark, sf_dir):
     # 3) no event_id emitted twice (each input row at most once)
     ids = [r["event_id"] for r in out]
     assert len(ids) == len(set(ids))
+
+
+def test_q48_final_state_equals_batch_totals(spark, sf_dir):
+    """q48 (transformWithState, or its applyInPandasWithState fallback
+    when protobuf is absent) maintains the same integer-cents totals as
+    q33 but keyed by event_type — its last emission per key must equal
+    the batch aggregation."""
+    from spark_sql_pubsub_connector_spark.plans.streaming_ops import (
+        q48_stream_transform_with_state,
+    )
+
+    streamed = q48_stream_transform_with_state(spark, sf_dir)
+    finals = (
+        streamed.groupBy("event_type")
+        .agg(F.max(F.struct("n_events", "sum_value_q2")).alias("f"))
+        .select("event_type", "f.n_events", "f.sum_value_q2")
+    )
+    batch = (
+        _seeded_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # q48's fold uses pandas .round() — half-even, i.e. bround
+            F.sum(F.expr("CAST(bround(value * 100) AS LONG)")).alias("sum_value_q2"),
+        )
+    )
+    _assert_rows_equal(_rows(finals, 0), _rows(batch, 0))
