@@ -205,3 +205,89 @@ def q29_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return videos.mapInPandas(
         _sample_frames, schema="doc_id long, frame_idx long, frame_md5 string"
     )
+
+
+# --------------------------------------------------------------------------
+# q62 — image resize plumbing (aspect-fit thumbnail)
+# --------------------------------------------------------------------------
+_THUMB = 64  # fit the longer side to 64px
+
+
+def _resize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Aspect-preserving 'resize': parse the FAKE header, compute the
+    thumbnail dims with exact integer math, and emit a re-encoded FAKE
+    payload whose body is a deterministic signature of (body, dims) —
+    the byte-level dataflow of a real thumbnailer (decode → scale →
+    re-encode) with the pixel codec stubbed out (SURVEY.md §2.3)."""
+    for pdf in batches:
+        ids, ows, ohs, sigs = [], [], [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(b)
+            w, h, _ = _decode_image(payload)
+            body = payload[12:]
+            m = max(w, h)
+            ow, oh = (w * _THUMB) // m, (h * _THUMB) // m
+            body_sig = hashlib.md5(body + f"{ow}x{oh}".encode()).hexdigest()
+            resized = b"FAKE" + f"{ow:04d}{oh:04d}".encode() + body_sig.encode()
+            ids.append(doc_id)
+            ows.append(ow)
+            ohs.append(oh)
+            sigs.append(hashlib.md5(resized).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "out_w": pd.Series(ows, dtype="int64"),
+                "out_h": pd.Series(ohs, dtype="int64"),
+                "resized_md5": pd.Series(sigs, dtype="object"),
+            }
+        )
+
+
+@query(
+    "q62_mm_resize",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         64 + (doc_id % 8) * 32 AS w,
+         64 + (doc_id % 5) * 48 AS h
+  FROM documents
+),
+o AS (
+  SELECT doc_id, text,
+         (w * {_THUMB}) // greatest(w, h) AS ow,
+         (h * {_THUMB}) // greatest(w, h) AS oh
+  FROM dims
+)
+SELECT doc_id,
+       CAST(ow AS BIGINT) AS out_w,
+       CAST(oh AS BIGINT) AS out_h,
+       md5('FAKE' || lpad(CAST(ow AS VARCHAR), 4, '0')
+                  || lpad(CAST(oh AS VARCHAR), 4, '0')
+                  || md5(text || CAST(ow AS VARCHAR) || 'x'
+                              || CAST(oh AS VARCHAR))) AS resized_md5
+FROM o
+""",
+    tags=("multimodal", "resize"),
+)
+def q62_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail plumbing — the missing quartet member next to
+    decode (q27), metadata extraction (q28), and frame sampling (q29):
+    blobs go bytes-in → transformed-bytes-out through mapInPandas,
+    with new dimensions and a content hash of the re-encoded payload
+    surfaced as typed columns. Partition-local, no shuffle; at 100 TB
+    this is the standard shape for bulk image preprocessing (one
+    Arrow-batched Python stage per scan partition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    width = 64 + (F.col("doc_id") % 8) * 32
+    height = 64 + (F.col("doc_id") % 5) * 48
+    header = F.concat(
+        F.lit("FAKE"),
+        F.lpad(width.cast("string"), 4, "0"),
+        F.lpad(height.cast("string"), 4, "0"),
+        F.col("text"),
+    )
+    blobs = docs.select("doc_id", F.encode(header, "UTF-8").alias("payload"))
+    return blobs.mapInPandas(
+        _resize_image,
+        schema="doc_id long, out_w long, out_h long, resized_md5 string",
+    )
