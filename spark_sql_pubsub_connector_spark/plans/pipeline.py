@@ -347,3 +347,48 @@ def q47_dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("fingerprint"))
         .alias("group_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# q64 — class-balanced group capping (deterministic downsampling)
+# --------------------------------------------------------------------------
+_CAP_PER_CLASS = 10
+
+
+@query(
+    "q64_class_balanced_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(rnk AS INTEGER) AS rnk
+FROM ranked
+WHERE rnk <= {_CAP_PER_CLASS}
+""",
+    tags=("pipeline", "sampling", "balance"),
+)
+def q64_class_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap every (lang, source) class at
+    {_CAP_PER_CLASS} documents, chosen by md5-of-doc_id order — a
+    deterministic uniform shuffle within each class, so over-represented
+    classes are cut without any RNG state (the group-capping
+    counterpart of q45's keep-fraction sampling; together they are the
+    rebalancing pair every training-mix pipeline runs).
+
+    Scale: one shuffle keyed by the class pair; WindowGroupLimit keeps
+    {_CAP_PER_CLASS} rows per partition before it, so the exchange
+    carries O(classes x cap), not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CAP_PER_CLASS)
+    )

@@ -400,3 +400,59 @@ def q32_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in msgs
     ]
     return spark.createDataFrame(rows, "data string, event_id long, ordering_key string")
+
+
+@query(
+    "q63_stream_stream_join",
+    oracle=None,  # join-state emission depends on micro-batch cuts
+    tags=("streaming", "join", "interval"),
+)
+def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the last core Structured Streaming
+    capability next to aggregation/dedup/session/arbitrary-state:
+    purchases joined to same-user errors from the preceding 30 minutes,
+    both sides watermarked, keyed state evicted by the time bound. Both
+    sides derive from ONE connector stream (a streaming self-join);
+    the source's replay cache (S9) guarantees the two scans of each
+    micro-batch see identical rows, which is exactly the deterministic
+    re-evaluation contract the reference built its RDD-block cache for.
+
+    The 30-day watermark makes the bounded drain lossless (no join
+    state is evicted while the seeded window is in flight), so the
+    inner-join result equals the batch range join on the same events —
+    asserted by its differential test. At scale the watermark is the
+    state bound: join state is O(events within the watermark window),
+    sharded by user_id."""
+    ev, run = _streamed_events(spark, sf_dir, "ssj")
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 days")
+    )
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "30 days")
+    )
+    j = pur.join(
+        err,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") <= F.col("p_ts"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = j.select(
+        "purchase_id",
+        "error_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("e_ts")).alias("lag_us"),
+    )
+    return _drain_to_memory(out, f"ssj_{run.replace('-', '_')}", "append")

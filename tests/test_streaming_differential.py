@@ -195,3 +195,41 @@ def test_q48_final_state_equals_batch_totals(spark, sf_dir):
         )
     )
     _assert_rows_equal(_rows(finals, 0), _rows(batch, 0))
+
+
+def test_q63_equals_batch_interval_join(spark, sf_dir):
+    """q63's inner interval join under a lossless watermark must equal
+    the batch range join (purchase x same-user error within the prior
+    30 minutes) on the seeded events — all integer columns, so exact."""
+    from spark_sql_pubsub_connector_spark.plans.streaming_ops import (
+        q63_stream_stream_join,
+    )
+
+    streamed = q63_stream_stream_join(spark, sf_dir)
+    ev = _seeded_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts_us").alias("p_us"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts_us").alias("e_us"),
+    )
+    batch = (
+        pur.join(
+            err,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_us") <= F.col("p_us"))
+            & (F.col("p_us") - F.col("e_us") <= 1_800_000_000),
+        )
+        .select(
+            "purchase_id", "error_id", "user_id",
+            (F.col("p_us") - F.col("e_us")).alias("lag_us"),
+        )
+    )
+    s = _rows(streamed.select("purchase_id", "error_id", "user_id", "lag_us"), 0, 1)
+    b = _rows(batch, 0, 1)
+    _assert_rows_equal(s, b)
