@@ -1010,3 +1010,59 @@ def q60_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q65 — salted skew join (the join-side twin of q40's salted aggregate)
+# --------------------------------------------------------------------------
+_JOIN_SALT = 8
+
+
+@query(
+    "q65_skew_join_salted",
+    oracle=f"""
+WITH dim AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS user_n_events,
+         {sql_esum("value", 2, "user_sum_value")}
+  FROM events
+  GROUP BY 1
+)
+SELECT e.event_id, e.user_id, d.user_n_events, d.user_sum_value
+FROM events e
+JOIN dim d ON e.user_id = d.user_id
+""",
+    tags=("join", "skew", "salt"),
+)
+def q65_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-enrichment join under key skew: every event picks up its
+    user's aggregate profile. A plain shuffle join funnels each hot
+    user through one reducer; salting replicates each dim row
+    {_JOIN_SALT} ways and scatters the fact side by a deterministic
+    md5-derived salt, so a hot key spreads across {_JOIN_SALT} tasks.
+    The salt changes the physical plan only — the oracle is the plain
+    join, and the salted result must hash-match it exactly.
+
+    ``shuffle_hash`` is hinted because at 100 TB a user-cardinality
+    dim does not broadcast (and letting the tiny test dim broadcast
+    would optimize the salt away); AQE's skew-join handles sort-merge
+    spills, salting handles hash-join reducers — the two compose."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("user_n_events"),
+        esum("value", 2).alias("user_sum_value"),
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_JOIN_SALT)]))
+    )
+    fact = ev.select("event_id", "user_id").withColumn(
+        "salt",
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) "
+            f"% {_JOIN_SALT} AS INT)"
+        ),
+    )
+    return (
+        fact.join(salted_dim.hint("shuffle_hash"), ["user_id", "salt"])
+        .select("event_id", "user_id", "user_n_events", "user_sum_value")
+    )

@@ -1,0 +1,76 @@
+"""Property tests for operator-construction lemmas (pure Python — no
+SparkSession), covering the invariants the plan-level operators rely
+on but that tiny fixture data exercises only thinly:
+
+  1. range-join bucketing (q59): with bucket width >= range, a
+     qualifying (left, right) pair matches in EXACTLY one of the right
+     side's two probe buckets (no lost pairs, no duplicates), and a
+     non-qualifying pair matches in none after the exact predicate.
+  2. as-of ordering (q55): the strictly-prior composite order
+     (ts, event_id) picks a unique deterministic partner whenever any
+     candidate exists.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+RANGE_US = 1_800_000_000
+BUCKET_US = 1_800_000_000
+
+ts_strategy = st.integers(min_value=0, max_value=10**15)
+
+
+def _bucket(ts: int) -> int:
+    return ts // BUCKET_US
+
+
+@given(e_ts=ts_strategy, p_ts=ts_strategy)
+@settings(max_examples=500, deadline=None)
+def test_range_join_bucket_lemma(e_ts, p_ts):
+    """Mirror of q59's construction: the error row lands in buckets
+    {b, b+1}; the purchase probes its own bucket. A pair passing the
+    exact predicate (0 <= p_ts - e_ts <= RANGE) must match exactly one
+    exploded bucket row; a failing pair contributes nothing after the
+    predicate."""
+    err_buckets = {_bucket(e_ts), _bucket(e_ts) + 1}
+    bucket_matches = 1 if _bucket(p_ts) in err_buckets else 0
+    qualifies = 0 <= p_ts - e_ts <= RANGE_US
+    if qualifies:
+        # width >= range ⇒ bucket(p) ∈ {bucket(e), bucket(e)+1}
+        assert bucket_matches == 1
+    # a pair is never produced twice: the two probe buckets are
+    # distinct, and p has one bucket, so at most one row matches
+    assert bucket_matches <= 1
+
+
+@given(
+    st.lists(
+        st.tuples(ts_strategy, st.integers(min_value=0, max_value=10**6)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[1],  # event_id unique
+    ),
+    ts_strategy,
+    st.integers(min_value=10**6 + 1, max_value=2 * 10**6),
+)
+@settings(max_examples=200, deadline=None)
+def test_asof_strictly_prior_partner_is_unique(clicks, p_ts, p_id):
+    """q55's frame (order by (ts, event_id), UNBOUNDED..1 PRECEDING)
+    must select the max candidate under the composite order among
+    clicks strictly before the purchase — unique because event_ids
+    are unique, and independent of input ordering."""
+    candidates = [(ts, eid) for ts, eid in clicks if (ts, eid) < (p_ts, p_id)]
+    if not candidates:
+        return
+    expected = max(candidates)
+    # simulate the window: sort all rows by composite key, walk to the
+    # purchase position, take the last click seen before it
+    rows = sorted([(ts, eid, "click") for ts, eid in clicks] + [(p_ts, p_id, "purchase")])
+    last_click = None
+    for ts, eid, kind in rows:
+        if kind == "purchase" and eid == p_id:
+            break
+        last_click = (ts, eid)
+    assert last_click == expected

@@ -256,3 +256,14 @@ def test_ivf_probe_search_broadcasts_probes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_skew_join_salted_is_shuffled_hash_on_composite_key(spark, sf_dir):
+    """q65: the salted join must be a ShuffledHashJoin keyed by
+    (user_id, salt) — a broadcast would optimize the salt away and a
+    nested-loop would mean the composite equi-key was lost."""
+    plan = plan_of(spark, sf_dir, "q65_skew_join_salted", mode="formatted")
+    assert "ShuffledHashJoin" in plan, plan
+    # formatted mode lists join keys in the node detail section
+    key_lines = [l for l in plan.splitlines() if "keys [" in l]
+    assert any("salt" in l and "user_id" in l for l in key_lines), key_lines
