@@ -125,14 +125,15 @@ def q44_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds every key's bucket at DF_CAP docs, so the join output is
     Σ|bucket_train|·|bucket_test| ≤ DF_CAP² per key — never O(n²).
 
-    The keyed shingle table feeds three consumers (the df-count pass
-    and both join sides), so it is materialized ONCE as a parquet
-    stage in a session-scoped temp dir and re-read, instead of letting
-    Catalyst re-evaluate the shingle+md5 subtree per consumer — the
-    same one materialization real decontamination pipelines pay, but
-    durable: unlike ``localCheckpoint`` (executor-local blocks, lost
-    with any executor), a parquet stage survives executor loss on a
-    cluster, and the re-read prunes to exactly the three columns."""
+    The test-key-filtered shingle table feeds three consumers (the
+    df-count pass and both join sides), so it is materialized ONCE as
+    a parquet stage in a session-scoped temp dir and re-read, instead
+    of letting Catalyst re-evaluate the shingle+md5+join subtree per
+    consumer — the same one materialization real decontamination
+    pipelines pay, but durable: unlike ``localCheckpoint``
+    (executor-local blocks, lost with any executor), a parquet stage
+    survives executor loss on a cluster, and it holds only the
+    test-key survivors, not the full keyed corpus."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "source", tokens("text").alias("w"))
     sh = (
@@ -148,14 +149,29 @@ def q44_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         hex_prefix_int(F.md5(F.encode(F.col("s"), "UTF-8")), _KEY_HEX).alias("k"),
     )
-    keyed = _materialize(spark, keyed, "q44_keyed")
+    # Only keys that occur in the TEST shard can ever produce a pair,
+    # and the df-cap of a key not in the test shard is irrelevant — so
+    # the corpus is pre-filtered by the (small) test key set before
+    # any aggregate or join. The test key set is built from a scan
+    # whose source=test filter pushes into parquet (a shard orders of
+    # magnitude smaller than the corpus), so the expensive full-corpus
+    # shingle+md5 subtree is evaluated exactly once, into the join
+    # below; only the test-key-filtered survivors — ~|test| x DF_CAP
+    # rows — are materialized for the df-count and both join sides.
+    # AQE broadcasts the key set when it fits and falls back to a hash
+    # join when a huge test shard doesn't.
+    te_keys = (
+        keyed.filter(F.col("source") == _TEST_SOURCE).select("k").distinct()
+    )
+    kt = keyed.join(te_keys, "k")
+    kt = _materialize(spark, kt, "q44_kt")
     rare = (
-        keyed.groupBy("k")
+        kt.groupBy("k")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") <= _DF_CAP)
         .select("k")
     )
-    fk = keyed.join(rare, "k")
+    fk = kt.join(rare, "k")
     tr = fk.filter(F.col("source") != _TEST_SOURCE).select(
         F.col("k"), F.col("doc_id").alias("train_doc_id")
     )
