@@ -550,3 +550,75 @@ def q61_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "sim_q9")
     )
+
+
+# --------------------------------------------------------------------------
+# q66 — k-means update step (M-step over the IVF assignment)
+# --------------------------------------------------------------------------
+@query(
+    "q66_kmeans_update",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, {sql_quant_arr('embedding')} AS q FROM embeddings
+),
+d AS (
+  SELECT vec_id, q,
+         {", ".join(f"{x} AS d{k}" for k, x in enumerate(_ivf_dist_exprs(True)))}
+  FROM e
+),
+a AS (
+  SELECT q,
+         CASE {" ".join(f"WHEN d{k} = least({', '.join(f'd{j}' for j in range(_IVF_K))}) THEN {k}" for k in range(_IVF_K))} END AS cell
+  FROM d
+),
+x AS (
+  SELECT cell, i - 1 AS pos, q[i] AS v
+  FROM a, unnest(range(1, 65)) AS t(i)
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_q6
+FROM x
+GROUP BY 1, 2
+""",
+    tags=("similarity", "ivf", "kmeans", "iterative"),
+)
+def q66_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means M-step: re-estimate every IVF centroid as the
+    elementwise mean of its assigned vectors (q49 is the E-step; a
+    training loop alternates the two until assignments stabilize —
+    each iteration is this same bounded-shuffle job).
+
+    The update stays in LONG form — (cell, pos) keyed rows, never a
+    per-cell array aggregate — so the shuffle is fine-grained
+    (k x dim groups, each a scalar sum/count with map-side partials)
+    and no executor ever holds collect_list state. The mean floors
+    through an identical IEEE divide on both engines; sums stay exact
+    BIGINTs on the 1e-6 grid."""
+    dists = _ivf_dist_exprs(False)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(quant_arr_expr("embedding")).alias("q")
+    )
+    d = e.select(
+        "vec_id", "q", *[F.expr(x).alias(f"d{k}") for k, x in enumerate(dists)]
+    )
+    least = F.least(*[F.col(f"d{k}") for k in range(_IVF_K)])
+    cell = None
+    for k in range(_IVF_K):
+        cond = F.col(f"d{k}") == least
+        cell = F.when(cond, F.lit(k)) if cell is None else cell.when(cond, F.lit(k))
+    a = d.select("q", cell.cast("long").alias("cell"))
+    x = a.select("cell", F.posexplode("q").alias("pos", "v"))
+    return (
+        x.groupBy("cell", "pos")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("v").alias("s"))
+        .select(
+            "cell",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.expr("CAST(floor(CAST(s AS DOUBLE) / n_members) AS BIGINT)").alias(
+                "centroid_q6"
+            ),
+        )
+    )
