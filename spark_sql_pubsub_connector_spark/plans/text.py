@@ -636,3 +636,73 @@ def q58_tfidf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _RARITY_TOPK)
         .select("doc_id", "token", "tf", "df", "rarity_q6", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# q67 — bigram language-model training (conditional counts)
+# --------------------------------------------------------------------------
+_LM_SCALE = 1_000_000
+_LM_MIN_PAIR = 3  # prune hapax/rare bigrams like real LM pipelines
+
+
+@query(
+    "q67_bigram_lm",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
+bi AS (
+  SELECT w[i] AS head, w[i + 1] AS tail
+  FROM t, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+),
+pc AS (
+  SELECT head, tail, CAST(count(*) AS BIGINT) AS c_pair
+  FROM bi GROUP BY 1, 2
+),
+hc AS (
+  SELECT head, CAST(sum(c_pair) AS BIGINT) AS c_head
+  FROM pc GROUP BY 1
+)
+SELECT pc.head, pc.tail, pc.c_pair, hc.c_head,
+       CAST((pc.c_pair * {_LM_SCALE}) // hc.c_head AS BIGINT) AS p_q6
+FROM pc JOIN hc ON pc.head = hc.head
+WHERE pc.c_pair >= {_LM_MIN_PAIR}
+""",
+    tags=("text", "lm", "two-pass"),
+)
+def q67_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a bigram language model over the corpus: conditional
+    probability P(tail | head) = count(head,tail)/count(head,·) on the
+    1e-6 integer grid, rare bigrams pruned — the count-based LM /
+    next-token-statistics job (quality scoring, vocabulary induction,
+    Kneser-Ney inputs) every text pipeline eventually runs.
+
+    Scale: bigram extraction is a per-row transform + explode; the
+    pair count is a hash aggregate whose map-side partials collapse
+    repeated bigrams per partition (Zipf makes that collapse large);
+    head totals derive from the ALREADY-aggregated pair table — summing
+    c_pair per head instead of re-counting tokens, so the second pass
+    shuffles one row per distinct pair, not per token. The final join
+    is keyed by head; the conditional probability is pure integer
+    arithmetic (no cross-engine libm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens("text").alias("w")).filter(F.size("w") >= 2)
+    bi = t.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS head, w[i + 1] AS tail))")
+        ).alias("b")
+    ).select("b.head", "b.tail")
+    pc = bi.groupBy("head", "tail").agg(
+        F.count(F.lit(1)).cast("long").alias("c_pair")
+    )
+    hc = pc.groupBy("head").agg(F.sum("c_pair").cast("long").alias("c_head"))
+    return (
+        pc.join(hc, "head")
+        .filter(F.col("c_pair") >= _LM_MIN_PAIR)
+        .select(
+            "head",
+            "tail",
+            "c_pair",
+            "c_head",
+            F.expr(f"(c_pair * {_LM_SCALE}) DIV c_head").cast("long").alias("p_q6"),
+        )
+    )
