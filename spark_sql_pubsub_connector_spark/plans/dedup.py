@@ -419,3 +419,166 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     return lab
+
+
+# --------------------------------------------------------------------------
+# q68 — dedup savings report (cluster stats over q54)
+# --------------------------------------------------------------------------
+@query(
+    "q68_dedup_savings",
+    oracle=f"""
+WITH RECURSIVE {_sql_minhash_bands()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a
+  JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.lab FROM edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (
+  SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY node
+),
+stats AS (
+  SELECT c.component_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+  FROM comp c JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT s.component_id, s.n_docs, s.total_chars,
+       CAST(k.n_chars AS BIGINT) AS keep_chars,
+       CAST(s.total_chars - k.n_chars AS BIGINT) AS saved_chars
+FROM stats s JOIN documents k ON k.doc_id = s.component_id
+""",
+    tags=("dedup", "graph", "report"),
+)
+def q68_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision report: per near-dup cluster (q54), how many
+    documents collapse into the kept representative and how many
+    characters deduplication saves — the number a data-curation run
+    actually reports. The representative IS the component id (min
+    doc_id of the component), so its size joins back by key.
+
+    Scale: q54's converged (doc_id, component_id) frame joins
+    documents on doc_id (co-partitioned high-cardinality key), one
+    component-keyed aggregate, then a keyed join for the keeper's
+    size — all fine-grained shuffles."""
+    comp = q54_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stats = (
+        comp.join(docs, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    keep = docs.select(
+        F.col("doc_id").alias("component_id"),
+        F.col("n_chars").cast("long").alias("keep_chars"),
+    )
+    return stats.join(keep, "component_id").select(
+        "component_id",
+        "n_docs",
+        "total_chars",
+        "keep_chars",
+        (F.col("total_chars") - F.col("keep_chars")).cast("long").alias("saved_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — PageRank centrality over the near-dup graph (integer-exact)
+# --------------------------------------------------------------------------
+_PR_ITERS = 3
+_PR_ONE = 1_000_000  # rank unit on the 1e-6 grid
+_PR_BASE = 150_000  # (1 - d) on the grid, d = 0.85
+
+
+def _sql_pr_iter(i: int) -> str:
+    """One unrolled oracle PageRank step: shares are integer divisions
+    of the previous rank by degree, the damping product is an integer
+    DIV — bit-identical in any engine."""
+    return f"""
+s{i} AS (
+  SELECT e.dst AS doc_id, p{i}.pr // dg.deg AS share
+  FROM edges e
+  JOIN dg ON dg.doc_id = e.src
+  JOIN p{i} ON p{i}.doc_id = e.src
+),
+p{i + 1} AS (
+  SELECT d.doc_id,
+         {_PR_BASE} + (85 * COALESCE(m.s, 0)) // 100 AS pr
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, CAST(sum(share) AS BIGINT) AS s
+             FROM s{i} GROUP BY 1) m USING (doc_id)
+)"""
+
+
+@query(
+    "q69_pagerank_centrality",
+    oracle=f"""
+WITH RECURSIVE {_sql_minhash_bands()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a
+  JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+dg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+p0 AS (SELECT doc_id, CAST({_PR_ONE} AS BIGINT) AS pr FROM documents),
+{",".join(_sql_pr_iter(i) for i in range(_PR_ITERS))}
+SELECT doc_id, CAST(pr AS BIGINT) AS rank_q6
+FROM p{_PR_ITERS}
+""",
+    tags=("dedup", "graph", "iterative", "pagerank"),
+)
+def q69_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document centrality in the near-dup graph: {_PR_ITERS} PageRank
+    iterations (d = 0.85) over q17's symmetric candidate-pair edges —
+    the keep-priority signal dedup pipelines use when the cluster
+    representative should be the most-connected member rather than the
+    lowest id. Every step is integer arithmetic on the 1e-6 grid
+    (share = pr DIV deg, damping = (85·Σ) DIV 100), so the unrolled
+    oracle matches bit-for-bit with no cross-engine float drift —
+    the same fixed-point discipline as the exact-sum helpers.
+
+    Scale: per iteration one edge→rank join keyed by src and one
+    dst-keyed aggregate, both fine-grained; rank state is one row per
+    document. A production run would persist each iteration like q54;
+    at {_PR_ITERS} unrolled steps Catalyst handles the tree as-is."""
+    pairs = q17_dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    pr = docs.select("doc_id", F.lit(_PR_ONE).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        shares = (
+            edges.join(deg, "src")
+            .join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .select(F.col("dst").alias("doc_id"), F.expr("pr DIV deg").alias("share"))
+        )
+        incoming = shares.groupBy("doc_id").agg(
+            F.sum("share").cast("long").alias("s")
+        )
+        pr = docs.join(incoming, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(_PR_BASE)
+                + F.expr("85 * COALESCE(s, 0L) DIV 100")
+            ).cast("long").alias("pr"),
+        )
+    return pr.select("doc_id", F.col("pr").alias("rank_q6"))
