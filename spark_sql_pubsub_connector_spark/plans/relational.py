@@ -1066,3 +1066,127 @@ def q65_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact.join(salted_dim.hint("shuffle_hash"), ["user_id", "salt"])
         .select("event_id", "user_id", "user_n_events", "user_sum_value")
     )
+
+
+# --------------------------------------------------------------------------
+# q70 — session funnel conversion (click → purchase within a session)
+# --------------------------------------------------------------------------
+_FUNNEL_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q70_session_funnel",
+    oracle=f"""
+WITH flagged AS (
+  SELECT
+    user_id, event_id, event_type,
+    epoch_us(ts) AS ts_us,
+    CASE
+      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_FUNNEL_GAP_US} THEN 1
+      ELSE 0
+    END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT *,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_clicks,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+       coalesce(
+         max(CASE WHEN event_type = 'purchase' THEN ts_us END)
+           >= min(CASE WHEN event_type = 'click' THEN ts_us END),
+         FALSE) AS converted
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("window", "session", "funnel"),
+)
+def q70_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis over gap-detected sessions (q15's machinery):
+    per session, click and purchase counts plus whether the session
+    CONVERTED — some purchase at-or-after the first click, computed in
+    the same aggregate pass as ``max(purchase ts) >= min(click ts)``
+    (no second window or self-join). NULL-safe: a session with no
+    click or no purchase is not converted.
+
+    Scale: identical movement to q15 — one user-keyed window shuffle,
+    then a (user, session) hash aggregate with map-side partials;
+    conversion adds only two conditional min/max columns."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts_us").over(w).isNull(), F.lit(1))
+        .when(F.col("ts_us") - F.lag("ts_us").over(w) > _FUNNEL_GAP_US, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    pur_ts = F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.count(click_ts).alias("n_clicks"),
+        F.count(pur_ts).alias("n_purchases"),
+        F.coalesce(F.max(pur_ts) >= F.min(click_ts), F.lit(False)).alias("converted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q71 — retention cohorts (signup day x activity-day offset)
+# --------------------------------------------------------------------------
+@query(
+    "q71_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_day,
+         epoch_us(e.ts) // 86400000000 - f.cohort_day AS day_offset
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY 1, 2
+""",
+    tags=("agg", "cohort", "retention"),
+)
+def q71_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users grouped by first-seen day (cohort),
+    counted once per (cohort, day-offset) they were active — the
+    standard product-analytics rollup. Day arithmetic is integer
+    epoch-µs division, identical in both engines.
+
+    Scale: first-seen is a user-keyed min aggregate; the cohort join
+    is keyed by user_id (co-partitioned with the events shuffle); the
+    distinct collapses each user's repeat activity map-side. No step
+    carries more than one row per (user, active day)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

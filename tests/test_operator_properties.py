@@ -74,3 +74,73 @@ def test_asof_strictly_prior_partner_is_unique(clicks, p_ts, p_id):
             break
         last_click = (ts, eid)
     assert last_click == expected
+
+
+# ---------------------------------------------------------------------------
+# q54's convergence algorithm, validated against union-find ground truth
+# ---------------------------------------------------------------------------
+def _cc_fixpoint(nodes, edges):
+    """Pure-Python mirror of q54's iteration: min over {self} ∪
+    neighbor labels, then pointer jumping (label := label(label)),
+    until sum(labels) stops decreasing. Returns labels and rounds."""
+    sym = edges | {(b, a) for a, b in edges}
+    lab = {n: n for n in nodes}
+    prev = sum(lab.values())
+    rounds = 0
+    while True:
+        rounds += 1
+        merged = dict(lab)
+        for src, dst in sym:
+            if lab[dst] < merged[src]:
+                merged[src] = lab[dst]
+        lab = {n: merged[merged[n]] for n in nodes}  # pointer jump
+        cur = sum(lab.values())
+        if cur == prev:
+            return lab, rounds
+        prev = cur
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node of each component
+    return {n: find(n) for n in nodes}
+
+
+@given(
+    st.integers(min_value=1, max_value=60).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.sets(
+                st.tuples(
+                    st.integers(min_value=0, max_value=n - 1),
+                    st.integers(min_value=0, max_value=n - 1),
+                ).filter(lambda p: p[0] != p[1]),
+                max_size=80,
+            ),
+        )
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cc_min_label_pointer_jumping_matches_union_find(case):
+    """q54's distributed algorithm must assign every node the MIN node
+    id of its connected component (union-find ground truth), on any
+    graph shape — chains, stars, cycles, forests."""
+    n, edges = case
+    nodes = set(range(n))
+    lab, rounds = _cc_fixpoint(nodes, edges)
+    truth = _union_find(nodes, edges)
+    assert lab == truth
+    # pointer jumping keeps rounds logarithmic-ish; a chain of 60
+    # nodes must converge far faster than its diameter
+    assert rounds <= 12
