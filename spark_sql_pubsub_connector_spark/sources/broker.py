@@ -171,39 +171,45 @@ class FileBroker:
         d = self._topic_dir(topic)
         if not os.path.isdir(d):
             raise KeyError(f"no such topic: {topic}")
+        # Validate and buffer EVERY staged line before appending any:
+        # a malformed line discovered mid-append would leave earlier
+        # lines in the log with .seq never advanced, so the next
+        # publish would mint duplicate seq numbers — silent log
+        # corruption. Staged chunks are bounded (publish_batch_size),
+        # so buffering one commit's bodies is driver-side small.
+        bodies: list[str] = []
+        for path in staged_files:
+            with open(path) as src:
+                for line in src:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if line[0] != "{":
+                        # never assert here: under ``python -O`` an
+                        # assert vanishes and a malformed line would be
+                        # spliced verbatim into the shared topic log,
+                        # corrupting it for every consumer
+                        raise ValueError(
+                            f"staged line must be a JSON object "
+                            f"(got {line[:40]!r} in {path})"
+                        )
+                    bodies.append(line[1:])
         n = 0
         with self._lock():
             with open(os.path.join(d, ".seq")) as fh:
                 seq = int(fh.read().strip() or "0")
             with open(os.path.join(d, "log.jsonl"), "a") as log:
-                for path in staged_files:
-                    with open(path) as src:
-                        for line in src:
-                            line = line.strip()
-                            if not line:
-                                continue
-                            if line[0] != "{":
-                                # never assert here: under ``python -O``
-                                # an assert vanishes and a malformed
-                                # line would be spliced verbatim into
-                                # the shared topic log while the broker
-                                # lock is held, corrupting it for every
-                                # consumer
-                                raise ValueError(
-                                    f"staged line must be a JSON object "
-                                    f"(got {line[:40]!r} in {path})"
-                                )
-                            body = line[1:]
-                            sep = "" if body.lstrip().startswith("}") else " "
-                            log.write(
-                                f'{{"seq": {seq}, "message_id": "{seq}"'
-                                + ("," if sep else "")
-                                + sep
-                                + body
-                                + "\n"
-                            )
-                            seq += 1
-                            n += 1
+                for body in bodies:
+                    sep = "" if body.lstrip().startswith("}") else " "
+                    log.write(
+                        f'{{"seq": {seq}, "message_id": "{seq}"'
+                        + ("," if sep else "")
+                        + sep
+                        + body
+                        + "\n"
+                    )
+                    seq += 1
+                    n += 1
             with open(os.path.join(d, ".seq"), "w") as fh:
                 fh.write(str(seq))
         return n

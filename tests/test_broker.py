@@ -147,3 +147,25 @@ class TestRealClientParity:
         # explicit endpoint overrides region (Subscriber.scala:64-70),
         # lowercased like the reference
         assert r("us-east1", "Localhost:8085") == "localhost:8085"
+
+
+def test_commit_staged_malformed_line_leaves_log_untouched(broker, tmp_path):
+    """A malformed staged line must fail the WHOLE commit atomically:
+    no partial append (which would desync .seq and mint duplicate seq
+    numbers on the next publish) and the topic stays usable."""
+    broker.publish("t", _msgs(2))
+    good = tmp_path / "good.jsonl"
+    good.write_text('{"data_b64": "YQ==", "attributes": {}, "ordering_key": ""}\n')
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(
+        '{"data_b64": "Yg==", "attributes": {}, "ordering_key": ""}\n'
+        "not-json-at-all\n"
+    )
+    with pytest.raises(ValueError, match="JSON object"):
+        broker.commit_staged("t", [str(good), str(bad)])
+    # nothing appended — not even the valid lines before the bad one
+    assert len(broker.topic_messages("t")) == 2
+    # the topic still works, with contiguous seqs
+    broker.publish("t", _msgs(1))
+    msgs = broker.topic_messages("t")
+    assert [m.message_id for m in msgs] == ["0", "1", "2"]
