@@ -706,3 +706,206 @@ def q67_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(c_pair * {_LM_SCALE}) DIV c_head").cast("long").alias("p_q6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q72 — Count-Min sketch token frequencies (probed against truth)
+# --------------------------------------------------------------------------
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_PROBES = ("the", "a", "spark", "window", "join", "batch", "zzz_absent")
+_CMS_PROBE_SQL = ", ".join(f"'{t}'" for t in _CMS_PROBES)
+
+from ..functions.textops import hex_prefix_int, md5_str, sql_hex_prefix_int  # noqa: E402
+
+
+@query(
+    "q72_cms_token_freq",
+    oracle=f"""
+WITH t AS (SELECT unnest({sql_tokens('text')}) AS token FROM documents),
+cells AS (
+  SELECT r, md5(CAST(r AS VARCHAR) || ':' || token) AS h, token
+  FROM t, unnest(range(0, {_CMS_DEPTH})) AS u(r)
+),
+sketch AS (
+  SELECT r, {sql_hex_prefix_int('h')} % {_CMS_WIDTH} AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2
+),
+probes AS (SELECT unnest(ARRAY[{_CMS_PROBE_SQL}]) AS token),
+pcells AS (
+  SELECT p.token, u.r,
+         {sql_hex_prefix_int("md5(CAST(u.r AS VARCHAR) || ':' || p.token)")}
+           % {_CMS_WIDTH} AS col
+  FROM probes p, unnest(range(0, {_CMS_DEPTH})) AS u(r)
+),
+est AS (
+  SELECT pc.token,
+         CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
+  FROM pcells pc LEFT JOIN sketch s ON pc.r = s.r AND pc.col = s.col
+  GROUP BY 1
+),
+truth AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_cnt FROM t GROUP BY 1
+)
+SELECT e.token, e.cms_est,
+       CAST(coalesce(tr.true_cnt, 0) AS BIGINT) AS true_cnt,
+       CAST(e.cms_est - coalesce(tr.true_cnt, 0) AS BIGINT) AS overcount
+FROM est e LEFT JOIN truth tr ON e.token = tr.token
+""",
+    tags=("text", "sketch", "frequency"),
+)
+def q72_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream: a {_CMS_DEPTH}×256
+    counter grid built from md5-derived row hashes, probed for a fixed
+    token set and compared against exact counts — the heavy-hitter /
+    frequency-estimation sketch (CM sketch, Cormode & Muthukrishnan)
+    that lets a 100 TB pipeline answer "how often does token X occur"
+    from kilobytes of state instead of a full-corpus aggregate.
+
+    Scale: the sketch is a hash aggregate on (row, col) whose key space
+    is constant (depth×width = 1024 cells) regardless of corpus size —
+    map-side partials collapse everything before one tiny shuffle; the
+    probe join is a broadcast against the 1024-row sketch. Every hash
+    is md5 + integer arithmetic in whole-stage codegen; no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    cells = tok.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r"),
+        F.col("token"),
+    ).select(
+        "r",
+        (
+            hex_prefix_int(
+                md5_str(F.concat_ws(":", F.col("r").cast("string"), F.col("token")))
+            )
+            % _CMS_WIDTH
+        ).alias("col"),
+    )
+    sketch = cells.groupBy("r", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CMS_PROBES])).alias("token")
+    )
+    pcells = probes.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r"),
+    ).select(
+        "token",
+        "r",
+        (
+            hex_prefix_int(
+                md5_str(F.concat_ws(":", F.col("r").cast("string"), F.col("token")))
+            )
+            % _CMS_WIDTH
+        ).alias("col"),
+    )
+    est = (
+        pcells.join(sketch, ["r", "col"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+    truth = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return (
+        est.join(truth, "token", "left")
+        .select(
+            "token",
+            "cms_est",
+            F.coalesce(F.col("true_cnt"), F.lit(0)).cast("long").alias("true_cnt"),
+            (F.col("cms_est") - F.coalesce(F.col("true_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 — HyperLogLog distinct-token estimate (integer-exact registers)
+# --------------------------------------------------------------------------
+_HLL_M = 256  # 2 hex chars of bucket address
+_HLL_ALPHA_Q4 = 7213  # alpha_256 ~= 0.7213 on the 1e-4 grid
+_HLL_POW32 = 1 << 32
+
+
+@query(
+    "q73_hll_distinct",
+    oracle=f"""
+WITH t AS (SELECT unnest({sql_tokens('text')}) AS token FROM documents),
+h AS (SELECT token, md5(token) AS h FROM t),
+c AS (
+  SELECT {sql_hex_prefix_int('h', 2)} AS bucket,
+         {sql_hex_prefix_int("substr(h, 3, 8)")} AS v
+  FROM h
+),
+r AS (
+  SELECT bucket, CAST(max(33 - length(bin(v))) AS BIGINT) AS rho_max
+  FROM c WHERE v > 0 GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS occupied,
+         CAST(sum(1::BIGINT << (32 - rho_max)) AS BIGINT) AS s_occ
+  FROM r
+),
+d AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS true_distinct FROM t)
+SELECT s.occupied,
+       CAST(s.s_occ + ({_HLL_M} - s.occupied) * {_HLL_POW32} AS BIGINT) AS s_scaled,
+       CAST(({_HLL_ALPHA_Q4} * {_HLL_M * _HLL_M} * {_HLL_POW32})
+            // (10000 * (s.s_occ + ({_HLL_M} - s.occupied) * {_HLL_POW32}))
+            AS BIGINT) AS hll_est,
+       d.true_distinct
+FROM s, d
+""",
+    tags=("text", "sketch", "distinct"),
+)
+def q73_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality: 256 registers addressed
+    by the first md5 byte, rho = leading-zero rank of the next 32 hash
+    bits, harmonic mean on an exact power-of-two integer grid
+    (S = sum 2^(32-rho) so the estimate alpha*m^2/sum(2^-rho) becomes
+    one integer division) — the constant-state distinct counter
+    (Flajolet et al.) a 100 TB pipeline uses instead of
+    count(distinct), compared here against the exact answer.
+
+    Scale: register construction is a 256-key hash aggregate — partial
+    max per partition, one kilobyte-scale shuffle, mergeable across any
+    partitioning (the property that makes HLL work as a distributed
+    accumulator). The exact count(distinct) twin exists only to report
+    estimation error. rho is computed without libm: 33 - length(bin(v))
+    on both engines (bin() prints without leading zeros in Spark and
+    DuckDB alike)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    h = tok.select("token", md5_str(F.col("token")).alias("h"))
+    c = h.select(
+        hex_prefix_int(F.col("h"), 2).alias("bucket"),
+        hex_prefix_int(F.substring("h", 3, 8)).alias("v"),
+    ).filter(F.col("v") > 0)
+    r = (
+        c.select(
+            "bucket", (F.lit(33) - F.length(F.bin("v"))).cast("long").alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        F.sum(F.expr("shiftleft(1L, CAST(32 - rho_max AS INT))"))
+        .cast("long")
+        .alias("s_occ"),
+    )
+    d = h.agg(F.countDistinct("token").cast("long").alias("true_distinct"))
+    s_scaled = F.col("s_occ") + (F.lit(_HLL_M) - F.col("occupied")) * F.lit(
+        _HLL_POW32
+    )
+    return s.crossJoin(d).select(
+        "occupied",
+        s_scaled.cast("long").alias("s_scaled"),
+        F.expr(
+            f"CAST(({_HLL_ALPHA_Q4} * {_HLL_M * _HLL_M} * {_HLL_POW32}) DIV "
+            f"(10000 * (s_occ + ({_HLL_M} - occupied) * {_HLL_POW32})) AS BIGINT)"
+        ).alias("hll_est"),
+        "true_distinct",
+    )
