@@ -1190,3 +1190,125 @@ def q71_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# q74 — Bloom-filter semi-join pruning (broadcast bitset before shuffle)
+# --------------------------------------------------------------------------
+_BLOOM_M = 4096  # bits in the filter
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(j_col: str, key_col: str):
+    """Position of hash j for a bigint key: md5("j:key") prefix mod m."""
+    from ..functions.textops import hex_prefix_int, md5_str
+
+    return (
+        hex_prefix_int(
+            md5_str(
+                F.concat_ws(
+                    ":", F.col(j_col).cast("string"), F.col(key_col).cast("string")
+                )
+            )
+        )
+        % _BLOOM_M
+    )
+
+
+def _sql_bloom_pos(j_expr: str, key_expr: str) -> str:
+    from ..functions.textops import sql_hex_prefix_int
+
+    h = f"md5(CAST({j_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR))"
+    return f"({sql_hex_prefix_int(h)} % {_BLOOM_M})"
+
+
+@query(
+    "q74_bloom_semijoin",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+bloom AS (
+  SELECT DISTINCT {_sql_bloom_pos('u.j', 'keys.k')} AS pos
+  FROM keys, unnest(range(0, {_BLOOM_K})) AS u(j)
+),
+probe AS (SELECT DISTINCT l_orderkey AS pk FROM lineitem),
+ppos AS (
+  SELECT DISTINCT probe.pk, {_sql_bloom_pos('u.j', 'probe.pk')} AS pos
+  FROM probe, unnest(range(0, {_BLOOM_K})) AS u(j)
+),
+gen AS (SELECT pk, count(*) AS npos FROM ppos GROUP BY 1),
+hit AS (
+  SELECT ppos.pk, count(*) AS nhit
+  FROM ppos JOIN bloom USING (pos) GROUP BY 1
+),
+cand AS (
+  SELECT gen.pk FROM gen JOIN hit USING (pk) WHERE hit.nhit = gen.npos
+),
+truth AS (SELECT probe.pk FROM probe JOIN keys ON probe.pk = keys.k)
+SELECT
+  CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_urgent_keys,
+  CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe_keys,
+  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+  CAST((SELECT count(*) FROM cand) - (SELECT count(*) FROM truth)
+       AS BIGINT) AS n_false_pos,
+  (SELECT {sql_esum('l_extendedprice')} FROM lineitem
+   WHERE l_orderkey IN (SELECT k FROM keys)) AS urgent_revenue
+""",
+    tags=("join", "bloom", "pruning"),
+)
+def q74_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: the urgent-order key set is
+    collapsed into a {_BLOOM_K}-hash / {_BLOOM_M}-bit Bloom filter
+    (materialized as its set bit positions, <= {_BLOOM_M} rows no
+    matter how many keys), broadcast to probe the fact side, and only
+    bloom-surviving keys reach the exact verification join. The result
+    reports the measured false-positive count alongside the verified
+    revenue — the runtime-filter pattern (a la Spark's own
+    InjectRuntimeFilter) made explicit and measurable.
+
+    Scale: the bitset aggregate is bounded by m={_BLOOM_M} rows
+    regardless of build-side cardinality, so the probe is a broadcast
+    hash join against a kilobyte-scale table; the expensive shuffle
+    join runs only over bloom candidates (false-positive rate
+    ~(1-e^(-kn/m))^k). All hashing is md5 + integer arithmetic in
+    whole-stage codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    jseq = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bloom = keys.select("k", jseq).select(_bloom_pos("j", "k").alias("pos")).distinct()
+    probe = li.select(F.col("l_orderkey").alias("pk")).distinct()
+    ppos = probe.select("pk", jseq).select("pk", _bloom_pos("j", "pk").alias("pos")).distinct()
+    gen = ppos.groupBy("pk").agg(F.count(F.lit(1)).alias("npos"))
+    hit = (
+        ppos.join(F.broadcast(bloom), "pos")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+    )
+    cand = gen.join(hit, "pk").filter(F.col("nhit") == F.col("npos")).select("pk")
+    truth = probe.join(keys, probe.pk == keys.k, "semi")
+
+    counts = (
+        keys.agg(F.count(F.lit(1)).cast("long").alias("n_urgent_keys"))
+        .crossJoin(probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe_keys")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+    )
+    revenue = li.join(keys, li.l_orderkey == keys.k, "semi").agg(
+        esum("l_extendedprice").alias("urgent_revenue")
+    )
+    return counts.crossJoin(revenue).select(
+        "n_urgent_keys",
+        "n_probe_keys",
+        "n_candidates",
+        "n_true",
+        (F.col("n_candidates") - F.col("n_true")).cast("long").alias("n_false_pos"),
+        "urgent_revenue",
+    )
