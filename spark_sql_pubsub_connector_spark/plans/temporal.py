@@ -194,3 +194,96 @@ def q59_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pur_ts_us") - F.col("err_ts_us")).cast("long").alias("lag_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q75 — time-series gap-fill + forward fill (resample to an hourly grid)
+# --------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q75_gapfill_ffill",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // {_HOUR_US} AS h,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM bounds
+),
+joined AS (
+  SELECT g.event_type, g.h,
+         coalesce(a.n_events, 0) AS n_events,
+         a.sum_cents
+  FROM grid g LEFT JOIN hourly a USING (event_type, h)
+)
+SELECT event_type,
+       CAST(h AS BIGINT) AS hour_idx,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events = 0 AS BIGINT) AS is_gap,
+       CAST(last_value(sum_cents IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS filled_cents
+FROM joined
+""",
+    tags=("temporal", "gapfill", "window"),
+)
+def q75_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: events are rolled up to an hourly grid
+    per event_type, missing hours are materialized from a generated
+    per-type min..max hour sequence, and the last observed hourly
+    value is carried forward into the gaps (forward fill) — the
+    standard resample/ffill operator a feature-engineering pipeline
+    needs before windowed model inputs.
+
+    Scale: the raw 100 TB event stream collapses FIRST via a
+    (type, hour) partial-then-final hash aggregate — everything after
+    that operates on the grid, whose size is #types x #hours (time-
+    bounded, not data-bounded). The gap grid is a generated sequence
+    (no scan), the fill window partitions by type over hours, and the
+    left join is broadcast-friendly because both sides are grid-sized.
+    Value sums are exact integer cents so the fill is bit-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("h"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("h"))
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "sum_cents",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.col("h").cast("long").alias("hour_idx"),
+        "n_events",
+        (F.col("n_events") == 0).cast("long").alias("is_gap"),
+        F.last("sum_cents", ignorenulls=True).over(w).cast("long").alias("filled_cents"),
+    )
