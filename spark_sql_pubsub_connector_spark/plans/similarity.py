@@ -622,3 +622,78 @@ def q66_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q76 — sign random projection (Johnson–Lindenstrauss dim reduction)
+# --------------------------------------------------------------------------
+_RP_PLANES = 16
+_RP_SCALE = 1_000_000  # per-element quantization grid
+
+
+def _rp_rows() -> list[tuple[int, list[int]]]:
+    from ..functions.vecops import DIM, hyperplanes
+
+    return list(enumerate(hyperplanes(_RP_PLANES, DIM)))
+
+
+def _rp_oracle() -> str:
+    from ..functions.vecops import DIM
+
+    vals = ", ".join(
+        f"({j}, [{', '.join(str(c) for c in row)}])" for j, row in _rp_rows()
+    )
+    q = f"CAST(floor(CAST(embedding[i] AS DOUBLE) * {_RP_SCALE} + 0.5) AS BIGINT)"
+    return f"""
+WITH planes(j, c) AS (VALUES {vals})
+SELECT e.vec_id,
+       CAST(e.label AS BIGINT) AS label,
+       CAST(p.j AS BIGINT) AS j,
+       CAST(list_sum(list_transform(range(1, {DIM + 1}),
+            i -> CAST(p.c[i] AS BIGINT) * {q})) AS BIGINT) AS comp_q
+FROM embeddings e, planes p
+"""
+
+
+@query(
+    "q76_random_projection",
+    oracle=_rp_oracle(),
+    tags=("similarity", "dimreduce", "map-only"),
+)
+def q76_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: every 64-d
+    embedding is projected onto {_RP_PLANES} deterministic ±1
+    hyperplanes (vecops.hyperplanes — md5-derived compile-time
+    literals), emitted long-form as (vec_id, j, comp_q) on an exact
+    1e-6 integer grid — the dimensionality-reduction front end an
+    embedding pipeline runs before clustering or ANN indexing at
+    100 TB, cutting vector bytes 4x while approximately preserving
+    pairwise distances (the JL lemma).
+
+    Scale: pure map — each row expands to a constant {_RP_PLANES}
+    projections computed by zip_with/aggregate inside whole-stage
+    codegen; zero shuffle, zero Python (plan-asserted no Exchange).
+    Elementwise quantization before the signed sum makes the result
+    order-independent and bit-equal across engines."""
+    from ..functions.vecops import DIM  # noqa: F401 (doc parity)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterm = f"CAST(floor(CAST(x AS DOUBLE) * {_RP_SCALE} + 0.5d) AS BIGINT)"
+    projs = []
+    for j, row in _rp_rows():
+        carr = f"array({', '.join(str(c) for c in row)})"
+        comp = (
+            f"aggregate(zip_with(embedding, {carr}, (x, c) -> "
+            f"CAST(c AS BIGINT) * {qterm}), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        projs.append(
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.expr(comp).alias("comp_q"),
+            )
+        )
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.explode(F.array(*projs)).alias("p"),
+    ).select("vec_id", "label", F.col("p.j").alias("j"), F.col("p.comp_q").alias("comp_q"))

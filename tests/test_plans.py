@@ -267,3 +267,20 @@ def test_skew_join_salted_is_shuffled_hash_on_composite_key(spark, sf_dir):
     # formatted mode lists join keys in the node detail section
     key_lines = [l for l in plan.splitlines() if "keys [" in l]
     assert any("salt" in l and "user_id" in l for l in key_lines), key_lines
+
+
+def test_random_projection_has_no_shuffle(spark, sf_dir):
+    """q76 is a constant-fan-out map (explode x 16 literal planes):
+    an Exchange would mean the JL projection stopped being
+    embarrassingly parallel."""
+    plan = plan_of(spark, sf_dir, "q76_random_projection", mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_semijoin_broadcasts_bitset(spark, sf_dir):
+    """q74's probe must hit the bounded (<=4096-row) bloom bitset via
+    a broadcast hash join — shuffling the fact side against the bitset
+    would defeat the runtime-filter design."""
+    plan = plan_of(spark, sf_dir, "q74_bloom_semijoin", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
