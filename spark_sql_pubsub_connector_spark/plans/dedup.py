@@ -582,3 +582,126 @@ def q69_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("pr"),
         )
     return pr.select("doc_id", F.col("pr").alias("rank_q6"))
+
+
+# --------------------------------------------------------------------------
+# q77 — degree-ordered triangle count + local clustering coefficient
+# --------------------------------------------------------------------------
+_CC_SCALE = 1_000_000
+
+
+@query(
+    "q77_triangle_clustering",
+    oracle=f"""
+WITH {_sql_minhash_bands()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a
+  JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
+),
+sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+              THEN p.doc_a ELSE p.doc_b END AS src,
+         CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+              THEN p.doc_b ELSE p.doc_a END AS dst,
+         CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+              THEN db.deg ELSE da.deg END AS ddst
+  FROM pairs p
+  JOIN deg da ON da.node = p.doc_a
+  JOIN deg db ON db.node = p.doc_b
+),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM o e1
+  JOIN o e2 ON e1.src = e2.src AND (e1.ddst, e1.dst) < (e2.ddst, e2.dst)
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+per_node AS (
+  SELECT unnest([u, v, w]) AS node, 1 AS one FROM tri
+),
+tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM per_node GROUP BY 1)
+SELECT d.node AS doc_id,
+       d.deg,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN (2 * coalesce(t.n_tri, 0) * {_CC_SCALE})
+                      // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS cc_q6
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+""",
+    tags=("dedup", "graph", "triangle"),
+)
+def q77_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and local clustering coefficient per node of the
+    MinHash-LSH candidate graph (q17): how clique-like each document's
+    duplicate neighborhood is. High clustering = tight duplicate
+    clusters (safe to collapse); low clustering with high degree =
+    hub-like false-positive docs (boilerplate that LSH pairs with
+    everything) — the graph diagnostic a dedup pipeline runs before
+    trusting transitive clusters (q54).
+
+    Scale: the classic O(m^1.5) degree-ordered algorithm — every edge
+    is oriented from its lower-(degree, id) endpoint to the higher, so
+    wedge enumeration fans out from LOW-degree vertices only (a
+    degree-d hub generates zero wedges as a source unless d is
+    globally small), killing the skew that makes naive id-ordered
+    triangle joins explode on power-law graphs. Three shuffles total
+    (degree agg, wedge self-join keyed by src, closure probe keyed by
+    (v, w)); integer clustering coefficient on the 1e-6 grid."""
+    pairs = q17_dedup_minhash_lsh(spark, sf_dir)
+    sym = pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")).union(
+        pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("degb"))
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    o = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddst"),
+        )
+    )
+    e1 = o.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
+    e2 = o.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
+    wedges = e1.join(e2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closure = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closure, ["v", "w"]).select(
+        F.col("src").alias("u"), "v", "w"
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    f"(2 * COALESCE(n_tri, 0L) * {_CC_SCALE}) DIV (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_q6"),
+        )
+    )
