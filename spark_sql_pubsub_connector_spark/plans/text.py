@@ -909,3 +909,90 @@ def q73_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hll_est"),
         "true_distinct",
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — LM-based document scoring (integer log2 perplexity surrogate)
+# --------------------------------------------------------------------------
+_NLL_CAP = 20  # ~log2(1e6): nll of a bigram with p_q6 = 1
+
+
+@query(
+    "q78_lm_doc_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS w FROM documents
+  WHERE len({sql_tokens('text')}) >= 2
+),
+bi AS (
+  SELECT doc_id, w[i] AS head, w[i + 1] AS tail
+  FROM t, unnest(range(1, len(w))) AS u(i)
+),
+pc AS (
+  SELECT head, tail, CAST(count(*) AS BIGINT) AS c_pair
+  FROM bi GROUP BY 1, 2
+),
+hc AS (SELECT head, CAST(sum(c_pair) AS BIGINT) AS c_head FROM pc GROUP BY 1),
+lm AS (
+  SELECT pc.head, pc.tail,
+         greatest((pc.c_pair * 1000000) // hc.c_head, 1) AS p_q6
+  FROM pc JOIN hc ON pc.head = hc.head
+),
+scored AS (
+  SELECT bi.doc_id,
+         {_NLL_CAP} - (length(bin(lm.p_q6)) - 1) AS nll
+  FROM bi JOIN lm ON bi.head = lm.head AND bi.tail = lm.tail
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll) AS BIGINT) AS sum_nll,
+       CAST((sum(nll) * 1000) // count(*) AS BIGINT) AS avg_nll_q3
+FROM scored GROUP BY 1
+""",
+    tags=("text", "lm", "quality"),
+)
+def q78_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document against the corpus bigram LM (q67's model,
+    unpruned): per-bigram negative-log2-likelihood surrogate
+    nll = {_NLL_CAP} - floor(log2(p_q6)), summed and averaged per doc
+    — the perplexity-style quality filter (fluent text scores low,
+    garbled/boilerplate text scores high) that data-curation pipelines
+    run with a small LM before training a big one. log2 is computed
+    exactly as length(bin(x)) - 1 (both engines print minimal-width
+    binary), so no cross-engine libm enters the hash.
+
+    Scale: model training collapses the token stream to distinct-pair
+    counts (Zipf => huge map-side combine); scoring joins the bigram
+    stream against the far-smaller model keyed by (head, tail) — a
+    shuffle join whose hot keys ("of the") are exactly what AQE skew
+    splitting handles; the per-doc rollup is a partial-then-final
+    aggregate keyed by doc_id. Nothing leaves the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 2)
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2), "
+                "i -> struct(w[i] AS head, w[i + 1] AS tail))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.head", "b.tail")
+    pc = bi.groupBy("head", "tail").agg(
+        F.count(F.lit(1)).cast("long").alias("c_pair")
+    )
+    hc = pc.groupBy("head").agg(F.sum("c_pair").cast("long").alias("c_head"))
+    lm = pc.join(hc, "head").select(
+        "head",
+        "tail",
+        F.expr("greatest((c_pair * 1000000) DIV c_head, 1L)").alias("p_q6"),
+    )
+    scored = bi.join(lm, ["head", "tail"]).select(
+        "doc_id",
+        (F.lit(_NLL_CAP) - (F.length(F.bin("p_q6")) - F.lit(1))).alias("nll"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("nll").cast("long").alias("sum_nll"),
+        F.expr("(sum(nll) * 1000) DIV count(*)").cast("long").alias("avg_nll_q3"),
+    )
