@@ -408,3 +408,91 @@ def q64_class_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _CAP_PER_CLASS)
     )
+
+
+# --------------------------------------------------------------------------
+# q79 — temperature-weighted source mixture (data-mixing rates)
+# --------------------------------------------------------------------------
+_MIX_SCALE = 1_000_000  # rates/shares on the 1e-6 grid
+
+
+@query(
+    "q79_source_mixture",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+wtd AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(sum(w_sqrt) AS BIGINT) AS sum_w,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tok
+  FROM wtd
+)
+SELECT w.source, w.n_docs, w.n_tokens, w.w_sqrt,
+       CAST((w.w_sqrt * {_MIX_SCALE}) // t.sum_w AS BIGINT) AS share_q6,
+       CAST(least({_MIX_SCALE},
+            ((w.w_sqrt * {_MIX_SCALE}) // t.sum_w * (t.sum_tok // 2))
+            // w.n_tokens) AS BIGINT) AS rate_q6,
+       CAST((least({_MIX_SCALE},
+            ((w.w_sqrt * {_MIX_SCALE}) // t.sum_w * (t.sum_tok // 2))
+            // w.n_tokens) * w.n_tokens) // {_MIX_SCALE} AS BIGINT)
+         AS expect_tokens
+FROM wtd w, tot t
+""",
+    tags=("pipeline", "sampling", "mixture"),
+)
+def q79_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (alpha = 0.5): each source's
+    sampling weight is sqrt(its token count), normalized into a
+    mixture share, then converted to a per-source sampling RATE that
+    would fill a half-corpus token budget — the up/down-sampling table
+    (multilingual / multi-domain mixing a la temperature sampling in
+    mT5/XLM-R) a training pipeline derives before drawing data. sqrt
+    on a BIGINT < 2^52 is correctly rounded IEEE in both engines, so
+    floor(sqrt(n)) is exact; every later step is integer arithmetic
+    on the 1e-6 grid.
+
+    Scale: one partial-then-final aggregate keyed by source collapses
+    the corpus to #sources rows; the normalization total is a
+    broadcast-sized single row cross-joined back. The emitted rate_q6
+    feeds the deterministic hash sampler (q45) as its per-source
+    threshold — together they make a full mixing pipeline with zero
+    extra passes over the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    wtd = per_src.withColumn(
+        "w_sqrt", F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)")
+    )
+    tot = wtd.agg(
+        F.sum("w_sqrt").cast("long").alias("sum_w"),
+        F.sum("n_tokens").cast("long").alias("sum_tok"),
+    )
+    share = F.expr(f"(w_sqrt * {_MIX_SCALE}) DIV sum_w")
+    rate = F.expr(
+        f"least(CAST({_MIX_SCALE} AS BIGINT), "
+        f"((w_sqrt * {_MIX_SCALE}) DIV sum_w * (sum_tok DIV 2)) DIV n_tokens)"
+    )
+    return wtd.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_sqrt",
+        share.cast("long").alias("share_q6"),
+        rate.cast("long").alias("rate_q6"),
+        F.expr(
+            f"(least(CAST({_MIX_SCALE} AS BIGINT), "
+            f"((w_sqrt * {_MIX_SCALE}) DIV sum_w * (sum_tok DIV 2)) DIV n_tokens)"
+            f" * n_tokens) DIV {_MIX_SCALE}"
+        )
+        .cast("long")
+        .alias("expect_tokens"),
+    )
