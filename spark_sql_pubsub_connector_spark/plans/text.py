@@ -996,3 +996,181 @@ def q78_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nll").cast("long").alias("sum_nll"),
         F.expr("(sum(nll) * 1000) DIV count(*)").cast("long").alias("avg_nll_q3"),
     )
+
+
+# --------------------------------------------------------------------------
+# q80 — BPE merge candidates (adjacent-pair counts over the word table)
+# --------------------------------------------------------------------------
+_BPE_TOPK = 20
+
+
+@query(
+    "q80_bpe_merge_candidates",
+    oracle=f"""
+WITH t AS (SELECT unnest({sql_tokens('text')}) AS word FROM documents),
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM t WHERE length(word) >= 2 GROUP BY 1
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS left_sym,
+         substr(word, i + 1, 1) AS right_sym,
+         freq
+  FROM wf, unnest(range(1, length(word))) AS u(i)
+),
+pc AS (
+  SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, pair_count
+FROM pc
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {_BPE_TOPK}
+""",
+    tags=("text", "tokenizer", "bpe"),
+)
+def q80_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: count adjacent
+    character pairs across the corpus — weighted by word frequency,
+    computed over the DISTINCT-word table so a word repeated a million
+    times costs one row, not a million — and emit the top {_BPE_TOPK}
+    merge candidates (ties broken lexicographically for determinism).
+
+    Scale: the token stream collapses to the word-frequency table
+    first (Zipf => the distinct-word table is orders of magnitude
+    smaller than the corpus); pair extraction then fans out by
+    word LENGTH, not word count. The pair aggregate's key space is
+    bounded by |alphabet|^2, so map-side partials collapse it to a
+    constant-size shuffle, and the global top-k is a TakeOrdered —
+    no full sort. This is exactly how industrial BPE trainers
+    (SentencePiece et al.) structure the count pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.explode(tokens("text")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    wf = t.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substring(word, i, 1) AS left_sym, "
+                "substring(word, i + 1, 1) AS right_sym))"
+            )
+        ).alias("p"),
+        "freq",
+    ).select("p.left_sym", "p.right_sym", "freq")
+    pc = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").cast("long").alias("pair_count")
+    )
+    return pc.orderBy(
+        F.col("pair_count").desc(), "left_sym", "right_sym"
+    ).limit(_BPE_TOPK)
+
+
+# --------------------------------------------------------------------------
+# q81 — histogram-sketch quantiles of document length (vs exact)
+# --------------------------------------------------------------------------
+_HQ_W = 64  # sketch bucket width (chars)
+_HQ_PCTS = (50, 90, 99)
+_HQ_PCT_SQL = ", ".join(str(p) for p in _HQ_PCTS)
+
+
+@query(
+    "q81_histogram_quantiles",
+    oracle=f"""
+WITH hist AS (
+  SELECT n_chars // {_HQ_W} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT bucket, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM hist
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+tgt AS (
+  SELECT p, (n.n * p + 99) // 100 AS r
+  FROM unnest(ARRAY[{_HQ_PCT_SQL}]) AS u(p), n
+),
+est AS (
+  SELECT t.p, t.r,
+         CAST(c.bucket * {_HQ_W}
+              + ((t.r - (c.c - c.cnt)) * {_HQ_W}) // c.cnt AS BIGINT) AS est_chars
+  FROM tgt t JOIN cum c ON c.c >= t.r AND c.c - c.cnt < t.r
+),
+vhist AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+),
+vcum AS (
+  SELECT v, cnt,
+         CAST(sum(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM vhist
+),
+truth AS (
+  SELECT t.p, CAST(vc.v AS BIGINT) AS true_chars
+  FROM tgt t JOIN vcum vc ON vc.c >= t.r AND vc.c - vc.cnt < t.r
+)
+SELECT CAST(e.p AS BIGINT) AS p,
+       CAST(e.r AS BIGINT) AS rank_r,
+       e.est_chars,
+       tr.true_chars,
+       CAST(e.est_chars - tr.true_chars AS BIGINT) AS err_chars
+FROM est e JOIN truth tr ON e.p = tr.p
+""",
+    tags=("text", "sketch", "quantile"),
+)
+def q81_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of document length from a fixed-width
+    ({_HQ_W}-char-bucket) histogram — linear interpolation inside the
+    hit bucket — compared against the EXACT quantile computed from a
+    value-keyed histogram. Both are histogram scans: the engine never
+    globally sorts the corpus, which is how a 100 TB pipeline answers
+    "p99 document length" (the sketch needs #value-range/{_HQ_W}
+    counters; the exact path needs one counter per distinct length —
+    still bounded, unlike a sort by rows).
+
+    Scale: two partial-then-final hash aggregates (constant key
+    spaces), two cumulative windows over bucket-count-sized frames
+    (thousands of rows, one task each, independent of corpus size),
+    and rank probes as tiny joins. Ceil-rank r = (N*p + 99) DIV 100
+    and the interpolation are pure integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.expr(f"n_chars DIV {_HQ_W}").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", "cnt", F.sum("cnt").over(wb).cast("long").alias("c"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tgt = (
+        n.select(
+            F.explode(F.array(*[F.lit(p) for p in _HQ_PCTS])).alias("p"), "n"
+        )
+        .select("p", F.expr("(n * p + 99) DIV 100").alias("r"))
+    )
+    est = tgt.join(
+        cum, (F.col("c") >= F.col("r")) & (F.col("c") - F.col("cnt") < F.col("r"))
+    ).select(
+        "p",
+        "r",
+        F.expr(
+            f"bucket * {_HQ_W} + ((r - (c - cnt)) * {_HQ_W}) DIV cnt"
+        ).cast("long").alias("est_chars"),
+    )
+    vhist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vhist.select("v", "cnt", F.sum("cnt").over(wv).cast("long").alias("c"))
+    truth = tgt.join(
+        vcum, (F.col("c") >= F.col("r")) & (F.col("c") - F.col("cnt") < F.col("r"))
+    ).select("p", F.col("v").cast("long").alias("true_chars"))
+    return est.join(truth, "p").select(
+        F.col("p").cast("long").alias("p"),
+        F.col("r").cast("long").alias("rank_r"),
+        "est_chars",
+        "true_chars",
+        (F.col("est_chars") - F.col("true_chars")).cast("long").alias("err_chars"),
+    )
