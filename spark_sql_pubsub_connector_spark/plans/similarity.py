@@ -697,3 +697,107 @@ def q76_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("label"),
         F.explode(F.array(*projs)).alias("p"),
     ).select("vec_id", "label", F.col("p.j").alias("j"), F.col("p.comp_q").alias("comp_q"))
+
+
+# --------------------------------------------------------------------------
+# q82 — product quantization (PQ) code assignment
+# --------------------------------------------------------------------------
+_PQ_SUBS = 8  # subspaces of 8 dims each
+_PQ_SUBDIM = 8
+_PQ_K = 16  # centroids per subspace
+_PQ_GRID = 1_000_000  # element quantization grid (q6)
+
+
+def _pq_centroid(j: int, k: int, d: int) -> int:
+    """Deterministic centroid coordinate on the q6 grid in
+    [-0.5, 0.5] — md5-derived literal, no RNG (same scheme as
+    vecops.hyperplanes)."""
+    import hashlib
+
+    v = int.from_bytes(hashlib.md5(f"pq:{j}:{k}:{d}".encode()).digest()[:3], "big")
+    return (v % (_PQ_GRID + 1)) - _PQ_GRID // 2
+
+
+@query(
+    "q82_pq_codes",
+    oracle=f"""
+WITH cents(j, k, c) AS (VALUES {", ".join(
+        f"({j}, {k}, [{', '.join(str(_pq_centroid(j, k, d)) for d in range(_PQ_SUBDIM))}])"
+        for j in range(_PQ_SUBS) for k in range(_PQ_K)
+    )}),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_PQ_GRID} + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+),
+dists AS (
+  SELECT q.vec_id, cents.j, cents.k,
+         CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+           d -> (q.xq[cents.j * {_PQ_SUBDIM} + d] - cents.c[d])
+              * (q.xq[cents.j * {_PQ_SUBDIM} + d] - cents.c[d])))
+           AS BIGINT) AS dist_q
+  FROM q, cents
+),
+best AS (
+  SELECT vec_id, j,
+         min(dist_q) AS dist_q
+  FROM dists GROUP BY 1, 2
+)
+SELECT b.vec_id,
+       CAST(b.j AS BIGINT) AS subspace,
+       CAST(min(d.k) AS BIGINT) AS code,
+       b.dist_q
+FROM best b
+JOIN dists d ON d.vec_id = b.vec_id AND d.j = b.j AND d.dist_q = b.dist_q
+GROUP BY b.vec_id, b.j, b.dist_q
+""",
+    tags=("similarity", "pq", "map-only"),
+)
+def q82_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-d embedding splits into
+    {_PQ_SUBS} subvectors of {_PQ_SUBDIM} dims, each assigned to the
+    nearest of {_PQ_K} deterministic (md5-derived) sub-centroids —
+    compressing a vector to {_PQ_SUBS} 4-bit codes. Combined with
+    q49/q61's IVF this is the IVF-PQ index layout (Jégou et al.) that
+    makes billion-vector ANN feasible: the PQ code table is ~100x
+    smaller than raw floats and distance evaluation becomes table
+    lookups.
+
+    Scale: pure map — the centroid tables are compile-time literals
+    constant-folded by Catalyst; per row, {_PQ_SUBS}x{_PQ_K} exact
+    integer squared distances and an argmin, all in whole-stage
+    codegen with zero shuffle (plan-asserted no Exchange; ties broken
+    toward the lowest code id identically in both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {_PQ_GRID} + 0.5d) AS BIGINT))"
+        ).alias("xq"),
+    )
+    assigns = []
+    for j in range(_PQ_SUBS):
+        cents = ", ".join(
+            f"array({', '.join(f'{_pq_centroid(j, k, d)}L' for d in range(_PQ_SUBDIM))})"
+            for k in range(_PQ_K)
+        )
+        # struct comparison orders by (dist_q, code): lowest distance,
+        # ties toward the lowest code id — same as the oracle's min(k)
+        best = (
+            f"array_min(transform(array({cents}), (c, k) -> struct("
+            f"aggregate(zip_with(slice(xq, {j * _PQ_SUBDIM + 1}, {_PQ_SUBDIM}), c, "
+            f"(x, cc) -> (x - cc) * (x - cc)), 0L, (a, v) -> a + v) AS dist_q, "
+            f"CAST(k AS BIGINT) AS code)))"
+        )
+        assigns.append(
+            F.struct(
+                F.lit(j).cast("long").alias("subspace"),
+                F.expr(f"{best}.code").alias("code"),
+                F.expr(f"{best}.dist_q").alias("dist_q"),
+            )
+        )
+    return q.select(
+        "vec_id", F.explode(F.array(*assigns)).alias("a")
+    ).select("vec_id", "a.subspace", "a.code", "a.dist_q")

@@ -284,3 +284,10 @@ def test_bloom_semijoin_broadcasts_bitset(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q74_bloom_semijoin", mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_codes_has_no_shuffle(spark, sf_dir):
+    """q82 assigns PQ codes against literal centroid tables — a pure
+    map; an Exchange means the codebook stopped being constant-folded."""
+    plan = plan_of(spark, sf_dir, "q82_pq_codes", mode="simple")
+    assert "Exchange" not in plan, plan
