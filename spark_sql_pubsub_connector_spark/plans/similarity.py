@@ -801,3 +801,129 @@ def q82_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id", F.explode(F.array(*assigns)).alias("a")
     ).select("vec_id", "a.subspace", "a.code", "a.dist_q")
+
+
+# --------------------------------------------------------------------------
+# q83 — PQ asymmetric-distance (ADC) top-k search over q82's codes
+# --------------------------------------------------------------------------
+_ADC_TOPK = 3
+
+
+def _pq_cents_values() -> str:
+    """DuckDB VALUES list of all (j, k, coords) PQ centroids."""
+    return ", ".join(
+        f"({j}, {k}, [{', '.join(str(_pq_centroid(j, k, d)) for d in range(_PQ_SUBDIM))}])"
+        for j in range(_PQ_SUBS)
+        for k in range(_PQ_K)
+    )
+
+
+@query(
+    "q83_pq_adc_search",
+    oracle=f"""
+WITH cents(j, k, c) AS (VALUES {{cents}}),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_PQ_GRID} + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+),
+dists AS (
+  SELECT q.vec_id, cents.j, cents.k,
+         CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+           d -> (q.xq[cents.j * {_PQ_SUBDIM} + d] - cents.c[d])
+              * (q.xq[cents.j * {_PQ_SUBDIM} + d] - cents.c[d])))
+           AS BIGINT) AS dist_q
+  FROM q, cents
+),
+best AS (SELECT vec_id, j, min(dist_q) AS dist_q FROM dists GROUP BY 1, 2),
+codes AS (
+  SELECT b.vec_id, b.j, CAST(min(d.k) AS BIGINT) AS code
+  FROM best b
+  JOIN dists d ON d.vec_id = b.vec_id AND d.j = b.j AND d.dist_q = b.dist_q
+  GROUP BY b.vec_id, b.j
+),
+lut AS (
+  SELECT vec_id AS query_id, j, k, dist_q FROM dists WHERE vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(l.dist_q) AS BIGINT) AS adc_q
+  FROM codes c
+  JOIN lut l ON l.j = c.j AND l.k = c.code AND c.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_q, neighbor_id) AS rnk
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_q, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_ADC_TOPK}
+""".replace("{cents}", _pq_cents_values()),
+    tags=("similarity", "pq", "ann"),
+)
+def q83_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ query path: asymmetric distance computation. Each query
+    vector builds a {_PQ_SUBS}x{_PQ_K} lookup table of exact squared
+    distances to every sub-centroid; a database vector's approximate
+    distance is then the SUM of {_PQ_SUBS} table lookups indexed by
+    its PQ codes (q82) — no float math ever touches the compressed
+    corpus. Top-{_ADC_TOPK} per query, ties toward the lower id.
+
+    Scale: the LUT is queries x {_PQ_SUBS * _PQ_K} rows — broadcast;
+    the code table (the only corpus-sized input) fans out by its
+    {_PQ_SUBS} code rows into a broadcast hash join and collapses
+    straight back in a (query, vec) partial-sum aggregate, then
+    WindowGroupLimit keeps {_ADC_TOPK} rows per query before the final
+    shuffle. This is the IVF-PQ scan kernel (Jégou et al.) expressed
+    in Catalyst operators."""
+    codes = q82_pq_codes(spark, sf_dir).select("vec_id", "subspace", "code")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {_PQ_GRID} + 0.5d) AS BIGINT))"
+        ).alias("xq"),
+    )
+    luts = []
+    for j in range(_PQ_SUBS):
+        cents = ", ".join(
+            f"array({', '.join(f'{_pq_centroid(j, k, d)}L' for d in range(_PQ_SUBDIM))})"
+            for k in range(_PQ_K)
+        )
+        luts.append(
+            f"transform(array({cents}), (c, k) -> struct("
+            f"CAST({j} AS BIGINT) AS j, CAST(k AS BIGINT) AS k, "
+            f"aggregate(zip_with(slice(xq, {j * _PQ_SUBDIM + 1}, {_PQ_SUBDIM}), c, "
+            f"(x, cc) -> (x - cc) * (x - cc)), 0L, (a, v) -> a + v) AS dq))"
+        )
+    lut = q.select(
+        "query_id",
+        F.explode(F.expr(f"flatten(array({', '.join(luts)}))")).alias("e"),
+    ).select("query_id", "e.j", "e.k", "e.dq")
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("subspace") == F.col("j"))
+            & (F.col("code") == F.col("k"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dq").cast("long").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_q").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_q",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
