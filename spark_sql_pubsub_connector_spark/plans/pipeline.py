@@ -496,3 +496,112 @@ def q79_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expect_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q84 — cross-source n-gram overlap matrix (corpus contamination audit)
+# --------------------------------------------------------------------------
+_XS_NGRAM = 3
+_XS_KEY_HEX = 12  # 48-bit shingle key
+_XS_SCALE = 1_000_000
+
+
+@query(
+    "q84_source_overlap_matrix",
+    oracle=f"""
+WITH t AS (
+  SELECT source, {sql_tokens('text')} AS w FROM documents
+  WHERE len({sql_tokens('text')}) >= {_XS_NGRAM}
+),
+sh AS (
+  SELECT DISTINCT source,
+         {sql_hex_prefix_int('md5(s)', _XS_KEY_HEX)} AS k
+  FROM (SELECT source, unnest({sql_shingles('w', _XS_NGRAM)}) AS s FROM t)
+),
+per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM sh GROUP BY 1),
+grouped AS (
+  SELECT k, list(source ORDER BY source) AS srcs FROM sh GROUP BY 1
+),
+pairs AS (
+  SELECT a.s AS src_a, b.s AS src_b
+  FROM grouped, unnest(srcs) AS a(s), unnest(srcs) AS b(s)
+  WHERE a.s < b.s
+),
+shared AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_grams
+  FROM pairs GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.shared_grams,
+       pa.n_grams AS n_grams_a,
+       pb.n_grams AS n_grams_b,
+       CAST((s.shared_grams * {_XS_SCALE})
+            // (pa.n_grams + pb.n_grams - s.shared_grams) AS BIGINT) AS jaccard_q6
+FROM shared s
+JOIN per_src pa ON pa.source = s.src_a
+JOIN per_src pb ON pb.source = s.src_b
+""",
+    tags=("pipeline", "audit", "overlap"),
+)
+def q84_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise n-gram contamination matrix between corpus sources:
+    for every source pair, how many distinct token {_XS_NGRAM}-grams
+    they share and the Jaccard overlap of their gram sets — the audit
+    that finds mirrored / scraped-twice subcorpora before dedup rates
+    and mixing weights (q79) are trusted.
+
+    Scale: grams collapse to distinct (source, 48-bit key) rows first
+    (one fine-grained shuffle); each gram's source list is bounded by
+    |sources| (not corpus size), so the in-group pair expansion is at
+    most |sources|² per gram — the same bounded-bucket trick as q17 —
+    and the final matrix is |sources|² rows. No self-join re-executes
+    the shingle subtree; the Jaccard denominator comes from a tiny
+    per-source aggregate joined twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", tokens("text").alias("w")).filter(
+        F.size("w") >= _XS_NGRAM
+    )
+    sh = (
+        t.select("source", F.explode(shingles("w", _XS_NGRAM)).alias("s"))
+        .select(
+            "source",
+            hex_prefix_int(F.md5(F.encode(F.col("s"), "UTF-8")), _XS_KEY_HEX).alias(
+                "k"
+            ),
+        )
+        .distinct()
+    )
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    grouped = sh.groupBy("k").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    pair_expr = (
+        "filter(flatten(transform(srcs, a -> transform(srcs, b -> "
+        "struct(a AS src_a, b AS src_b)))), p -> p.src_a < p.src_b)"
+    )
+    shared = (
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            "n_grams_a",
+            "n_grams_b",
+            F.expr(
+                f"(shared_grams * {_XS_SCALE}) "
+                f"DIV (n_grams_a + n_grams_b - shared_grams)"
+            )
+            .cast("long")
+            .alias("jaccard_q6"),
+        )
+    )
