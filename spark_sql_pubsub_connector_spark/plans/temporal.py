@@ -287,3 +287,102 @@ def q75_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") == 0).cast("long").alias("is_gap"),
         F.last("sum_cents", ignorenulls=True).over(w).cast("long").alias("filled_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q85 — trailing-window anomaly detection (integer-exact squared z-score)
+# --------------------------------------------------------------------------
+_AN_LOOKBACK = 24  # trailing hours
+_AN_Z2_Q6 = 1_000_000  # flag |z| >= 1 (z^2 >= 1 on the 1e-6 grid; synthetic
+#   traffic is near-uniform, so a production |z|>=3 gate would never fire here)
+
+
+@query(
+    "q85_hourly_anomalies",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // {_HOUR_US} AS h,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, h, cnt,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(cnt) OVER w AS BIGINT) AS s,
+         CAST(sum(cnt * cnt) OVER w AS BIGINT) AS ss
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {_AN_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, h, cnt, n, s,
+         n * ss - s * s AS var_num,
+         (n * cnt - s) * (n * cnt - s) AS dev_sq
+  FROM stats
+  WHERE n = {_AN_LOOKBACK} AND n * ss - s * s > 0
+)
+SELECT event_type,
+       CAST(h AS BIGINT) AS hour_idx,
+       cnt,
+       CAST((s * 1000) // n AS BIGINT) AS mean_q3,
+       CAST((dev_sq * 1000000) // (n * var_num) AS BIGINT) AS z2_q6
+FROM scored
+WHERE (dev_sq * 1000000) // (n * var_num) >= {_AN_Z2_Q6}
+""",
+    tags=("temporal", "anomaly", "window"),
+)
+def q85_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag anomalous traffic hours: each (event_type, hour) count is
+    z-scored against the trailing {_AN_LOOKBACK}-hour window and hours
+    with |z| >= 1 surface (threshold is a literal; production would gate at 2-3) — the streaming-ops anomaly monitor, here in
+    its batch/backfill form. The squared z-score is computed entirely
+    in integers: z² = (n·x − Σ)² / (n·Σx² − Σ²) (numerator and
+    denominator are exact BIGINTs; one integer division on the 1e-6
+    grid), so no float variance ever crosses the engine boundary.
+
+    Scale: the raw stream collapses FIRST to (type, hour) counts via a
+    partial-then-final aggregate; the trailing window then runs over
+    grid-sized data partitioned by event_type — frame arithmetic is
+    O(#hours) per type regardless of event volume. Same two-phase
+    shape as q75's gap-fill; the two compose into a backfill-then-
+    monitor pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type", F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("h")
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_AN_LOOKBACK, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("cnt").over(w).cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("ss"),
+    )
+    scored = stats.filter(
+        (F.col("n") == _AN_LOOKBACK) & (F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0)
+    ).select(
+        "event_type",
+        "h",
+        "cnt",
+        "n",
+        "s",
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias("var_num"),
+        ((F.col("n") * F.col("cnt") - F.col("s")) * (F.col("n") * F.col("cnt") - F.col("s"))).alias("dev_sq"),
+    )
+    return scored.select(
+        "event_type",
+        F.col("h").cast("long").alias("hour_idx"),
+        "cnt",
+        F.expr("(s * 1000) DIV n").cast("long").alias("mean_q3"),
+        F.expr("(dev_sq * 1000000) DIV (n * var_num)").cast("long").alias("z2_q6"),
+    ).filter(F.col("z2_q6") >= _AN_Z2_Q6)
