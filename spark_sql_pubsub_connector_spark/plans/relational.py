@@ -1312,3 +1312,84 @@ def q74_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_candidates") - F.col("n_true")).cast("long").alias("n_false_pos"),
         "urgent_revenue",
     )
+
+
+# --------------------------------------------------------------------------
+# q86 — session path mining (top event-type trigram journeys)
+# --------------------------------------------------------------------------
+_PATH_TOPK = 15
+
+
+@query(
+    "q86_session_paths",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_FUNNEL_GAP_US} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+steps AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER s AS e2,
+         lead(event_type, 2) OVER s AS e3
+  FROM sessions
+  WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT {_PATH_TOPK}
+""",
+    tags=("agg", "session", "path-mining"),
+)
+def q86_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey patterns: the {_PATH_TOPK} most frequent
+    3-step event-type sequences occurring INSIDE a gap-detected
+    session (q15's machinery) — the path-mining rollup behind "what do
+    users do right before purchasing". Sequences never cross a session
+    boundary because the lead() window partitions by (user, session).
+
+    Scale: one user-keyed window shuffle builds sessions, a second
+    window (same user-partitioned data, finer key — Spark reuses the
+    partitioning, no second Exchange of the raw stream) emits each
+    event's two successors as columns: NO arrays, NO collect_list —
+    the pattern stream is exactly one row per event. The pattern
+    aggregate's key space is |event_types|³ (bounded), map-side
+    partials collapse it, and the global top-k is a TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts_us").over(w).isNull(), F.lit(1))
+        .when(F.col("ts_us") - F.lag("ts_us").over(w) > _FUNNEL_GAP_US, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    s = Window.partitionBy("user_id", "session_id").orderBy("ts_us", "event_id")
+    steps = sessions.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(s).alias("e2"),
+        F.lead("event_type", 2).over(s).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        steps.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(_PATH_TOPK)
+    )
