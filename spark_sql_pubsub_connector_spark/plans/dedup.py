@@ -705,3 +705,94 @@ def q77_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cc_q6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q87 — incremental near-dup check (new batch vs existing index)
+# --------------------------------------------------------------------------
+_DELTA_SPLIT_PCT = 80  # first 80% of doc_ids = indexed corpus, rest = new batch
+
+
+@query(
+    "q87_dedup_delta_index",
+    oracle=f"""
+WITH {_sql_minhash_bands()},
+split AS (
+  SELECT (min(doc_id) + ((max(doc_id) - min(doc_id)) * {_DELTA_SPLIT_PCT}) // 100)
+         AS cut FROM documents
+),
+old_idx AS (SELECT b.* FROM b, split WHERE b.doc_id <= split.cut),
+new_b AS (SELECT b.* FROM b, split WHERE b.doc_id > split.cut),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+  FROM new_b n JOIN old_idx o ON n.band = o.band AND n.h = o.h
+),
+rollup AS (
+  SELECT new_doc, CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(min(old_doc) AS BIGINT) AS first_match
+  FROM cand GROUP BY 1
+),
+new_docs AS (
+  SELECT d.doc_id FROM documents d, split WHERE d.doc_id > split.cut
+)
+SELECT nd.doc_id,
+       CAST(r.new_doc IS NOT NULL AS BIGINT) AS is_dup,
+       CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(r.first_match, -1) AS BIGINT) AS first_match
+FROM new_docs nd
+LEFT JOIN rollup r ON r.new_doc = nd.doc_id
+""",
+    tags=("dedup", "incremental", "lsh"),
+)
+def q87_dedup_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen an incoming batch (the top
+    {100 - _DELTA_SPLIT_PCT}% of doc_ids here) against the EXISTING
+    corpus's MinHash-LSH band index without re-pairing the old corpus
+    against itself — the production shape for a pipeline that ingests
+    daily: the index is append-only state, and each new batch costs
+    O(batch) band hashes plus one band-keyed join against the index,
+    not an O(corpus²) recluster. Every new doc reports whether it hit
+    the index, how many indexed near-dups it has, and the earliest.
+
+    Scale: the old side is this same band table materialized as a
+    bucketed/partitioned-by-(band, h % P) parquet index in production
+    (compute it once, append new bands after screening); the join is
+    then hash-co-located. Band buckets bound the per-key fan-out
+    exactly as in q17; the rollup is a new_doc-keyed partial-then-
+    final aggregate, and the novel-doc left join is batch-sized."""
+    bands = _minhash_bands(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    cut_row = docs.agg(
+        (
+            F.min("doc_id")
+            + ((F.max("doc_id") - F.min("doc_id")) * _DELTA_SPLIT_PCT) / 100
+        )
+        .cast("long")
+        .alias("cut")
+    )
+    old_idx = bands.join(F.broadcast(cut_row), F.col("doc_id") <= F.col("cut")).select(
+        "doc_id", "band", "h"
+    )
+    new_b = bands.join(F.broadcast(cut_row), F.col("doc_id") > F.col("cut")).select(
+        F.col("doc_id").alias("new_doc"), "band", "h"
+    )
+    cand = (
+        new_b.join(old_idx, ["band", "h"])
+        .select("new_doc", F.col("doc_id").alias("old_doc"))
+        .distinct()
+    )
+    rollup = cand.groupBy("new_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.min("old_doc").cast("long").alias("first_match"),
+    )
+    new_docs = docs.join(F.broadcast(cut_row), F.col("doc_id") > F.col("cut")).select(
+        "doc_id"
+    )
+    return new_docs.join(
+        rollup, new_docs.doc_id == rollup.new_doc, "left"
+    ).select(
+        "doc_id",
+        F.col("new_doc").isNotNull().cast("long").alias("is_dup"),
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce("first_match", F.lit(-1)).cast("long").alias("first_match"),
+    )
