@@ -410,7 +410,9 @@ def q32_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join — the last core Structured Streaming
     capability next to aggregation/dedup/session/arbitrary-state:
-    purchases joined to same-user errors from the preceding 30 minutes,
+    purchases joined to same-user errors from the preceding 6 hours
+    (wide enough that the synthetic traffic actually produces matches
+    at every SF — 30 minutes yields zero pairs on the seeded slice),
     both sides watermarked, keyed state evicted by the time bound. Both
     sides derive from ONE connector stream (a streaming self-join);
     the source's replay cache (S9) guarantees the two scans of each
@@ -446,7 +448,7 @@ def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         err,
         (F.col("user_id") == F.col("e_user"))
         & (F.col("e_ts") <= F.col("p_ts"))
-        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS")),
         "inner",
     )
     out = j.select(

@@ -200,7 +200,7 @@ def test_q48_final_state_equals_batch_totals(spark, sf_dir):
 def test_q63_equals_batch_interval_join(spark, sf_dir):
     """q63's inner interval join under a lossless watermark must equal
     the batch range join (purchase x same-user error within the prior
-    30 minutes) on the seeded events — all integer columns, so exact."""
+    6 hours) on the seeded events — all integer columns, so exact."""
     from spark_sql_pubsub_connector_spark.plans.streaming_ops import (
         q63_stream_stream_join,
     )
@@ -223,7 +223,7 @@ def test_q63_equals_batch_interval_join(spark, sf_dir):
             err,
             (F.col("user_id") == F.col("e_user"))
             & (F.col("e_us") <= F.col("p_us"))
-            & (F.col("p_us") - F.col("e_us") <= 1_800_000_000),
+            & (F.col("p_us") - F.col("e_us") <= 21_600_000_000),
         )
         .select(
             "purchase_id", "error_id", "user_id",
