@@ -796,3 +796,82 @@ def q87_dedup_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
         F.coalesce("first_match", F.lit(-1)).cast("long").alias("first_match"),
     )
+
+
+# --------------------------------------------------------------------------
+# q88 — chunk-level exact dedup (the line-dedup analog for running text)
+# --------------------------------------------------------------------------
+_CHUNK_W = 16  # words per chunk; CCNet/RefinedWeb dedup at line/paragraph
+#   granularity — the synthetic docs have no line structure, so fixed
+#   16-word blocks play that role
+_CHUNK_SCALE = 1_000_000
+
+
+@query(
+    "q88_chunk_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {sql_tokens('text')} AS w FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, (len(w) + {_CHUNK_W - 1}) // {_CHUNK_W}),
+                i -> md5(array_to_string(
+                     list_slice(w, i * {_CHUNK_W} + 1, i * {_CHUNK_W} + {_CHUNK_W}),
+                     ' ')))) AS fp
+  FROM w
+),
+cnt AS (SELECT fp, count(*) AS c FROM ch GROUP BY 1)
+SELECT ch.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * {_CHUNK_SCALE} // count(*)
+            AS BIGINT) AS dup_pct_q6
+FROM ch JOIN cnt USING (fp)
+GROUP BY 1
+""",
+    tags=("dedup", "chunk", "exact"),
+)
+def q88_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at fixed {_CHUNK_W}-word chunk
+    granularity — the running-text analog of CCNet/RefinedWeb
+    line-level dedup: a chunk repeated ANYWHERE in the corpus (cross-
+    doc boilerplate or within-doc repetition) marks every occurrence,
+    and each doc reports its duplicated-chunk fraction, the signal a
+    cleaning pipeline uses to strip boilerplate before training.
+
+    Scale (100 TB): chunking is map-only (tokens → slice → md5 inside
+    whole-stage codegen, no Python); the corpus-wide chunk census is a
+    hash aggregate keyed by the md5 fingerprint — high cardinality, no
+    hot keys, partial aggregation collapses repeats map-side. The join
+    back to occurrences is fingerprint-keyed (never positional), and
+    the final per-doc rollup shuffles one row per chunk occurrence.
+    Three fine-grained shuffles, nothing quadratic, no skew: the worst
+    key is the most-repeated boilerplate chunk, which is exactly the
+    row a salted two-level variant (q40's pattern) would split if a
+    production corpus made it hot.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", tokens("text").alias("w"))
+    ch = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(w) + {_CHUNK_W - 1}) / {_CHUNK_W} AS INT) - 1), "
+                f"i -> md5(encode(concat_ws(' ', slice(w, i * {_CHUNK_W} + 1, {_CHUNK_W})), 'UTF-8')))"
+            )
+        ).alias("fp"),
+    )
+    cnt = ch.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        ch.join(cnt, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.expr("CAST(c >= 2 AS BIGINT)")).cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_pct_q6",
+            F.expr(f"CAST(n_dup_chunks * {_CHUNK_SCALE} DIV n_chunks AS BIGINT)"),
+        )
+    )
