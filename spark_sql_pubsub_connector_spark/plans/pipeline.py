@@ -605,3 +605,151 @@ def q84_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_q6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q89 — Z-order clustering vs insertion-order layout (zone-map skipping)
+# --------------------------------------------------------------------------
+_Z_BITS = 12  # 12 bits/dim -> 24-bit Morton key; wider SFs fold mod 4096
+_Z_EPOCH_H = 473352  # hours at 2024-01-01 00:00 UTC (events' epoch)
+_Z_H_LO, _Z_H_HI = 120, 167  # probe box: days 6-7 of the 30-day stream
+_Z_NAT_ROWS = 512  # rows per "file" in insertion order
+_Z_CELL = 1024  # z-values per z-cell "file" (drops 5 low bits per dim)
+
+
+def _morton_expr(hx: str, hy: str, div: str) -> str:
+    """Bit-interleave via pure integer div/mod — the only bit machinery
+    both engines evaluate identically (``div``: Spark ``DIV``, DuckDB
+    ``//``). Generated sum of 2*_Z_BITS terms, constant-folded by both
+    optimizers."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({hx} {div} {2**i}) % 2) * {2 ** (2 * i)}")
+        terms.append(f"(({hy} {div} {2**i}) % 2) * {2 ** (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q89_zorder_layout",
+    oracle=f"""
+WITH b AS (SELECT CAST(max(user_id) // 10 AS BIGINT) AS u_hi FROM events),
+ev AS (SELECT event_id, user_id,
+              epoch_us(ts) // 3600000000 - {_Z_EPOCH_H} AS h
+       FROM events),
+z AS (SELECT ev.*, b.u_hi,
+             {_morton_expr("(user_id % 4096)", "(h % 4096)", "//")} AS zkey
+      FROM ev, b),
+uni AS (
+  SELECT 'natural' AS layout, event_id // {_Z_NAT_ROWS} AS file_id,
+         user_id, h, u_hi FROM z
+  UNION ALL
+  SELECT 'zorder', zkey // {_Z_CELL}, user_id, h, u_hi FROM z),
+f AS (SELECT layout, file_id,
+        min(user_id) umin, max(user_id) umax, min(h) hmin, max(h) hmax,
+        count(*) n_rows,
+        sum(CASE WHEN user_id <= u_hi AND h BETWEEN {_Z_H_LO} AND {_Z_H_HI}
+            THEN 1 ELSE 0 END) m,
+        max(u_hi) u_hi
+      FROM uni GROUP BY 1, 2)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN umin <= u_hi AND umax >= 0
+                 AND hmin <= {_Z_H_HI} AND hmax >= {_Z_H_LO}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN umin <= u_hi AND umax >= 0
+                 AND hmin <= {_Z_H_HI} AND hmax >= {_Z_H_LO}
+                 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(m) AS BIGINT) AS rows_matched,
+       CAST(sum(CASE WHEN umin <= u_hi AND umax >= 0
+                 AND hmin <= {_Z_H_HI} AND hmax >= {_Z_H_LO}
+                 THEN n_rows ELSE 0 END) * 10000 // sum(n_rows)
+            AS BIGINT) AS scan_pct_q4
+FROM f GROUP BY 1
+""",
+    tags=("layout", "zorder", "pruning"),
+)
+def q89_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout advisor: how many file scans a 2-D range probe
+    (a user band x a 2-day window) needs under the write-time layout
+    vs a Z-order clustering — the decision behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY (user_id, hour)``. Each layout maps every
+    event to a "file" (insertion order: {_Z_NAT_ROWS}-row batches;
+    Z-order: Morton-key cells covering a 32x32 (user, hour) box),
+    builds per-file min/max zone maps, and counts the files/rows a
+    zone-map-pruned scan must touch. At sf0.01 the natural layout
+    reads 10.2% of rows for a 0.58% selection; Z-order reads 2.8%.
+
+    Scale (100 TB): the Morton key is pure integer div/mod arithmetic
+    in whole-stage codegen; both layout assignments are map-only (the
+    z-cell id IS the file id — no global sort, unlike row_number
+    clustering), the zone-map census is one partial-agg shuffle keyed
+    by (layout, file), and the verdict aggregate runs over file-count
+    rows, i.e. metadata scale. The probe bound rides in a 1-row
+    broadcast. A real lakehouse OPTIMIZE would range-partition by the
+    same key; using fixed z-cells instead keeps the operator
+    shuffle-light and the file boundaries deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV 3600000000 - {_Z_EPOCH_H}").alias("h"),
+    )
+    uhi = ev.agg((F.max("user_id") / 10).cast("long").alias("u_hi"))
+    base = ev.crossJoin(F.broadcast(uhi)).withColumn(
+        "zkey", F.expr(_morton_expr("(user_id % 4096)", "(h % 4096)", "DIV"))
+    )
+    nat = base.select(
+        F.lit("natural").alias("layout"),
+        F.expr(f"event_id DIV {_Z_NAT_ROWS}").alias("file_id"),
+        "user_id",
+        "h",
+        "u_hi",
+    )
+    zor = base.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"zkey DIV {_Z_CELL}").alias("file_id"),
+        "user_id",
+        "h",
+        "u_hi",
+    )
+    files = (
+        nat.union(zor)
+        .withColumn(
+            "m",
+            F.expr(
+                f"CAST(user_id <= u_hi AND h BETWEEN {_Z_H_LO} AND {_Z_H_HI} AS BIGINT)"
+            ),
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("user_id").alias("umin"),
+            F.max("user_id").alias("umax"),
+            F.min("h").alias("hmin"),
+            F.max("h").alias("hmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("m").alias("m"),
+            F.max("u_hi").alias("u_hi"),
+        )
+    )
+    return (
+        files.withColumn(
+            "scan",
+            F.expr(
+                f"CAST(umin <= u_hi AND umax >= 0 "
+                f"AND hmin <= {_Z_H_HI} AND hmax >= {_Z_H_LO} AS BIGINT)"
+            ),
+        )
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum("scan").cast("long").alias("files_scanned"),
+            F.sum(F.expr("n_rows * scan")).cast("long").alias("rows_scanned"),
+            F.sum("m").cast("long").alias("rows_matched"),
+        )
+        .withColumn(
+            "scan_pct_q4",
+            F.expr("CAST(rows_scanned * 10000 DIV rows_total AS BIGINT)"),
+        )
+    )
