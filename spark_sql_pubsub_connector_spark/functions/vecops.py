@@ -42,10 +42,12 @@ def dot_q_expr(a: str, b: str) -> str:
     )
 
 
-def sql_dot_q(a: str, b: str) -> str:
-    """DuckDB twin of :func:`dot_q_expr` (1-based list indexing)."""
+def sql_dot_q(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB twin of :func:`dot_q_expr` (1-based list indexing).
+    ``dim < DIM`` reduces over the array prefix only — the DuckDB twin
+    of a Spark-side ``slice(arr, 1, dim)`` dot product."""
     return (
-        f"CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> "
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> "
         f"CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {PROD_SCALE} + 0.5) AS BIGINT)"
         f")) AS BIGINT)"
     )

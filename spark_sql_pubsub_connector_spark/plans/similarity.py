@@ -927,3 +927,119 @@ def q83_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q90 — Matryoshka truncation quality: prefix-dim recall against full-dim
+# --------------------------------------------------------------------------
+_MRL_DIM = 16  # prefix dims kept after truncation (64 -> 16 = 4x cheaper)
+_MRL_K = 10
+_MRL_SCALE = 1_000_000
+
+
+@query(
+    "q90_matryoshka_recall",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {sql_dot_q('embedding', 'embedding')} AS nrm,
+         {sql_dot_q('embedding', 'embedding', _MRL_DIM)} AS nrm_p
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, nrm_p AS qn_p
+      FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {cosine_q_expr(sql_dot_q("q.qe", "c.embedding"), "q.qn", "c.nrm")} AS sim_full,
+         {cosine_q_expr(sql_dot_q("q.qe", "c.embedding", _MRL_DIM), "q.qn_p", "c.nrm_p")} AS sim_pre
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY sim_full DESC, neighbor_id ASC) AS rank_full,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY sim_pre DESC, neighbor_id ASC) AS rank_pre
+  FROM scored
+)
+SELECT query_id,
+       CAST(sum(CASE WHEN rank_full <= {_MRL_K} AND rank_pre <= {_MRL_K}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(sum(CASE WHEN rank_full <= {_MRL_K} AND rank_pre <= {_MRL_K}
+            THEN 1 ELSE 0 END) * {_MRL_SCALE} // {_MRL_K} AS BIGINT) AS recall_q6
+FROM ranked GROUP BY 1
+""",
+    tags=("similarity", "matryoshka", "eval"),
+)
+def q90_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-truncation quality: recall@10 of a 16-dim prefix
+    (Matryoshka-style truncation, 4x cheaper distance math) against the
+    full 64-dim exact ranking, per query vector — the measurement that
+    decides whether an index can store truncated vectors and rerank
+    with full precision only for finalists.
+
+    One corpus scan computes BOTH similarities (full and prefix dots
+    share the broadcast query row), then two rank windows over the
+    same (query-keyed) partition and a count of rank-intersection —
+    no self-join of two top-k results. Scale: identical shape to q20's
+    baseline (broadcast queries, map-only scan, WindowGroupLimit-
+    friendly windows); the prefix dot is a 16-wide codegen reduce."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("nrm", F.expr(dot_q_expr("embedding", "embedding")))
+        .withColumn(
+            "nrm_p",
+            F.expr(
+                dot_q_expr(
+                    f"slice(embedding, 1, {_MRL_DIM})",
+                    f"slice(embedding, 1, {_MRL_DIM})",
+                )
+            ),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("nrm_p").alias("qn_p"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot_f", F.expr(dot_q_expr("qe", "embedding")))
+        .withColumn(
+            "dot_p",
+            F.expr(
+                dot_q_expr(
+                    f"slice(qe, 1, {_MRL_DIM})", f"slice(embedding, 1, {_MRL_DIM})"
+                )
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(cosine_q_expr("dot_f", "qn", "nrm")).alias("sim_full"),
+            F.expr(cosine_q_expr("dot_p", "qn_p", "nrm_p")).alias("sim_pre"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("neighbor_id").asc()
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("sim_pre").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank_full", F.row_number().over(w_full))
+        .withColumn("rank_pre", F.row_number().over(w_pre))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(rank_full <= {_MRL_K} AND rank_pre <= {_MRL_K} AS BIGINT)")
+            )
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .withColumn(
+            "recall_q6",
+            F.expr(f"CAST(n_overlap * {_MRL_SCALE} DIV {_MRL_K} AS BIGINT)"),
+        )
+    )
