@@ -200,8 +200,11 @@ def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q18 — SimHash fingerprint (32-bit, token-level)
 # --------------------------------------------------------------------------
-def _sql_simhash() -> tuple[str, str]:
-    """(weights_select, simhash_expr) for the DuckDB oracle."""
+def _sql_simhash(prefix: str = "") -> tuple[str, str]:
+    """(weights_select, simhash_expr) for the DuckDB oracle.
+    ``prefix`` renames the CTEs so the block can coexist with other
+    shared CTE generators (e.g. the MinHash bands, which also use
+    ``t``) inside one WITH clause."""
     h = sql_hex_prefix_int("md5(tok)", 8)
     weights = ",\n         ".join(
         f"sum(((h >> {b}) & 1) * 2 - 1) AS w{b}" for b in range(32)
@@ -212,11 +215,11 @@ def _sql_simhash() -> tuple[str, str]:
     )
     return (
         f"""
-t AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents),
-hh AS (SELECT doc_id, {h} AS h FROM t),
-w AS (SELECT doc_id,
+{prefix}t AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents),
+{prefix}hh AS (SELECT doc_id, {h} AS h FROM {prefix}t),
+{prefix}w AS (SELECT doc_id,
          {weights}
-      FROM hh GROUP BY doc_id)""",
+      FROM {prefix}hh GROUP BY doc_id)""",
         simhash,
     )
 
@@ -874,4 +877,128 @@ def q88_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_pct_q6",
             F.expr(f"CAST(n_dup_chunks * {_CHUNK_SCALE} DIV n_chunks AS BIGINT)"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q91 — blocking-scheme evaluation: MinHash vs SimHash candidate precision
+# --------------------------------------------------------------------------
+_BE_TRUE_Q6 = 200_000  # ground truth: exact 3-gram Jaccard >= 0.2
+_BE_SCALE = 1_000_000
+_BE_W_CTE, _BE_SIMHASH_EXPR = _sql_simhash("sh_")
+
+
+@query(
+    "q91_blocking_eval",
+    oracle=f"""
+WITH {_sql_minhash_bands()},
+{_BE_W_CTE},
+mc AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
+),
+shb AS (SELECT doc_id, ({_BE_SIMHASH_EXPR}) >> 16 AS sb FROM sh_w),
+sc AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM shb a JOIN shb c ON a.sb = c.sb AND a.doc_id < c.doc_id
+),
+allc AS (
+  SELECT coalesce(m.doc_a, s2.doc_a) AS doc_a,
+         coalesce(m.doc_b, s2.doc_b) AS doc_b,
+         CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS from_mh,
+         CASE WHEN s2.doc_a IS NOT NULL THEN 1 ELSE 0 END AS from_sh
+  FROM mc m FULL JOIN sc s2 ON m.doc_a = s2.doc_a AND m.doc_b = s2.doc_b
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+scored AS (
+  SELECT from_mh, from_sh,
+         CASE WHEN CAST(floor(CAST(len(list_intersect(x.sd, y.sd)) AS DOUBLE)
+                   / len(list_distinct(x.sd || y.sd)) * {_BE_SCALE} + 0.5) AS BIGINT)
+              >= {_BE_TRUE_Q6} THEN 1 ELSE 0 END AS is_true
+  FROM allc
+  JOIN sets x ON x.doc_id = doc_a
+  JOIN sets y ON y.doc_id = doc_b
+)
+SELECT method,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(CASE WHEN n_candidates > 0
+            THEN n_true * {_BE_SCALE} // n_candidates ELSE 0 END
+            AS BIGINT) AS precision_q6
+FROM (
+  SELECT 'minhash' AS method, sum(from_mh) AS n_candidates,
+         sum(from_mh * is_true) AS n_true FROM scored
+  UNION ALL
+  SELECT 'simhash', sum(from_sh), sum(from_sh * is_true) FROM scored
+)
+""",
+    tags=("dedup", "eval", "blocking"),
+)
+def q91_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme bake-off: what fraction of each scheme's
+    candidate pairs are REAL near-dups (exact 3-gram Jaccard >= 0.2)?
+    MinHash band-buckets (q17) versus the SimHash high-16-bit band
+    (q18's blocking key) — the measurement that decides which blocking
+    key a production dedup pipeline joins on, and the evaluation
+    harness every new blocking scheme should pass through before it
+    ships.
+
+    Scale: both candidate generators are bucket self-joins (never
+    O(n²)); the expensive exact-Jaccard verification runs ONCE per
+    distinct candidate pair — the two schemes' sets are aligned with a
+    pair-keyed full outer join, so a pair proposed by both is verified
+    once and attributed to both. The final rollup is two global sums
+    over flag columns (one partial-agg shuffle to a 2-row result)."""
+    mh = q17_dedup_minhash_lsh(spark, sf_dir).withColumn("from_mh", F.lit(1))
+    shb = q18_dedup_simhash(spark, sf_dir).select("doc_id", "sh_band")
+    a = shb.select(F.col("doc_id").alias("doc_a"), F.col("sh_band").alias("sb"))
+    c = shb.select(F.col("doc_id").alias("doc_b"), F.col("sh_band").alias("sb"))
+    sh_cand = (
+        a.join(c, "sb")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .withColumn("from_sh", F.lit(1))
+    )
+    allc = (
+        mh.join(sh_cand, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("from_mh", F.lit(0)).alias("from_mh"),
+            F.coalesce("from_sh", F.lit(0)).alias("from_sh"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
+    sets = t.select("doc_id", F.array_distinct(shingles("w", 3)).alias("sd"))
+    x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
+    y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
+    inter = F.size(F.array_intersect("sda", "sdb"))
+    union = F.size(F.array_distinct(F.concat("sda", "sdb")))
+    jq6 = F.floor(
+        inter.cast("double") / union.cast("double") * _BE_SCALE + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        allc.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("is_true", (jq6 >= _BE_TRUE_Q6).cast("long"))
+    )
+    agg = scored.agg(
+        F.sum("from_mh").alias("mh_cand"),
+        F.sum(F.expr("from_mh * is_true")).alias("mh_true"),
+        F.sum("from_sh").alias("sh_cand"),
+        F.sum(F.expr("from_sh * is_true")).alias("sh_true"),
+    )
+    rows = agg.selectExpr(
+        "stack(2, 'minhash', mh_cand, mh_true, 'simhash', sh_cand, sh_true) "
+        "AS (method, n_candidates, n_true)"
+    )
+    return rows.select(
+        "method",
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.expr(
+            f"CAST(CASE WHEN n_candidates > 0 "
+            f"THEN n_true * {_BE_SCALE} DIV n_candidates ELSE 0 END AS BIGINT)"
+        ).alias("precision_q6"),
     )
