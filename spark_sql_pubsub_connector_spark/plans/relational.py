@@ -1393,3 +1393,138 @@ def q86_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
         .limit(_PATH_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q92 — shipping priority (the TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+_SP_SEGMENT = "BUILDING"
+_SP_CUTOFF = "1998-06-01 00:00:00"
+_SP_TOPK = 10
+
+
+@query(
+    "q92_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_esum(_DISC_PRICE, 4, "revenue")},
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{_SP_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{_SP_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{_SP_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate_s ASC, l_orderkey ASC
+LIMIT {_SP_TOPK}
+""",
+    tags=("olap", "tpch", "join", "topk"),
+)
+def q92_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority — the TPC-H Q3 shape: unshipped-revenue top-10
+    for one market segment. Both date predicates reach the parquet
+    scans (PushedFilters), the segment filter prunes customer BEFORE
+    its join, and the global top-10 is a TakeOrdered (no full sort).
+    Revenue uses the exact integer-scaled sum (functions/exact.py) so
+    the cross-engine ordering of tied rows is deterministic.
+
+    Scale: customer⋈orders and orders⋈lineitem are key-partitioned
+    shuffle joins whose inputs are filter-reduced first; the aggregate
+    is keyed by l_orderkey (high cardinality, no skew); TakeOrdered
+    moves exactly {_SP_TOPK} rows per partition to the driver."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _SP_SEGMENT
+    )
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_SP_CUTOFF)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_SP_CUTOFF)
+    )
+    return (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(esum(F.expr(_DISC_PRICE), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate_s").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(_SP_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — local-supplier regional revenue (the TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+_RR_REGION = "ASIA"
+_RR_LO = "1997-01-01 00:00:00"
+_RR_HI = "1998-01-01 00:00:00"
+
+
+@query(
+    "q93_regional_revenue",
+    oracle=f"""
+SELECT n_name,
+       {sql_esum(_DISC_PRICE, 4, "revenue")},
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{_RR_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_RR_LO}'
+  AND o_orderdate <  TIMESTAMP '{_RR_HI}'
+GROUP BY n_name
+""",
+    tags=("olap", "tpch", "join"),
+)
+def q93_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier regional revenue — the TPC-H Q5 shape: a 6-table
+    join where customer and supplier must share a nation inside one
+    region, grouped to per-nation revenue for one order-date year.
+
+    Scale: region and nation are broadcast (5 / 25 rows — the
+    broadcast side of every sane plan); supplier joins by key after
+    the nation filter pruned it to one region's suppliers;
+    orders⋈lineitem is the only large shuffle pair and both are
+    date/filter-reduced at the scan. The final aggregate has
+    nation-count cardinality — a 1-row-per-nation partial agg."""
+    rg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _RR_REGION)
+    na = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(rg), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    su = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_RR_LO))
+        & (F.col("o_orderdate") < F.lit(_RR_HI))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            su,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            esum(F.expr(_DISC_PRICE), 4).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )

@@ -291,3 +291,48 @@ def test_pq_codes_has_no_shuffle(spark, sf_dir):
     map; an Exchange means the codebook stopped being constant-folded."""
     plan = plan_of(spark, sf_dir, "q82_pq_codes", mode="simple")
     assert "Exchange" not in plan, plan
+
+
+def test_shipping_priority_pushdown_and_takeordered(spark, sf_dir):
+    """q92: both date predicates and the segment filter must reach the
+    parquet scans, and the global top-10 must be TakeOrdered, never a
+    full Sort."""
+    plan = plan_of(spark, sf_dir, "q92_shipping_priority")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert sum("PushedFilters: []" not in l for l in pushed) >= 3, pushed
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_regional_revenue_broadcasts_dims(spark, sf_dir):
+    """q93: the region/nation/supplier dimension chain must broadcast;
+    only orders⋈lineitem may shuffle."""
+    plan = plan_of(spark, sf_dir, "q93_regional_revenue", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_census_is_partial_then_final(spark, sf_dir):
+    """q88: the chunk census must partial-aggregate map-side and the
+    chunking itself must stay in codegen (no EvalPython)."""
+    plan = plan_of(spark, sf_dir, "q88_chunk_dedup", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_zorder_layout_no_global_sort(spark, sf_dir):
+    """q89: layout assignment is map-only z-cell arithmetic — a global
+    Sort (row_number clustering) would serialize the corpus through
+    one task at scale."""
+    plan = plan_of(spark, sf_dir, "q89_zorder_layout", mode="simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan  # probe bound is broadcast
+
+
+def test_matryoshka_single_scan_two_windows(spark, sf_dir):
+    """q90: both rankings must come from ONE broadcast-joined corpus
+    scan (no self-join of two top-k results)."""
+    plan = plan_of(spark, sf_dir, "q90_matryoshka_recall", mode="simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # one scan of embeddings feeds both windows: the corpus-sized scan
+    # appears once outside the broadcast build side
+    assert plan.count("Scan parquet") <= 2, plan
