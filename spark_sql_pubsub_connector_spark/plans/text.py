@@ -1174,3 +1174,95 @@ def q81_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_chars",
         (F.col("est_chars") - F.col("true_chars")).cast("long").alias("err_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# q94 — per-source token-distribution drift (KL-surrogate mixture monitor)
+# --------------------------------------------------------------------------
+_DRIFT_V = 100  # vocabulary: top-V corpus tokens (deterministic tiebreak)
+_DRIFT_SCALE = 1_000_000  # probability grid (1e-6)
+_DRIFT_LOG_CENTER = 9  # floor(log2(1000)): ratio grid is 1e3, q==p -> 0
+
+
+@query(
+    "q94_source_drift",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({sql_tokens('text')}) AS tok FROM documents
+),
+call AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_all FROM tok GROUP BY 1),
+vocab AS (
+  SELECT tok, c_all FROM call ORDER BY c_all DESC, tok ASC LIMIT {_DRIFT_V}
+),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all FROM vocab),
+src AS (
+  SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS c_src
+  FROM tok t JOIN vocab v ON t.tok = v.tok
+  GROUP BY 1, 2
+),
+stot AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS t_src FROM src GROUP BY 1),
+terms AS (
+  SELECT s.source,
+         s.c_src * {_DRIFT_SCALE} // st.t_src AS q_q6,
+         v.c_all * {_DRIFT_SCALE} // tt.t_all AS p_q6
+  FROM src s
+  JOIN stot st ON s.source = st.source
+  JOIN vocab v ON s.tok = v.tok
+  CROSS JOIN tot tt
+)
+SELECT source,
+       CAST(max(t_src) AS BIGINT) AS vocab_tokens,
+       CAST(sum(q_q6 * ((length(bin(q_q6 * 1000 // p_q6)) - 1)
+                        - {_DRIFT_LOG_CENTER})) AS BIGINT) AS drift_score
+FROM terms JOIN stot USING (source)
+GROUP BY 1
+""",
+    tags=("text", "drift", "monitoring"),
+)
+def q94_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift monitor: a KL-divergence surrogate between each
+    source's token distribution and the corpus distribution over the
+    top-{_DRIFT_V} vocabulary — the recurring health check a training-
+    data pipeline runs per ingest batch ("did src7 suddenly turn into
+    navigation boilerplate?"). Probabilities live on the 1e-6 integer
+    grid; log2 is the exact floor form length(bin(x))-1 (identical in
+    both engines, no libm), centered so q == p contributes 0.
+
+    Scale: one explode feeds two hash aggregates (corpus census and
+    per-(source, token) counts — both partial-agg, token-keyed, no hot
+    keys beyond true stopwords); the vocabulary is a {_DRIFT_V}-row
+    TakeOrdered broadcast; everything after is vocab×sources sized,
+    i.e. metadata scale. No floats anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    call = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+    vocab = call.orderBy(F.col("c_all").desc(), F.col("tok").asc()).limit(_DRIFT_V)
+    tot = vocab.agg(F.sum("c_all").cast("long").alias("t_all"))
+    src = (
+        tok.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_src"))
+    )
+    stot = src.groupBy("source").agg(F.sum("c_src").cast("long").alias("t_src"))
+    terms = (
+        src.join(stot, "source")
+        .join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "t_src",
+            F.expr(f"c_src * {_DRIFT_SCALE} DIV t_src").alias("q_q6"),
+            F.expr(f"c_all * {_DRIFT_SCALE} DIV t_all").alias("p_q6"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("t_src").cast("long").alias("vocab_tokens"),
+        F.sum(
+            F.expr(
+                f"q_q6 * ((length(bin(q_q6 * 1000 DIV p_q6)) - 1) "
+                f"- {_DRIFT_LOG_CENTER})"
+            )
+        )
+        .cast("long")
+        .alias("drift_score"),
+    )
