@@ -99,12 +99,11 @@ def q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # shared MinHash machinery (Spark side + oracle-SQL generator)
 # --------------------------------------------------------------------------
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, h): one row per document per LSH band.
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m7): the 8 per-document MinHash values.
 
     shingle(3-word) → one md5 → 60-bit hex prefix mod p = base hash →
-    minhash_j = min over shingles of (a_j·h + b_j) mod p → band key
-    h = m_{2b}·p + m_{2b+1} (exact BIGINT pairing, no second hash).
+    minhash_j = min over shingles of (a_j·h + b_j) mod p.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
@@ -113,7 +112,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sh, x -> CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) "
         f"AS BIGINT) % {_MH_P})"
     )
-    m = s.select("doc_id", F.expr(hv).alias("hv")).select(
+    return s.select("doc_id", F.expr(hv).alias("hv")).select(
         "doc_id",
         *[
             F.expr(
@@ -122,6 +121,13 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(N_HASHES)
         ],
     )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, h): one row per document per LSH band, with the
+    band key h = m_{2b}·p + m_{2b+1} (exact BIGINT pairing, no second
+    hash)."""
+    m = _minhash_sigs(spark, sf_dir)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -134,23 +140,29 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
 
 
-def _sql_minhash_bands() -> str:
-    """DuckDB CTE chain mirroring :func:`_minhash_bands` (1-based)."""
+def _sql_minhash_m() -> str:
+    """DuckDB CTE chain up to ``m`` (doc_id, m0..m7), mirroring
+    :func:`_minhash_sigs` (1-based lists)."""
     hex15 = sql_hex_prefix_int("md5(x)", 15)
     mins = ",\n       ".join(
         f"list_min(list_transform(hv, v -> ({_MH_A[j]} * v + {_MH_B[j]}) % {_MH_P})) AS m{j}"
         for j in range(N_HASHES)
-    )
-    bands = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band, m{2 * b} * {_MH_P} + m{2 * b + 1} AS h FROM m"
-        for b in range(N_BANDS)
     )
     return f"""
 t AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
 tt AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
 s AS (SELECT doc_id, {sql_shingles('w', 3)} AS sh FROM tt),
 hh AS (SELECT doc_id, list_transform(sh, x -> {hex15} % {_MH_P}) AS hv FROM s),
-m AS (SELECT doc_id, {mins} FROM hh),
+m AS (SELECT doc_id, {mins} FROM hh)"""
+
+
+def _sql_minhash_bands() -> str:
+    """DuckDB CTE chain mirroring :func:`_minhash_bands` (1-based)."""
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, m{2 * b} * {_MH_P} + m{2 * b + 1} AS h FROM m"
+        for b in range(N_BANDS)
+    )
+    return f"""{_sql_minhash_m()},
 b AS (
 {bands}
 )"""
@@ -1001,4 +1013,146 @@ def q91_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN n_candidates > 0 "
             f"THEN n_true * {_BE_SCALE} DIV n_candidates ELSE 0 END AS BIGINT)"
         ).alias("precision_q6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q95 — LSH banding sweep: the (r, b) tuning curve on real candidates
+# --------------------------------------------------------------------------
+_LSH_SWEEP = ((1, 8, "r1b8"), (2, 4, "r2b4"), (4, 2, "r4b2"))
+_LS_SCALE = 1_000_000
+
+
+def _sweep_bands_spark(m: DataFrame, r: int, nb: int) -> DataFrame:
+    """(doc_id, band, sig) under r-rows-per-band banding of the 8
+    minhashes; sig is md5 of the ':'-joined values so every config
+    joins on an equal-width string key."""
+    structs = []
+    for b in range(nb):
+        cat = F.concat_ws(
+            ":", *[F.col(f"m{b * r + k}").cast("string") for k in range(r)]
+        )
+        structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.encode(cat, "UTF-8")).alias("sig"))
+        )
+    return m.select("doc_id", F.explode(F.array(*structs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def _sweep_pairs_spark(bands: DataFrame, label: str) -> DataFrame:
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = (
+        "filter(flatten(transform(ds, a -> transform(ds, b -> "
+        "struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+        .withColumn("cfg", F.lit(label))
+    )
+
+
+def _sql_sweep_cand(r: int, nb: int, label: str) -> str:
+    sep = " || ':' || "
+    parts = []
+    for b in range(nb):
+        cat = sep.join(f"CAST(m{b * r + k} AS VARCHAR)" for k in range(r))
+        parts.append(f"SELECT doc_id, {b} AS band, md5({cat}) AS sig FROM m")
+    bands = "\n  UNION ALL\n".join(parts)
+    return (
+        f"b_{label} AS (\n{bands}\n),\n"
+        f"c_{label} AS (SELECT DISTINCT '{label}' AS cfg, a.doc_id AS doc_a, "
+        f"c.doc_id AS doc_b FROM b_{label} a JOIN b_{label} c "
+        f"ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id)"
+    )
+
+
+@query(
+    "q95_lsh_tuning",
+    oracle=f"""
+WITH {_sql_minhash_m()},
+{",".join(_sql_sweep_cand(r, nb, lb) for r, nb, lb in _LSH_SWEEP)},
+cand AS ({" UNION ALL ".join(f"SELECT * FROM c_{lb}" for _, _, lb in _LSH_SWEEP)}),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+sets AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+verdict AS (
+  SELECT doc_a, doc_b,
+         CASE WHEN CAST(floor(CAST(len(list_intersect(x.sd, y.sd)) AS DOUBLE)
+                   / len(list_distinct(x.sd || y.sd)) * {_LS_SCALE} + 0.5) AS BIGINT)
+              >= {_JACCARD_THRESHOLD_Q6} THEN 1 ELSE 0 END AS is_true
+  FROM pairs
+  JOIN sets x ON x.doc_id = doc_a
+  JOIN sets y ON y.doc_id = doc_b
+),
+tot AS (SELECT CAST(sum(is_true) AS BIGINT) AS total_true FROM verdict)
+SELECT cfg,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(is_true) AS BIGINT) AS n_true,
+       CAST(sum(is_true) * {_LS_SCALE} // count(*) AS BIGINT) AS precision_q6,
+       CAST(sum(is_true) * {_LS_SCALE} // max(total_true) AS BIGINT) AS recall_q6
+FROM cand JOIN verdict USING (doc_a, doc_b) CROSS JOIN tot
+GROUP BY cfg
+""",
+    tags=("dedup", "lsh", "tuning", "eval"),
+)
+def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH operating-point sweep: candidate count, precision, and
+    relative recall for three bandings of the SAME 8 minhashes —
+    8 bands of 1 row (loose: catches everything, drowns in noise),
+    4 bands of 2 (the q17 production point), 2 bands of 4 (strict).
+    Recall is relative to the union of swept configs (r=1 is a strict
+    superset of the others, so the union IS the r=1 candidate set) —
+    exactly the curve a dedup pipeline reads before picking (r, b).
+
+    Scale: the minhash subtree is computed ONCE; each config adds one
+    bucket-keyed shuffle (never O(n²) — the loosest config's buckets
+    are the largest, and its Σ|bucket|² term is the sweep's cost
+    ceiling). Every distinct candidate pair is Jaccard-verified once,
+    then attributed to its configs by a pair-keyed join."""
+    m = _minhash_sigs(spark, sf_dir)
+    cand = None
+    for r, nb, label in _LSH_SWEEP:
+        p = _sweep_pairs_spark(_sweep_bands_spark(m, r, nb), label)
+        cand = p if cand is None else cand.unionByName(p)
+    pairs = cand.select("doc_a", "doc_b").distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
+    sets = t.select("doc_id", F.array_distinct(shingles("w", 3)).alias("sd"))
+    x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
+    y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
+    inter = F.size(F.array_intersect("sda", "sdb"))
+    union = F.size(F.array_distinct(F.concat("sda", "sdb")))
+    jq6 = F.floor(
+        inter.cast("double") / union.cast("double") * _LS_SCALE + F.lit(0.5)
+    ).cast("long")
+    verdict = (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", (jq6 >= _JACCARD_THRESHOLD_Q6).cast("long").alias("is_true"))
+    )
+    tot = verdict.agg(F.sum("is_true").cast("long").alias("total_true"))
+    return (
+        cand.join(verdict, ["doc_a", "doc_b"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.max("total_true").alias("tt"),
+        )
+        .select(
+            "cfg",
+            "n_candidates",
+            "n_true",
+            F.expr(f"CAST(n_true * {_LS_SCALE} DIV n_candidates AS BIGINT)").alias(
+                "precision_q6"
+            ),
+            F.expr(f"CAST(n_true * {_LS_SCALE} DIV tt AS BIGINT)").alias("recall_q6"),
+        )
     )
