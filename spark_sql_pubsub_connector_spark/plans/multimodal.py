@@ -291,3 +291,101 @@ def q62_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_image,
         schema="doc_id long, out_w long, out_h long, resized_md5 string",
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — audio feature extraction (stubbed codec, vectorized DSP shape)
+# --------------------------------------------------------------------------
+def _decode_audio(payload: bytes) -> tuple[int, bytes]:
+    """Parse the FAKA header → (sample_rate, pcm_body). A real decoder
+    (wav/mp3/flac) would dispatch on the magic bytes; the codec
+    libraries are not in this container, so any non-FAKA payload
+    raises (SURVEY.md §2.3 'stub the decode step')."""
+    if payload[:4] != b"FAKA":
+        raise NotImplementedError(
+            f"no codec for magic {payload[:4]!r}; only the FAKA test format is bundled"
+        )
+    return int(payload[4:10]), payload[10:]
+
+
+def _extract_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Loudness/duration features over uint8 'PCM': everything is
+    numpy-vectorized per blob (sum/max/dot on the sample array) — the
+    Arrow-batched shape a real loudness meter (e.g. ITU BS.1770
+    blocks) would use, minus the codec."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, ns, durs, peaks, means, energies = [], [], [], [], [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            sr, body = _decode_audio(bytes(b))
+            pcm = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+            n = int(pcm.size)
+            ids.append(doc_id)
+            ns.append(n)
+            durs.append(n * 1000 // sr)
+            peaks.append(int(pcm.max()))
+            means.append(int(pcm.sum()) * 10_000 // n)
+            energies.append(int(pcm @ pcm) * 10_000 // n)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "duration_ms": pd.Series(durs, dtype="int64"),
+                "peak": pd.Series(peaks, dtype="int64"),
+                "mean_q4": pd.Series(means, dtype="int64"),
+                "energy_q4": pd.Series(energies, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "q96_mm_audio_features",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sr, text FROM documents
+),
+pcm AS (
+  SELECT doc_id, sr, length(text) AS n,
+         sum(ord(substr(text, i, 1))) AS tot,
+         max(ord(substr(text, i, 1))) AS peak,
+         sum(ord(substr(text, i, 1)) * ord(substr(text, i, 1))) AS totsq
+  FROM s, unnest(range(1, length(text) + 1)) AS t(i)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(peak AS BIGINT) AS peak,
+       CAST(tot * 10000 // n AS BIGINT) AS mean_q4,
+       CAST(totsq * 10000 // n AS BIGINT) AS energy_q4
+FROM pcm
+""",
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def q96_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing end-to-end: synthesize FAKA-format blobs (magic
+    + 6-digit sample rate + uint8 'PCM' body — the doc text bytes),
+    ship them through Arrow, and extract duration/peak/mean/energy
+    with numpy-vectorized math in mapInPandas. The oracle recomputes
+    the identical integer features relationally from the char codes.
+
+    Scale: partition-local like all multimodal ops (blobs never
+    shuffle); per-blob work is O(samples) vectorized numpy — the same
+    dataflow a real loudness/VAD feature pass runs at corpus scale.
+    Mean and energy live on the 1e-4 integer grid (sums and dot
+    products are exact int64), so no float crosses the engine
+    boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    sr = F.lit(8000) + (F.col("doc_id") % 4) * 4000
+    payload = F.concat(
+        F.lit("FAKA"), F.lpad(sr.cast("string"), 6, "0"), F.col("text")
+    )
+    blobs = docs.select("doc_id", F.encode(payload, "UTF-8").alias("payload"))
+    return blobs.mapInPandas(
+        _extract_audio_features,
+        schema=(
+            "doc_id long, n_samples long, duration_ms long, "
+            "peak long, mean_q4 long, energy_q4 long"
+        ),
+    )
