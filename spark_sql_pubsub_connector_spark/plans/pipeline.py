@@ -753,3 +753,102 @@ def q89_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(rows_scanned * 10000 DIV rows_total AS BIGINT)"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q97 — resharding-cost advisor: mod-hash vs rendezvous (HRW) hashing
+# --------------------------------------------------------------------------
+_RS_N = 16  # current shard count; the advisor evaluates adding one
+
+
+def _hrw_hashes(n: int) -> list[str]:
+    """Engine-agnostic md5 scores of doc_id against each shard id
+    (equal-width lowercase hex compares lexicographically in both
+    engines, standing in for the numeric HRW score)."""
+    return [f"md5(CAST(doc_id AS STRING) || ':' || '{s}')" for s in range(n)]
+
+
+@query(
+    "q97_reshard_advisor",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id,
+         list_position([{", ".join(_hrw_hashes(_RS_N))}],
+             list_max([{", ".join(_hrw_hashes(_RS_N))}])) - 1 AS h_old,
+         list_position([{", ".join(_hrw_hashes(_RS_N + 1))}],
+             list_max([{", ".join(_hrw_hashes(_RS_N + 1))}])) - 1 AS h_new,
+         doc_id % {_RS_N} AS m_old,
+         doc_id % {_RS_N + 1} AS m_new
+  FROM documents
+),
+uni AS (
+  SELECT 'mod' AS strategy, m_new AS shard,
+         CASE WHEN m_old <> m_new THEN 1 ELSE 0 END AS moved FROM a
+  UNION ALL
+  SELECT 'rendezvous', h_new, CASE WHEN h_old <> h_new THEN 1 ELSE 0 END FROM a
+),
+per_shard AS (
+  SELECT strategy, shard, count(*) AS load, sum(moved) AS moved
+  FROM uni GROUP BY 1, 2
+)
+SELECT strategy,
+       CAST(sum(load) AS BIGINT) AS n_docs,
+       CAST(sum(moved) AS BIGINT) AS n_moved,
+       CAST(sum(moved) * 10000 // sum(load) AS BIGINT) AS moved_pct_q4,
+       CAST(max(load) AS BIGINT) AS max_shard_load,
+       CAST(min(load) AS BIGINT) AS min_shard_load
+FROM per_shard GROUP BY 1
+""",
+    tags=("layout", "sharding", "advisor"),
+)
+def q97_reshard_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-cost advisor: when a {_RS_N}-shard corpus grows a
+    shard, how many documents move under naive mod-hashing versus
+    rendezvous (highest-random-weight) hashing, and how balanced is
+    the new assignment? Mod-hash remaps ~N/(N+1) of all keys (a full
+    rewrite at 100 TB); rendezvous moves ~1/(N+1) — the measurement
+    behind choosing stable sharding for an append-only corpus store
+    (and exactly the property consistent-hash rings buy).
+
+    Scale: the HRW argmax is {_RS_N + 1} md5s + an array max per row,
+    all codegen (no UDFs, no shuffle); the verdict is a two-level
+    aggregate — per-(strategy, shard) loads (≤ 2·(N+1) groups after
+    map-side partials) rolled up to one row per strategy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    arr_old = "array(" + ", ".join(_hrw_hashes(_RS_N)) + ")"
+    arr_new = "array(" + ", ".join(_hrw_hashes(_RS_N + 1)) + ")"
+    a = docs.select(
+        "doc_id",
+        (F.expr(f"array_position({arr_old}, array_max({arr_old}))") - 1).alias(
+            "h_old"
+        ),
+        (F.expr(f"array_position({arr_new}, array_max({arr_new}))") - 1).alias(
+            "h_new"
+        ),
+        (F.col("doc_id") % _RS_N).alias("m_old"),
+        (F.col("doc_id") % (_RS_N + 1)).alias("m_new"),
+    )
+    mod = a.select(
+        F.lit("mod").alias("strategy"),
+        F.col("m_new").alias("shard"),
+        (F.col("m_old") != F.col("m_new")).cast("long").alias("moved"),
+    )
+    hrw = a.select(
+        F.lit("rendezvous").alias("strategy"),
+        F.col("h_new").alias("shard"),
+        (F.col("h_old") != F.col("h_new")).cast("long").alias("moved"),
+    )
+    per_shard = (
+        mod.unionByName(hrw)
+        .groupBy("strategy", "shard")
+        .agg(F.count(F.lit(1)).alias("load"), F.sum("moved").alias("moved"))
+    )
+    return per_shard.groupBy("strategy").agg(
+        F.sum("load").cast("long").alias("n_docs"),
+        F.sum("moved").cast("long").alias("n_moved"),
+        F.expr("CAST(sum(moved) * 10000 DIV sum(load) AS BIGINT)").alias(
+            "moved_pct_q4"
+        ),
+        F.max("load").cast("long").alias("max_shard_load"),
+        F.min("load").cast("long").alias("min_shard_load"),
+    )
