@@ -1528,3 +1528,92 @@ def q93_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q98 — join-key skew profiler (Herfindahl + top-k shares)
+# --------------------------------------------------------------------------
+_SKEW_SCALE = 1_000_000
+_SKEW_TOPK = 10
+
+
+def _sql_skew_profile(col: str) -> str:
+    return f"""
+SELECT '{col}' AS key_name,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS total_rows,
+       CAST(sum(c * c) * {_SKEW_SCALE} // (sum(c) * sum(c)) AS BIGINT) AS hhi_q6,
+       CAST(max(c) * {_SKEW_SCALE} // sum(c) AS BIGINT) AS top1_share_q6,
+       CAST((SELECT sum(c) FROM (SELECT c FROM cnt_{col}
+             ORDER BY c DESC, k ASC LIMIT {_SKEW_TOPK}))
+            * {_SKEW_SCALE} // sum(c) AS BIGINT) AS top10_share_q6
+FROM cnt_{col}"""
+
+
+@query(
+    "q98_skew_profile",
+    oracle=f"""
+WITH cnt_user_id AS (
+  SELECT CAST(user_id AS STRING) AS k, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+cnt_event_type AS (
+  SELECT event_type AS k, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+)
+{_sql_skew_profile("user_id")}
+UNION ALL
+{_sql_skew_profile("event_type")}
+""",
+    tags=("olap", "skew", "profiling"),
+)
+def q98_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: for each prospective shuffle key, the
+    distinct-key count, Herfindahl concentration index (Σshare² — 1e6
+    grid; 1/n_keys when uniform, 1.0 when one key owns everything),
+    and top-1/top-{_SKEW_TOPK} share — the numbers that decide whether
+    a join/aggregate on that key needs salting (q40/q65's machinery)
+    or can rely on AQE skew splitting.
+
+    Scale: one hash aggregate per profiled key (map-side partials —
+    the profile never sees raw rows after the first agg); the top-k
+    share is a TakeOrdered over the count table, and every ratio is
+    integer arithmetic on BIGINT sums (HHI at the 1e-6 grid keeps
+    Σc² · scale inside int64 far past this corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def profile(col: str) -> DataFrame:
+        cnt = (
+            ev.groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        top = (
+            cnt.orderBy(F.col("c").desc(), F.col("k").asc())
+            .limit(_SKEW_TOPK)
+            .agg(F.sum("c").cast("long").alias("topk"))
+        )
+        return (
+            cnt.agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("c").cast("long").alias("total_rows"),
+                F.sum(F.expr("c * c")).cast("long").alias("ss"),
+                F.max("c").cast("long").alias("cmax"),
+            )
+            .crossJoin(F.broadcast(top))
+            .select(
+                F.lit(col).alias("key_name"),
+                "n_keys",
+                "total_rows",
+                F.expr(
+                    f"CAST(ss * {_SKEW_SCALE} DIV (total_rows * total_rows) AS BIGINT)"
+                ).alias("hhi_q6"),
+                F.expr(
+                    f"CAST(cmax * {_SKEW_SCALE} DIV total_rows AS BIGINT)"
+                ).alias("top1_share_q6"),
+                F.expr(
+                    f"CAST(topk * {_SKEW_SCALE} DIV total_rows AS BIGINT)"
+                ).alias("top10_share_q6"),
+            )
+        )
+
+    return profile("user_id").unionByName(profile("event_type"))
