@@ -26,7 +26,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.textops import sql_shingles, sql_tokens, tokens
+from ..functions.textops import (
+    hex_prefix_int,
+    shingles,
+    sql_hex_prefix_int,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
 from .registry import query
 from .tables import load_table
 
@@ -1265,4 +1272,83 @@ def q94_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("drift_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q99 — corpus novelty curve (crawl-saturation measurement)
+# --------------------------------------------------------------------------
+_NV_BUCKET = 50  # docs per ingest batch in the curve
+_NV_KEY_HEX = 12  # 48-bit gram keys (same discipline as q44)
+_NV_SCALE = 1_000_000
+
+
+@query(
+    "q99_novelty_curve",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         {sql_hex_prefix_int("md5(gram)", _NV_KEY_HEX)} AS gk
+  FROM (
+    SELECT doc_id, unnest({sql_shingles('w', 3)}) AS gram
+    FROM t WHERE len(w) >= 3
+  )
+),
+firstd AS (SELECT gk, min(doc_id) AS fd FROM g GROUP BY 1),
+bkt AS (
+  SELECT g.doc_id // {_NV_BUCKET} AS bucket,
+         count(*) AS n_grams,
+         sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS n_new
+  FROM g JOIN firstd f ON g.gk = f.gk GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_new * {_NV_SCALE} // n_grams AS BIGINT) AS novelty_q6
+FROM bkt
+""",
+    tags=("text", "novelty", "curation"),
+)
+def q99_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-saturation curve: per {_NV_BUCKET}-doc ingest batch, the
+    fraction of its distinct 3-grams never seen in ANY earlier doc —
+    the diminishing-returns measurement ("is another month of this
+    crawl still adding information?") behind dedup-ROI and
+    stop-crawling decisions. On this corpus novelty falls from ~95%
+    in batch 0 to ~40% by batch 9: visible saturation.
+
+    Scale: grams are 48-bit md5 keys (q44's discipline — fixed-width
+    shuffle keys, documented collision rate ~n²/2⁴⁹); first-occurrence
+    is a gram-keyed min aggregate (map-side partials), attribution is
+    one gram-keyed join back, and the curve rollup is bucket-count
+    sized. Nothing quadratic, no windows, no skew hot-spots."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
+    g = (
+        t.select("doc_id", F.explode(shingles("w", 3)).alias("gram"))
+        .select(
+            "doc_id",
+            hex_prefix_int(
+                F.md5(F.encode(F.col("gram"), "UTF-8")), _NV_KEY_HEX
+            ).alias("gk"),
+        )
+        .distinct()
+    )
+    firstd = g.groupBy("gk").agg(F.min("doc_id").alias("fd"))
+    return (
+        g.join(firstd, "gk")
+        .groupBy(F.expr(f"doc_id DIV {_NV_BUCKET}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.expr("CAST(fd = doc_id AS BIGINT)")).cast("long").alias("n_new"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_grams",
+            "n_new",
+            F.expr(f"CAST(n_new * {_NV_SCALE} DIV n_grams AS BIGINT)").alias(
+                "novelty_q6"
+            ),
+        )
     )
