@@ -1156,3 +1156,96 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(n_true * {_LS_SCALE} DIV tt AS BIGINT)").alias("recall_q6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — MinHash estimator calibration against exact Jaccard
+# --------------------------------------------------------------------------
+_CAL_SCALE = 1_000_000
+
+
+@query(
+    "q101_minhash_calibration",
+    oracle=f"""
+WITH {_sql_minhash_bands()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({" + ".join(f"CASE WHEN x.m{j} = y.m{j} THEN 1 ELSE 0 END" for j in range(N_HASHES))})
+           * {_CAL_SCALE} // {N_HASHES} AS est_q6
+  FROM cand c
+  JOIN m x ON x.doc_id = c.doc_a
+  JOIN m y ON y.doc_id = c.doc_b
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+exact AS (
+  SELECT e.doc_a, e.doc_b, e.est_q6,
+         CAST(floor(CAST(len(list_intersect(x.sd, y.sd)) AS DOUBLE)
+              / len(list_distinct(x.sd || y.sd)) * {_CAL_SCALE} + 0.5) AS BIGINT)
+           AS jaccard_q6
+  FROM est e
+  JOIN sets x ON x.doc_id = e.doc_a
+  JOIN sets y ON y.doc_id = e.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(est_q6 AS BIGINT) AS est_q6,
+       jaccard_q6,
+       CAST(abs(est_q6 - jaccard_q6) AS BIGINT) AS abs_err_q6
+FROM exact
+""",
+    tags=("dedup", "minhash", "calibration", "eval"),
+)
+def q101_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration report: for every LSH candidate pair, the
+    MinHash similarity ESTIMATE (matching hashes / {N_HASHES}) next to
+    the exact 3-gram Jaccard, with the absolute error — the check that
+    tells you whether {N_HASHES} hashes are enough before you trust
+    the sketch at corpus scale (E[err] ~ 1/sqrt(k); k=8 is coarse by
+    design and this report shows exactly how coarse).
+
+    Scale: estimates come from two doc-keyed joins against the ONE
+    shared minhash table (never recomputed); exact Jaccard runs only
+    on candidate pairs (q19's discipline). Everything is integer
+    arithmetic on the 1e-6 grid."""
+    cand = q17_dedup_minhash_lsh(spark, sf_dir)
+    m = _minhash_sigs(spark, sf_dir)
+    ma = m.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_HASHES)]
+    )
+    mb = m.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(N_HASHES)]
+    )
+    est_expr = (
+        "("
+        + " + ".join(f"CAST(a{j} = b{j} AS BIGINT)" for j in range(N_HASHES))
+        + f") * {_CAL_SCALE} DIV {N_HASHES}"
+    )
+    est = (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", F.expr(est_expr).alias("est_q6"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
+    sets = t.select("doc_id", F.array_distinct(shingles("w", 3)).alias("sd"))
+    x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
+    y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
+    inter = F.size(F.array_intersect("sda", "sdb"))
+    union = F.size(F.array_distinct(F.concat("sda", "sdb")))
+    jq6 = F.floor(
+        inter.cast("double") / union.cast("double") * _CAL_SCALE + F.lit(0.5)
+    ).cast("long")
+    return (
+        est.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_q6",
+            jq6.alias("jaccard_q6"),
+            F.abs(F.col("est_q6") - jq6).cast("long").alias("abs_err_q6"),
+        )
+    )

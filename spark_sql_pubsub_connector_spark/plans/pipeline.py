@@ -852,3 +852,119 @@ def q97_reshard_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("load").cast("long").alias("max_shard_load"),
         F.min("load").cast("long").alias("min_shard_load"),
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — clean-corpus materialization report (filter ∘ dedup composition)
+# --------------------------------------------------------------------------
+# Reuses q52's Gopher-rule constants and q16's canonical-copy rule so
+# the composed pipeline stays consistent with its component operators.
+from .text import _QF_MAX_MEAN_LEN  # noqa: E402
+from .text import _QF_MAX_TOK  # noqa: E402
+from .text import _QF_MIN_MEAN_LEN  # noqa: E402
+from .text import _QF_MIN_STOP  # noqa: E402
+from .text import _QF_MIN_TOK  # noqa: E402
+from .text import _STOP_SQL  # noqa: E402
+
+
+@query(
+    "q102_clean_corpus_report",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+         CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform({sql_tokens('text')}, t -> length(t)))
+              AS BIGINT) AS sum_len,
+         CAST(len(list_filter({sql_tokens('text')}, t -> t IN ({_STOP_SQL})))
+              AS BIGINT) AS n_stop
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, lang, text, n_tok,
+         ((n_tok BETWEEN {_QF_MIN_TOK} AND {_QF_MAX_TOK})
+          AND (CAST(sum_len AS DOUBLE) / n_tok
+               BETWEEN {_QF_MIN_MEAN_LEN} AND {_QF_MAX_MEAN_LEN})
+          AND (CAST(n_stop AS DOUBLE) / n_tok >= {_QF_MIN_STOP})) AS keep_q
+  FROM m
+),
+canon AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id FROM documents GROUP BY 1),
+labeled AS (
+  SELECT f.doc_id, f.lang, f.n_tok, f.keep_q,
+         (f.doc_id = c.keep_id) AS is_canon
+  FROM flags f JOIN canon c ON md5(f.text) = c.fp
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN keep_q AND is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN keep_q AND is_canon THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_clean,
+       CAST(sum(CASE WHEN keep_q AND is_canon THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS retained_pct_q4
+FROM labeled GROUP BY 1
+""",
+    tags=("pipeline", "composition", "report"),
+)
+def q102_clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation report: compose the Gopher quality
+    filter (q52's rules) with canonical exact dedup (q16's min-doc_id
+    rule) and report, per language, how much survives — raw docs,
+    quality-passing docs, clean (quality AND canonical) docs, clean
+    token count, and the retention rate. This is the summary table a
+    data-curation run publishes after every ingest.
+
+    Scale: the quality flags are per-row array arithmetic (map-only);
+    dedup is one fingerprint-keyed hash aggregate + a fingerprint
+    join back (q16's shape); the report aggregate has language
+    cardinality. Composing the operators adds NO new shuffle class —
+    exactly why the pipeline stays one job at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = "split(lower(trim(text)), '\\\\s+')"
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        F.expr(
+            f"CAST(aggregate(transform({w}, t -> length(t)), "
+            "CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)"
+        ).alias("sum_len"),
+        F.expr(
+            f"CAST(size(filter({w}, t -> t IN ({_STOP_SQL}))) AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    keep_q = (
+        F.col("n_tok").between(_QF_MIN_TOK, _QF_MAX_TOK)
+        & (F.col("sum_len").cast("double") / F.col("n_tok")).between(
+            _QF_MIN_MEAN_LEN, _QF_MAX_MEAN_LEN
+        )
+        & (F.col("n_stop").cast("double") / F.col("n_tok") >= _QF_MIN_STOP)
+    )
+    flags = m.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"),
+        keep_q.alias("keep_q"),
+    )
+    canon = (
+        docs.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    labeled = flags.join(canon, "fp").withColumn(
+        "is_canon", F.col("doc_id") == F.col("keep_id")
+    )
+    return labeled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.col("keep_q").cast("long")).cast("long").alias("n_quality"),
+        F.sum((F.col("keep_q") & F.col("is_canon")).cast("long"))
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(
+            F.when(F.col("keep_q") & F.col("is_canon"), F.col("n_tok")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tokens_clean"),
+        F.expr(
+            "CAST(sum(CAST(keep_q AND is_canon AS BIGINT)) * 10000 DIV count(*) AS BIGINT)"
+        ).alias("retained_pct_q4"),
+    )

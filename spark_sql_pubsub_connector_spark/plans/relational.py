@@ -1617,3 +1617,62 @@ def q98_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("user_id").unionByName(profile("event_type"))
+
+
+# --------------------------------------------------------------------------
+# q100 — large-volume orders (the TPC-H Q18 shape)
+# --------------------------------------------------------------------------
+_LO_QTY = 250  # HAVING sum(l_quantity) threshold
+
+
+@query(
+    "q100_large_orders",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_esum("l_quantity", 2, "sum_qty")}
+  FROM lineitem GROUP BY 1
+  HAVING CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+         > {_LO_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       {sql_esum("o_totalprice", 2, "o_totalprice_e")},
+       {sql_esum("sum_qty", 2, "sum_qty")}
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY 1, 2, 3, 4
+""",
+    tags=("olap", "tpch", "having"),
+)
+def q100_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers — the TPC-H Q18 shape: orders whose
+    total line quantity exceeds {_LO_QTY}, joined back to order and
+    customer detail. The HAVING aggregate is the whole reduction: the
+    order-keyed hash agg collapses lineitem map-side, the threshold
+    keeps ~0.7% of orders, and only that residue joins onward —
+    the filter-before-join discipline that makes this cheap at any
+    scale. All money/quantity sums are exact integer-scaled
+    (functions/exact.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(esum("l_quantity", 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > _LO_QTY)
+    )
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        )
+        .agg(
+            esum("o_totalprice", 2).alias("o_totalprice_e"),
+            esum("sum_qty", 2).alias("sum_qty"),
+        )
+    )
