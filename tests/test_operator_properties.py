@@ -144,3 +144,66 @@ def test_cc_min_label_pointer_jumping_matches_union_find(case):
     # pointer jumping keeps rounds logarithmic-ish; a chain of 60
     # nodes must converge far faster than its diameter
     assert rounds <= 12
+
+
+# --------------------------------------------------------------------------
+# q88 chunking lemma
+# --------------------------------------------------------------------------
+@given(st.integers(min_value=1, max_value=10_000))
+@settings(max_examples=300, deadline=None)
+def test_chunk_count_covers_every_token_exactly_once(n_tokens):
+    """q88's chunk construction: ceil(n/16) chunks of slice(i*16+1, 16)
+    partition the token list — every position covered once, the last
+    chunk short iff n % 16 != 0."""
+    B = 16
+    n_chunks = (n_tokens + B - 1) // B
+    covered = []
+    for i in range(n_chunks):
+        start = i * B  # 0-based mirror of the 1-based slice
+        covered.extend(range(start, min(start + B, n_tokens)))
+    assert covered == list(range(n_tokens))
+
+
+# --------------------------------------------------------------------------
+# q97 rendezvous-hashing lemma
+# --------------------------------------------------------------------------
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=500, deadline=None)
+def test_hrw_moves_only_to_the_new_shard(doc_id):
+    """Adding shard N to an HRW assignment can only move a key TO the
+    new shard (its old scores are unchanged, one candidate is added) —
+    the stability property q97 measures. Mirrors the md5-score argmax
+    with 1-based positions exactly as both engines compute it."""
+    import hashlib
+
+    N = 16
+    scores = [hashlib.md5(f"{doc_id}:{s}".encode()).hexdigest() for s in range(N + 1)]
+    old = scores[:N].index(max(scores[:N]))
+    new = scores.index(max(scores))
+    assert new == old or new == N
+
+
+# --------------------------------------------------------------------------
+# q95 banding-nesting lemma
+# --------------------------------------------------------------------------
+@given(
+    st.lists(st.integers(min_value=0, max_value=3), min_size=8, max_size=8),
+    st.lists(st.integers(min_value=0, max_value=3), min_size=8, max_size=8),
+)
+@settings(max_examples=500, deadline=None)
+def test_banding_candidates_nest_by_rows_per_band(ma, mb):
+    """q95's sweep relies on candidates(r=2k) ⊆ candidates(r=k): if two
+    signature vectors agree on some r-wide band, they agree on both of
+    its r/2-wide halves. Hence the r=1 candidate set is the union and
+    the relative-recall denominator."""
+
+    def agrees(r):
+        nb = 8 // r
+        return any(
+            all(ma[b * r + k] == mb[b * r + k] for k in range(r)) for b in range(nb)
+        )
+
+    if agrees(4):
+        assert agrees(2)
+    if agrees(2):
+        assert agrees(1)
