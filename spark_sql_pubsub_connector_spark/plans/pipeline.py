@@ -968,3 +968,87 @@ def q102_clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(keep_q AND is_canon AS BIGINT)) * 10000 DIV count(*) AS BIGINT)"
         ).alias("retained_pct_q4"),
     )
+
+
+# --------------------------------------------------------------------------
+# q103 — mixture rebalancer: materialize q79's rates with q45's sampler
+# --------------------------------------------------------------------------
+@query(
+    "q103_mixture_rebalance",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+wtd AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(sum(w_sqrt) AS BIGINT) AS sum_w,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tok
+  FROM wtd
+),
+rates AS (
+  SELECT w.source, w.n_docs, w.n_tokens,
+         CAST(least({_MIX_SCALE},
+              ((w.w_sqrt * {_MIX_SCALE}) // t.sum_w * (t.sum_tok // 2))
+              // w.n_tokens) AS BIGINT) AS rate_q6
+  FROM wtd w, tot t
+),
+flagged AS (
+  SELECT d.source,
+         len({sql_tokens('d.text')}) AS n_tok,
+         CASE WHEN {sql_hex_prefix_int("md5(CAST(d.doc_id AS STRING))", 8)}
+                   % {_MIX_SCALE} < r.rate_q6
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN rates r ON d.source = r.source
+)
+SELECT r.source, r.n_docs, r.n_tokens, r.rate_q6,
+       CAST(sum(f.kept) AS BIGINT) AS kept_docs,
+       CAST(sum(f.kept * f.n_tok) AS BIGINT) AS kept_tokens,
+       CAST(sum(f.kept) * {_MIX_SCALE} // r.n_docs AS BIGINT) AS achieved_rate_q6
+FROM flagged f JOIN rates r ON f.source = r.source
+GROUP BY 1, 2, 3, 4
+""",
+    tags=("pipeline", "sampling", "composition"),
+)
+def q103_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the training mixture: q79 decides each source's
+    temperature-weighted sampling rate; this operator APPLIES it with
+    q45's deterministic hash sampler (keep iff md5(doc_id) mod 1e6 <
+    rate) and reports target vs achieved per source — the reconciler
+    a data-mixing pipeline runs to prove the materialized corpus
+    matches the recipe.
+
+    Scale: the rate table is source-cardinality and broadcast; the
+    keep decision is a per-row hash compare (zero shuffle on the
+    corpus scan); the report is one source-keyed partial aggregate.
+    Sampling is per-key deterministic, so reruns and engines agree
+    bit-for-bit — no RNG state anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = q79_source_mixture(spark, sf_dir).select(
+        "source", "n_docs", "n_tokens", "rate_q6"
+    )
+    bucket = (
+        hex_prefix_int(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 8)
+        % _MIX_SCALE
+    )
+    flagged = (
+        docs.select(
+            "source",
+            F.size(tokens("text")).cast("long").alias("n_tok"),
+            bucket.alias("bkt"),
+        )
+        .join(F.broadcast(rates), "source")
+        .withColumn("kept", (F.col("bkt") < F.col("rate_q6")).cast("long"))
+    )
+    return flagged.groupBy("source", "n_docs", "n_tokens", "rate_q6").agg(
+        F.sum("kept").cast("long").alias("kept_docs"),
+        F.sum(F.expr("kept * n_tok")).cast("long").alias("kept_tokens"),
+        F.expr(f"CAST(sum(kept) * {_MIX_SCALE} DIV n_docs AS BIGINT)").alias(
+            "achieved_rate_q6"
+        ),
+    )

@@ -1352,3 +1352,67 @@ def q99_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q104 — n-gram diversity (compression-ratio quality proxy)
+# --------------------------------------------------------------------------
+_DIV_N = 4  # 4-gram diversity, the "zlib ratio" surrogate
+_DIV_SCALE = 1_000_000
+_DIV_REP_Q6 = 300_000  # diversity < 0.3 -> repetitive/boilerplate
+
+
+@query(
+    "q104_ngram_diversity",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         CAST(len(w) - {_DIV_N - 1} AS BIGINT) AS total_grams,
+         CAST(len(list_distinct({sql_shingles('w', _DIV_N)})) AS BIGINT)
+           AS distinct_grams
+  FROM t WHERE len(w) >= {_DIV_N}
+)
+SELECT doc_id, total_grams, distinct_grams,
+       CAST(distinct_grams * {_DIV_SCALE} // total_grams AS BIGINT)
+         AS diversity_q6,
+       CAST(distinct_grams * {_DIV_SCALE} // total_grams < {_DIV_REP_Q6}
+            AS BIGINT) AS is_repetitive
+FROM g
+""",
+    tags=("text", "quality", "diversity"),
+)
+def q104_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality proxy: distinct/total {_DIV_N}-gram
+    ratio per document — the cheap stand-in for the zlib-compressibility
+    filter real pipelines use (machine-generated or boilerplate text
+    compresses well ⇔ repeats its n-grams ⇔ low diversity). Documents
+    under {_DIV_REP_Q6 / _DIV_SCALE} diversity are flagged.
+
+    Scale: entirely per-row array arithmetic inside whole-stage
+    codegen (shingle + array_distinct + size) — ZERO shuffles, no
+    explode, no Python; the cheapest possible quality signal to add
+    to a 100 TB scan, and the plan test pins the no-Exchange shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w")).filter(
+        F.size("w") >= _DIV_N
+    )
+    g = t.select(
+        "doc_id",
+        (F.size("w") - (_DIV_N - 1)).cast("long").alias("total_grams"),
+        F.size(F.array_distinct(shingles("w", _DIV_N))).cast("long").alias(
+            "distinct_grams"
+        ),
+    )
+    return g.select(
+        "doc_id",
+        "total_grams",
+        "distinct_grams",
+        F.expr(f"CAST(distinct_grams * {_DIV_SCALE} DIV total_grams AS BIGINT)").alias(
+            "diversity_q6"
+        ),
+        F.expr(
+            f"CAST(distinct_grams * {_DIV_SCALE} DIV total_grams < {_DIV_REP_Q6} "
+            f"AS BIGINT)"
+        ).alias("is_repetitive"),
+    )

@@ -336,3 +336,11 @@ def test_matryoshka_single_scan_two_windows(spark, sf_dir):
     # one scan of embeddings feeds both windows: the corpus-sized scan
     # appears once outside the broadcast build side
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_ngram_diversity_zero_shuffle(spark, sf_dir):
+    """q104 is a pure scan: any Exchange would mean the per-row array
+    arithmetic fell off the map-only path."""
+    plan = plan_of(spark, sf_dir, "q104_ngram_diversity", mode="simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
