@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exact import eavg, esum, sql_eavg, sql_esum
+from ..functions.textops import sql_tokens, tokens
 from .registry import query
 from .tables import load_table
 
@@ -1675,4 +1676,50 @@ def q100_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             esum("o_totalprice", 2).alias("o_totalprice_e"),
             esum("sum_qty", 2).alias("sum_qty"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q106 — GROUPING SETS (the third grouping variant: q11 rollup, q35 cube)
+# --------------------------------------------------------------------------
+@query(
+    "q106_grouping_sets",
+    oracle=f"""
+SELECT coalesce(lang, 'ALL') AS lang_g,
+       coalesce(source, 'ALL') AS source_g,
+       CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+""",
+    tags=("olap", "grouping-sets"),
+)
+def q106_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the mixed-granularity rollup a mixture
+    dashboard wants: per-(lang, source) cells, per-lang margins, and
+    the grand total, WITHOUT cube's unwanted per-source margin. The
+    gid column (grouping(lang)·2 + grouping(source)) disambiguates
+    NULL-valued data from subtotal rows, computed portably instead of
+    engine-specific grouping_id spellings.
+
+    Scale: Spark expands grouping sets into one Expand + hash
+    aggregate — each input row contributes to 3 sets, partial
+    aggregation collapses them map-side, and the shuffle carries only
+    distinct group cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    view = "docs_gs_view"
+    docs.select(
+        "lang", "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    ).createOrReplaceTempView(view)
+    return docs.sparkSession.sql(
+        f"""
+SELECT coalesce(lang, 'ALL') AS lang_g,
+       coalesce(source, 'ALL') AS source_g,
+       CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM {view}
+GROUP BY lang, source GROUPING SETS ((lang, source), (lang), ())
+"""
     )

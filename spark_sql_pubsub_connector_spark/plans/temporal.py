@@ -386,3 +386,106 @@ def q85_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(s * 1000) DIV n").cast("long").alias("mean_q3"),
         F.expr("(dev_sq * 1000000) DIV (n * var_num)").cast("long").alias("z2_q6"),
     ).filter(F.col("z2_q6") >= _AN_Z2_Q6)
+
+
+# --------------------------------------------------------------------------
+# q105 — conversion-latency quantiles (as-of join ∘ histogram quantiles)
+# --------------------------------------------------------------------------
+_CL_BUCKET_S = 600  # 10-minute latency buckets
+_CL_PCTS = (50, 90, 99)
+
+
+@query(
+    "q105_conversion_latency",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts_us
+  FROM ev
+),
+lat AS (
+  SELECT (ts_us - click_ts_us) // 1000000 // {_CL_BUCKET_S} AS bucket
+  FROM w WHERE event_type = 'purchase' AND click_ts_us IS NOT NULL
+),
+hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY 1),
+cum AS (
+  SELECT bucket, c,
+         CAST(sum(c) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rt,
+         CAST(sum(c) OVER () AS BIGINT) AS tot
+  FROM hist
+)
+{" UNION ALL ".join(
+    "SELECT CAST(" + str(p) + " AS BIGINT) AS q_pct, "
+    "CAST(min(bucket) * " + str(_CL_BUCKET_S) + " AS BIGINT) AS latency_lo_s, "
+    "CAST(max(tot) AS BIGINT) AS n_pairs "
+    "FROM cum WHERE rt * 100 >= tot * " + str(p)
+    for p in _CL_PCTS
+)}
+""",
+    tags=("temporal", "asof", "quantile", "composition"),
+)
+def q105_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency SLO report: p50/p90/p99 of the time between
+    each purchase and the user's latest prior click — the as-of join
+    (q55's single-window union trick) composed with histogram-based
+    quantiles (q81's discipline: NO global sort; the quantile is the
+    first {_CL_BUCKET_S}-second bucket whose running count crosses the
+    percentile threshold, integer arithmetic end to end).
+
+    Scale: one user-keyed window pass for the as-of pairing, one hash
+    aggregate to the bucket histogram (bucket count ≤ observed-latency
+    range / {_CL_BUCKET_S}s — metadata-sized), and the cumulative
+    window runs over that tiny histogram, not the data."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    paired = ev.withColumn(
+        "click_ts_us",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts_us")), ignorenulls=True
+        ).over(w),
+    )
+    lat = paired.filter(
+        (F.col("event_type") == "purchase") & F.col("click_ts_us").isNotNull()
+    ).select(
+        F.expr(
+            f"(ts_us - click_ts_us) DIV 1000000 DIV {_CL_BUCKET_S}"
+        ).alias("bucket")
+    )
+    hist = lat.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        F.sum("c").over(cw).cast("long").alias("rt"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("tot"),
+    )
+    out = None
+    for p in _CL_PCTS:
+        row = (
+            cum.filter(F.expr(f"rt * 100 >= tot * {p}"))
+            .agg(
+                F.min(F.expr(f"bucket * {_CL_BUCKET_S}"))
+                .cast("long")
+                .alias("latency_lo_s"),
+                F.max("tot").cast("long").alias("n_pairs"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("q_pct"), "latency_lo_s", "n_pairs"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
