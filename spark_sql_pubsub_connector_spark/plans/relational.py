@@ -1723,3 +1723,78 @@ FROM {view}
 GROUP BY lang, source GROUPING SETS ((lang, source), (lang), ())
 """
     )
+
+
+# --------------------------------------------------------------------------
+# q107 — gaps-and-islands: longest increasing value run per user
+# --------------------------------------------------------------------------
+@query(
+    "q107_longest_run",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 10000, 0) AS BIGINT) AS v_q4
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id, v_q4,
+         CASE WHEN lag(v_q4) OVER w IS NULL
+              OR v_q4 <= lag(v_q4) OVER w THEN 1 ELSE 0 END AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+grp AS (
+  SELECT user_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM grp GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY 1
+""",
+    tags=("olap", "window", "gaps-islands"),
+)
+def q107_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the classic sequence-analytics pattern: per
+    user, the longest strictly-increasing run of event values and the
+    total number of maximal runs. Break detection via lag(), island
+    ids via a running sum of breaks, run lengths via a keyed
+    aggregate — three steps, all on the same (user, time) partition
+    order, so ONE shuffle serves every window (Spark reuses the
+    partitioning across the two window passes and the values are
+    4-decimal-quantized BIGINTs, so break comparisons are exact).
+
+    Scale: windows partition by user_id (high cardinality, uniform);
+    the run aggregate is keyed by (user, island) — never wider than
+    the input; the final rollup is user-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 10_000, 0).cast("long").alias("v_q4"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("v_q4").over(w).isNull() | (F.col("v_q4") <= F.lag("v_q4").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    runs = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )

@@ -1416,3 +1416,101 @@ def q104_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"AS BIGINT)"
         ).alias("is_repetitive"),
     )
+
+
+# --------------------------------------------------------------------------
+# q108 — grouped HyperLogLog: per-source distinct tokens with error report
+# --------------------------------------------------------------------------
+@query(
+    "q108_hll_by_source",
+    oracle=f"""
+WITH t AS (
+  SELECT source, unnest({sql_tokens('text')}) AS token FROM documents
+),
+h AS (SELECT source, token, md5(token) AS h FROM t),
+c AS (
+  SELECT source, {sql_hex_prefix_int('h', 2)} AS bucket,
+         {sql_hex_prefix_int("substr(h, 3, 8)")} AS v
+  FROM h
+),
+r AS (
+  SELECT source, bucket, CAST(max(33 - length(bin(v))) AS BIGINT) AS rho_max
+  FROM c WHERE v > 0 GROUP BY 1, 2
+),
+s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS occupied,
+         CAST(sum(1::BIGINT << (32 - rho_max)) AS BIGINT) AS s_occ
+  FROM r GROUP BY 1
+),
+d AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS true_distinct
+      FROM t GROUP BY 1),
+est AS (
+  SELECT s.source, s.occupied,
+         CAST(({_HLL_ALPHA_Q4} * {_HLL_M * _HLL_M} * {_HLL_POW32})
+              // (10000 * (s.s_occ + ({_HLL_M} - s.occupied) * {_HLL_POW32}))
+              AS BIGINT) AS hll_est,
+         d.true_distinct
+  FROM s JOIN d ON s.source = d.source
+)
+SELECT source, occupied, hll_est, true_distinct,
+       CAST(abs(hll_est - true_distinct) * 10000 // true_distinct AS BIGINT)
+         AS abs_err_q4
+FROM est
+""",
+    tags=("text", "sketch", "distinct", "grouped"),
+)
+def q108_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog — q73's sketch in its grouped form: one
+    256-register estimator PER SOURCE, each compared to that source's
+    exact distinct-token count with relative error. This is the form a
+    100 TB pipeline actually runs ("distinct terms per crawl feed")
+    and it demonstrates the property that matters: registers aggregate
+    with a plain (group, bucket)-keyed max, so the sketch composes
+    with any GROUP BY for the cost of a (sources × 256)-row shuffle —
+    no giant distinct-set state per group.
+
+    rho and the harmonic sum stay on exact integer grids (q73's
+    discipline); the error column shows the ±1/sqrt(256) ≈ 6% band
+    the m=256 sketch promises."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("token"))
+    h = tok.select("source", "token", md5_str(F.col("token")).alias("h"))
+    c = h.select(
+        "source",
+        hex_prefix_int(F.col("h"), 2).alias("bucket"),
+        hex_prefix_int(F.substring("h", 3, 8)).alias("v"),
+    ).filter(F.col("v") > 0)
+    r = (
+        c.select(
+            "source",
+            "bucket",
+            (F.lit(33) - F.length(F.bin("v"))).cast("long").alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    s = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        F.sum(F.expr("shiftleft(1L, CAST(32 - rho_max AS INT))"))
+        .cast("long")
+        .alias("s_occ"),
+    )
+    d = h.groupBy("source").agg(
+        F.countDistinct("token").cast("long").alias("true_distinct")
+    )
+    est = s.join(d, "source").select(
+        "source",
+        "occupied",
+        F.expr(
+            f"CAST(({_HLL_ALPHA_Q4} * {_HLL_M * _HLL_M} * {_HLL_POW32}) DIV "
+            f"(10000 * (s_occ + ({_HLL_M} - occupied) * {_HLL_POW32})) AS BIGINT)"
+        ).alias("hll_est"),
+        "true_distinct",
+    )
+    return est.withColumn(
+        "abs_err_q4",
+        F.expr(
+            "CAST(abs(hll_est - true_distinct) * 10000 DIV true_distinct AS BIGINT)"
+        ),
+    )
