@@ -344,3 +344,28 @@ def test_ngram_diversity_zero_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q104_ngram_diversity", mode="simple")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_source_drift_vocab_broadcast(spark, sf_dir):
+    """q94: the vocabulary must reach the per-source counts as a
+    broadcast, never a shuffle join."""
+    plan = plan_of(spark, sf_dir, "q94_source_drift", mode="simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_longest_run_single_exchange_for_windows(spark, sf_dir):
+    """q107: both window passes and the island aggregate share the
+    user-keyed partitioning — exactly one user-keyed Exchange before
+    the final user rollup."""
+    plan = plan_of(spark, sf_dir, "q107_longest_run", mode="simple")
+    assert plan.count("Window") >= 1
+    # lag-flag and running-sum windows must NOT each repartition:
+    # exchanges = 1 (user hash) + at most 2 for the two aggregates
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_grouped_hll_partial_then_final(spark, sf_dir):
+    """q108: register construction must partial-aggregate map-side."""
+    plan = plan_of(spark, sf_dir, "q108_hll_by_source", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan
