@@ -1249,3 +1249,80 @@ def q101_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_q6") - jq6).cast("long").alias("abs_err_q6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q109 — chunk-aligned containment dedup (the case MinHash misses)
+# --------------------------------------------------------------------------
+_CT_W = 16  # chunk width, matching q88
+
+
+@query(
+    "q109_containment_dedup",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
+f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(w, 1, {_CT_W}), ' ')) AS fp0,
+         list_transform(range(0, (len(w) + {_CT_W - 1}) // {_CT_W}),
+           i -> md5(array_to_string(
+                list_slice(w, i * {_CT_W} + 1, i * {_CT_W} + {_CT_W}), ' ')))
+           AS fps
+  FROM w
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(a.fps) AS BIGINT) AS n_chunks_a,
+       CAST(len(b.fps) AS BIGINT) AS n_chunks_b,
+       CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS shared_chunks,
+       CAST(len(list_intersect(a.fps, b.fps))
+            = least(len(a.fps), len(b.fps)) AS BIGINT) AS is_contained
+FROM f a JOIN f b ON a.fp0 = b.fp0 AND a.doc_id < b.doc_id
+""",
+    tags=("dedup", "containment", "chunk"),
+)
+def q109_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: find document pairs where the SMALLER doc's
+    {_CT_W}-word chunks all appear in the larger one — the
+    prefix/quote/excerpt duplication that symmetric similarity
+    (MinHash Jaccard) systematically under-scores: a doc fully
+    contained in one 10× larger has Jaccard ≈ 0.1 and never surfaces
+    in q17, yet it is pure duplication for training purposes.
+
+    Blocking: pairs must share their FIRST chunk fingerprint — a
+    fp0-keyed self-join whose buckets are true-duplicate-sized (the
+    q17 bucket discipline; chunk-aligned containment implies shared
+    leading chunk for prefix dups). Verification is per-pair array
+    intersection on chunk-count-sized arrays (≈ tokens/{_CT_W}),
+    all codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", tokens("text").alias("w"))
+    fps_expr = (
+        f"transform(sequence(0, CAST((size(w) + {_CT_W - 1}) / {_CT_W} AS INT) - 1), "
+        f"i -> md5(encode(concat_ws(' ', slice(w, i * {_CT_W} + 1, {_CT_W})), 'UTF-8')))"
+    )
+    f = w.select(
+        "doc_id",
+        F.expr(f"element_at({fps_expr}, 1)").alias("fp0"),
+        F.expr(fps_expr).alias("fps"),
+    )
+    a = f.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp0"), F.col("fps").alias("fa")
+    )
+    b = f.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp0"), F.col("fps").alias("fb")
+    )
+    inter = F.size(F.array_intersect("fa", "fb"))
+    return (
+        a.join(b, "fp0")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("fa").cast("long").alias("n_chunks_a"),
+            F.size("fb").cast("long").alias("n_chunks_b"),
+            inter.cast("long").alias("shared_chunks"),
+            (inter == F.least(F.size("fa"), F.size("fb")))
+            .cast("long")
+            .alias("is_contained"),
+        )
+    )
