@@ -1514,3 +1514,70 @@ def q108_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(abs(hll_est - true_distinct) * 10000 DIV true_distinct AS BIGINT)"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q110 — language-ID confusion matrix (classifier evaluation)
+# --------------------------------------------------------------------------
+_LE_SCALE = 1_000_000
+
+
+@query(
+    "q110_langid_eval",
+    oracle=f"""
+WITH m(cand_lang, tok) AS (VALUES {_MARKER_VALUES}),
+t AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents),
+sc AS (
+  SELECT t.doc_id, m.cand_lang, count(*) AS n
+  FROM t JOIN m ON t.tok = m.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand_lang, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cand_lang ASC) AS rk
+  FROM sc
+),
+pred AS (
+  SELECT d.lang, coalesce(b.cand_lang, 'und') AS pred_lang
+  FROM documents d
+  LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+),
+cell AS (
+  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cell GROUP BY 1)
+SELECT c.lang, c.pred_lang, c.n, t.n_lang,
+       CAST(c.n * {_LE_SCALE} // t.n_lang AS BIGINT) AS share_q6,
+       CAST(c.lang = c.pred_lang AS BIGINT) AS is_correct
+FROM cell c JOIN tot t ON c.lang = t.lang
+""",
+    tags=("text", "langid", "eval"),
+)
+def q110_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the q24 language identifier: the full
+    (actual, predicted) confusion matrix with per-actual-language
+    recall shares — the quality gate you run on a lang-ID heuristic
+    before trusting it to route a 100 TB corpus into per-language
+    pipelines. Diagonal rows (is_correct = 1) carry recall; off-
+    diagonal rows show exactly which languages the marker table
+    confuses.
+
+    Scale: reuses q24's plan (broadcast marker table, doc-keyed count,
+    WindowGroupLimit argmax) and adds only a (lang, pred)-keyed
+    aggregate — the matrix is |langs|² rows, metadata-sized."""
+    pred = q24_langid(spark, sf_dir).select("lang", "pred_lang")
+    cell = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    return (
+        cell.join(tot, "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            "n_lang",
+            F.expr(f"CAST(n * {_LE_SCALE} DIV n_lang AS BIGINT)").alias("share_q6"),
+            (F.col("lang") == F.col("pred_lang")).cast("long").alias("is_correct"),
+        )
+    )
