@@ -273,7 +273,9 @@ _IVF_CS = _ivf_centroids()
 
 def _ivf_dist_exprs(one_based: bool) -> list[str]:
     """Per-centroid exact squared distance over the quantized array
-    ``q`` — BIGINT-safe: |q_i - c_i| ≤ 2e6, squared 4e12, ×64 ≈ 2.6e14."""
+    ``q`` — BIGINT-safe: |q_i - c_i| ≤ 2e6, squared 4e12, ×64 ≈ 2.6e14.
+    Used by the DuckDB oracles, where the flat spelled-out form is
+    harmless; the Spark builders use :func:`_ivf_dists_arr_expr`."""
     out = []
     for row in _IVF_CS:
         terms = " + ".join(
@@ -283,6 +285,26 @@ def _ivf_dist_exprs(one_based: bool) -> list[str]:
         )
         out.append(f"({terms})")
     return out
+
+
+def _ivf_dists_arr_expr() -> str:
+    """Spark-side distances as ONE array expression: transform over a
+    k×dim centroid literal with `q` referenced once per lambda.
+
+    The alternative — k separate distance columns — explodes after
+    Catalyst's CollapseProject inlines the 64-op quantization of `q`
+    into every one of the k·dim terms and again into each argmin/CASE
+    reference: a ~1.3 MB expression tree that falls out of codegen and
+    costs ~2 ms/row interpreted. The array form keeps the tree k·dim
+    literals + one aggregate, identical integer arithmetic."""
+    cents = ", ".join(
+        "array(" + ", ".join(str(c) for c in row) + ")" for row in _IVF_CS
+    )
+    return (
+        f"transform(array({cents}), c -> "
+        f"aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (a, v) -> a + v))"
+    )
 
 
 @query(
@@ -319,25 +341,18 @@ def q49_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     real deployment: a broadcast of k·dim floats), so this is one scan
     with per-row codegen arithmetic — zero shuffle, linear at any
     corpus size."""
-    dists = _ivf_dist_exprs(False)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(quant_arr_expr("embedding")).alias("q")
     )
-    d = e.select(
-        "vec_id", *[F.expr(x).alias(f"d{k}") for k, x in enumerate(dists)]
-    )
-    least = F.least(*[F.col(f"d{k}") for k in range(_IVF_K)])
-    expr = None
-    for k in range(_IVF_K):
-        cond = F.col(f"d{k}") == F.col("dist_q")
-        expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
-    return (
-        d.withColumn("dist_q", least)
-        .select(
-            "vec_id",
-            expr.cast("long").alias("cell"),
-            F.col("dist_q").cast("long").alias("dist_q"),
-        )
+    d = e.select("vec_id", F.expr(_ivf_dists_arr_expr()).alias("ds"))
+    return d.select(
+        "vec_id",
+        # array_position returns the FIRST index of the min — the same
+        # lowest-id tiebreak as the oracle's ordered CASE
+        F.expr("CAST(array_position(ds, array_min(ds)) - 1 AS BIGINT)").alias(
+            "cell"
+        ),
+        F.expr("CAST(array_min(ds) AS BIGINT)").alias("dist_q"),
     )
 
 
@@ -494,7 +509,6 @@ def q61_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WindowGroupLimit). Probe-cell selection sorts (distance, cell)
     pairs — exact integer lexicographic order, so both engines pick
     identical cells with deterministic ties."""
-    dists = _ivf_dist_exprs(False)
     e = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "embedding",
@@ -502,23 +516,21 @@ def q61_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(quant_arr_expr("embedding")).alias("q"),
     )
     d = e.select(
+        "vec_id", "embedding", "nrm", F.expr(_ivf_dists_arr_expr()).alias("ds")
+    )
+    corpus = d.select(
         "vec_id",
         "embedding",
         "nrm",
-        *[F.expr(x).alias(f"d{k}") for k, x in enumerate(dists)],
+        F.expr("CAST(array_position(ds, array_min(ds)) - 1 AS BIGINT)").alias(
+            "cell"
+        ),
     )
-    least = F.least(*[F.col(f"d{k}") for k in range(_IVF_K)])
-    cell = None
-    for k in range(_IVF_K):
-        cond = F.col(f"d{k}") == least
-        cell = F.when(cond, F.lit(k)) if cell is None else cell.when(cond, F.lit(k))
-    corpus = d.select("vec_id", "embedding", "nrm", cell.alias("cell"))
 
-    pairs = ", ".join(
-        f"struct(d{k} AS d, CAST({k} AS BIGINT) AS c)" for k in range(_IVF_K)
-    )
     probe_cells = F.expr(
-        f"transform(slice(array_sort(array({pairs})), 1, {_IVF_NPROBE}), p -> p.c)"
+        f"transform(slice(array_sort(zip_with(ds, sequence(0, {_IVF_K - 1}), "
+        f"(d, c) -> struct(d AS d, CAST(c AS BIGINT) AS c))), 1, {_IVF_NPROBE}), "
+        f"p -> p.c)"
     )
     probes = (
         d.filter(F.col("vec_id") < N_QUERIES)
@@ -596,19 +608,16 @@ def q66_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     and no executor ever holds collect_list state. The mean floors
     through an identical IEEE divide on both engines; sums stay exact
     BIGINTs on the 1e-6 grid."""
-    dists = _ivf_dist_exprs(False)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(quant_arr_expr("embedding")).alias("q")
     )
-    d = e.select(
-        "vec_id", "q", *[F.expr(x).alias(f"d{k}") for k, x in enumerate(dists)]
+    d = e.select("vec_id", "q", F.expr(_ivf_dists_arr_expr()).alias("ds"))
+    a = d.select(
+        "q",
+        F.expr("CAST(array_position(ds, array_min(ds)) - 1 AS BIGINT)").alias(
+            "cell"
+        ),
     )
-    least = F.least(*[F.col(f"d{k}") for k in range(_IVF_K)])
-    cell = None
-    for k in range(_IVF_K):
-        cond = F.col(f"d{k}") == least
-        cell = F.when(cond, F.lit(k)) if cell is None else cell.when(cond, F.lit(k))
-    a = d.select("q", cell.cast("long").alias("cell"))
     x = a.select("cell", F.posexplode("q").alias("pos", "v"))
     return (
         x.groupBy("cell", "pos")
