@@ -401,6 +401,11 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # the edge list joins into EVERY round: without persist each
+    # iteration re-executes the whole minhash/LSH subtree (shingle →
+    # 8 hashes → buckets → pair expansion) — at sf0.1 that alone was
+    # ~1.3 s × rounds of pure recomputation
+    edges = edges.persist()
     docs = load_table(spark, sf_dir, "documents")
     lab = docs.select("doc_id", F.col("doc_id").alias("component_id"))
 
