@@ -1052,3 +1052,84 @@ def q90_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(n_overlap * {_MRL_SCALE} DIV {_MRL_K} AS BIGINT)"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q111 — IVF recall against the exact baseline (the ANN quality gate)
+# --------------------------------------------------------------------------
+@query(
+    "q111_ivf_recall",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding, {_SQL_NORM} AS nrm,
+                  {sql_quant_arr('embedding')} AS q
+           FROM embeddings),
+d AS (
+  SELECT vec_id, embedding, nrm,
+         {", ".join(f"{x} AS d{k}" for k, x in enumerate(_ivf_dist_exprs(True)))}
+  FROM e
+),
+a AS (
+  SELECT vec_id, embedding, nrm,
+         CASE {" ".join(f"WHEN d{k} = least({', '.join(f'd{j}' for j in range(_IVF_K))}) THEN {k}" for k in range(_IVF_K))} END AS cell,
+         [{", ".join(f"d{k}" for k in range(_IVF_K))}] AS ds
+  FROM d
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, ds
+  FROM a WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qe, qn, unnest(list_transform(list_slice(
+           list_sort(list_transform(range(1, {_IVF_K + 1}),
+             i -> {{'d': ds[i], 'c': i - 1}})), 1, {_IVF_NPROBE}),
+           p -> p.c)) AS probe_cell
+  FROM qv
+),
+ivf AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY
+           {cosine_q_expr(sql_dot_q("p.qe", "c.embedding"), "p.qn", "c.nrm")} DESC,
+           c.vec_id ASC) AS rnk
+  FROM probes p JOIN a c ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
+),
+exact AS (
+  SELECT q2.query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q2.query_id ORDER BY
+           {cosine_q_expr(sql_dot_q("q2.qe", "c.embedding"), "q2.qn", "c.nrm")} DESC,
+           c.vec_id ASC) AS rnk
+  FROM qv q2 JOIN e c ON c.vec_id <> q2.query_id
+)
+SELECT x.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_found,
+       CAST(count(i.neighbor_id) * 1000000 // {TOP_K} AS BIGINT) AS recall_q6
+FROM (SELECT * FROM exact WHERE rnk <= {TOP_K}) x
+LEFT JOIN (SELECT * FROM ivf WHERE rnk <= {TOP_K}) i
+  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+GROUP BY 1
+""",
+    tags=("similarity", "ivf", "eval"),
+)
+def q111_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality gate: recall@{TOP_K} of the IVF probe search
+    (q61, nprobe={_IVF_NPROBE} of {_IVF_K} cells) against the exact
+    brute-force ranking (q20) per query — the number that tells you
+    whether the index's speedup is paid for with missed neighbors,
+    and the companion to q90's truncation recall (index error vs
+    representation error).
+
+    Scale: reuses both operators' plans as-is (broadcast query sides,
+    bucket-pruned rerank vs full scan) and aligns the two top-k sets
+    with a pair-keyed left join from the exact side — recall counts
+    misses, so the exact ranking is the spine."""
+    ivf = q61_ivf_probe_search(spark, sf_dir).filter(F.col("rank") <= TOP_K)
+    exact = q20_knn_bruteforce(spark, sf_dir).filter(F.col("rank") <= TOP_K)
+    hits = exact.select("query_id", "neighbor_id").join(
+        ivf.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_found"),
+    ).withColumn(
+        "recall_q6", F.expr(f"CAST(n_found * 1000000 DIV {TOP_K} AS BIGINT)")
+    )
