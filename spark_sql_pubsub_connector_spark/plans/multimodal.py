@@ -389,3 +389,72 @@ def q96_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak long, mean_q4 long, energy_q4 long"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q112 — Arrow-native batch histogram (mapInArrow, the lowest-overhead path)
+# --------------------------------------------------------------------------
+_AH_BUCKET = 100  # byte-length histogram bucket width
+
+
+def _arrow_len_hist(batches):
+    """pyarrow.compute kernels end to end — no pandas materialization:
+    the per-batch histogram runs on Arrow buffers directly, which is
+    the cheapest Python integration Spark offers (mapInArrow skips the
+    Arrow→pandas conversion mapInPandas pays)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        lens = pc.binary_length(batch.column("payload"))
+        buckets = pc.divide(lens, _AH_BUCKET)
+        tbl = pa.table(
+            {"source": batch.column("src"), "bucket": pc.cast(buckets, pa.int64())}
+        )
+        agg = tbl.group_by(["source", "bucket"]).aggregate([("bucket", "count")])
+        yield pa.record_batch(
+            {
+                "source": agg.column("source").combine_chunks(),
+                "bucket": agg.column("bucket").combine_chunks(),
+                "partial_n": pc.cast(
+                    agg.column("bucket_count"), pa.int64()
+                ).combine_chunks(),
+            }
+        )
+
+
+@query(
+    "q112_mm_arrow_hist",
+    oracle=f"""
+SELECT source,
+       CAST(length(text) // {_AH_BUCKET} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+    tags=("multimodal", "arrow", "histogram"),
+)
+def q112_mm_arrow_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-size histogram via ``mapInArrow`` — the Arrow-native
+    sibling of the mapInPandas operators (q27/q96): record batches are
+    processed with pyarrow.compute kernels, no pandas conversion, and
+    each task emits PARTIAL per-batch histogram rows that a normal
+    Spark aggregate then combines — the map-side-combine discipline
+    expressed across the Python boundary.
+
+    Scale: the Python stage is partition-local and emits
+    ≲ sources×buckets rows per batch (not per row); the final combine
+    is a metadata-sized hash aggregate. This is the integration tier a
+    100 TB blob pipeline should use when pandas semantics aren't
+    needed — one less columnar conversion per batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("source").alias("src"),
+    )
+    partial = blobs.mapInArrow(
+        _arrow_len_hist, schema="source string, bucket long, partial_n long"
+    )
+    return partial.groupBy("source", "bucket").agg(
+        F.sum("partial_n").cast("long").alias("n_docs")
+    )

@@ -1581,3 +1581,61 @@ def q110_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("pred_lang")).cast("long").alias("is_correct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q113 — grouped-map robust stats (batch applyInPandas)
+# --------------------------------------------------------------------------
+def _robust_stats(pdf):
+    """Per-group discrete median/MAD in pandas — quantile with
+    interpolation='lower' keeps every statistic an exact integer, so
+    the DuckDB twin (quantile_disc) matches bit-for-bit."""
+    import pandas as pd
+
+    lens = pdf["n_chars"].astype("int64")
+    med = int(lens.quantile(0.5, interpolation="lower"))
+    mad = int((lens - med).abs().quantile(0.5, interpolation="lower"))
+    return pd.DataFrame(
+        {
+            "source": [pdf["source"].iloc[0]],
+            "n_docs": pd.Series([len(lens)], dtype="int64"),
+            "median_len": pd.Series([med], dtype="int64"),
+            "mad_len": pd.Series([mad], dtype="int64"),
+        }
+    )
+
+
+@query(
+    "q113_robust_length_stats",
+    oracle="""
+WITH m AS (
+  SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_len,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT d.source, m.n_docs, m.median_len,
+       CAST(quantile_disc(abs(d.n_chars - m.median_len), 0.5) AS BIGINT) AS mad_len
+FROM documents d JOIN m ON d.source = m.source
+GROUP BY 1, 2, 3
+""",
+    tags=("text", "robust-stats", "grouped-map"),
+)
+def q113_robust_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length statistics (discrete median + MAD) via
+    batch ``applyInPandas`` — the grouped-map API (each group's rows
+    arrive as ONE pandas frame), completing the Python-integration
+    surface next to mapInPandas (q27), mapInArrow (q112),
+    applyInPandasWithState (q33), and transformWithState (q48).
+    Median/MAD are the outlier-resistant screen a curation pipeline
+    uses where mean/stddev would be dragged by the long tail.
+
+    Scale: one shuffle keyed by source; each group must fit one
+    worker's memory — fine for per-source stats (groups are
+    corpus/20 here; a per-domain variant would need the two-pass
+    histogram form, q81). Discrete quantiles keep everything
+    integer-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return docs.groupBy("source").applyInPandas(
+        _robust_stats,
+        schema="source string, n_docs long, median_len long, mad_len long",
+    )
