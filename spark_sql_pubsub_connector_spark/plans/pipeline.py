@@ -1052,3 +1052,80 @@ def q103_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_rate_q6"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q114 — overlapping context windows (RAG / training chunking)
+# --------------------------------------------------------------------------
+_CW_LEN = 64  # tokens per context window
+_CW_STRIDE = 32  # 50% overlap
+
+
+@query(
+    "q114_context_windows",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
+n AS (
+  SELECT doc_id, w, len(w) AS n_tok,
+         (greatest(len(w) - {_CW_LEN}, 0) + {_CW_STRIDE - 1}) // {_CW_STRIDE} + 1
+           AS n_win
+  FROM t
+),
+win AS (
+  SELECT doc_id, n_tok, CAST(i AS BIGINT) AS win_idx,
+         least({_CW_LEN}, n_tok - i * {_CW_STRIDE}) AS win_len,
+         md5(array_to_string(
+             list_slice(w, i * {_CW_STRIDE} + 1, i * {_CW_STRIDE} + {_CW_LEN}),
+             ' ')) AS win_md5
+  FROM n, unnest(range(0, n_win)) AS u(i)
+)
+SELECT doc_id, win_idx,
+       CAST(win_len AS BIGINT) AS win_len,
+       win_md5
+FROM win
+""",
+    tags=("pipeline", "chunking", "rag"),
+)
+def q114_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: every document becomes
+    ceil((n−{_CW_LEN})/{_CW_STRIDE})+1 windows of {_CW_LEN} tokens
+    with 50% overlap — the standard RAG-indexing / long-doc training
+    prep (sliding windows so no span is ever split across a boundary
+    without also appearing whole). Each window carries its md5 so a
+    downstream embed-and-index stage can dedup identical windows
+    (q88's census applies unchanged).
+
+    Scale: window construction is per-row array arithmetic in codegen
+    (transform + slice over the token array, then one explode) —
+    map-only, no Python, no shuffle; output cardinality is
+    ~n_tokens/{_CW_STRIDE} rows, the same class as a tokenizer
+    explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w"))
+    n = t.select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n_tok"),
+        F.expr(
+            f"CAST((greatest(size(w) - {_CW_LEN}, 0) + {_CW_STRIDE - 1}) "
+            f"/ {_CW_STRIDE} AS INT) + 1"
+        ).alias("n_win"),
+    )
+    wins = n.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, n_win - 1), i -> struct("
+                f"CAST(i AS BIGINT) AS win_idx, "
+                f"least({_CW_LEN}, n_tok - i * {_CW_STRIDE}) AS win_len, "
+                f"md5(encode(concat_ws(' ', slice(w, i * {_CW_STRIDE} + 1, {_CW_LEN})), 'UTF-8')) AS win_md5))"
+            )
+        ).alias("s"),
+    )
+    return wins.select(
+        "doc_id",
+        F.col("s.win_idx").alias("win_idx"),
+        F.col("s.win_len").cast("long").alias("win_len"),
+        F.col("s.win_md5").alias("win_md5"),
+    )
