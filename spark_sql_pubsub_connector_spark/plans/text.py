@@ -1589,7 +1589,13 @@ def q110_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _robust_stats(pdf):
     """Per-group discrete median/MAD in pandas — quantile with
     interpolation='lower' keeps every statistic an exact integer, so
-    the DuckDB twin (quantile_disc) matches bit-for-bit."""
+    the DuckDB twin (quantile_disc) matches bit-for-bit.
+
+    NOT on the q113 query path (the operator is the histogram form —
+    a grouped-map stage whose frames grow with corpus size would OOM
+    at 100 TB). Kept as the batch ``applyInPandas`` reference
+    implementation: ``robust_length_stats_grouped_map`` below drives
+    it, and the differential test asserts it equals q113 exactly."""
     import pandas as pd
 
     lens = pdf["n_chars"].astype("int64")
@@ -1602,6 +1608,21 @@ def _robust_stats(pdf):
             "median_len": pd.Series([med], dtype="int64"),
             "mad_len": pd.Series([mad], dtype="int64"),
         }
+    )
+
+
+def robust_length_stats_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ``applyInPandas`` twin of q113 — each source's rows arrive
+    as ONE pandas frame. This is the grouped-map API-surface demo
+    (next to mapInPandas q27, mapInArrow q112, applyInPandasWithState
+    q33, transformWithState q48), suitable only where every group is
+    known to fit one worker's memory; the registered q113 operator is
+    the histogram form, which has no such bound. The streaming
+    differential suite asserts the two agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return docs.groupBy("source").applyInPandas(
+        _robust_stats,
+        schema="source string, n_docs long, median_len long, mad_len long",
     )
 
 
@@ -1618,24 +1639,91 @@ SELECT d.source, m.n_docs, m.median_len,
 FROM documents d JOIN m ON d.source = m.source
 GROUP BY 1, 2, 3
 """,
-    tags=("text", "robust-stats", "grouped-map"),
+    tags=("text", "robust-stats", "histogram"),
 )
 def q113_robust_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source robust length statistics (discrete median + MAD) via
-    batch ``applyInPandas`` — the grouped-map API (each group's rows
-    arrive as ONE pandas frame), completing the Python-integration
-    surface next to mapInPandas (q27), mapInArrow (q112),
-    applyInPandasWithState (q33), and transformWithState (q48).
-    Median/MAD are the outlier-resistant screen a curation pipeline
-    uses where mean/stddev would be dragged by the long tail.
+    a value histogram — the q81 shape. Median/MAD are the
+    outlier-resistant screen a curation pipeline uses where
+    mean/stddev would be dragged by the long tail.
 
-    Scale: one shuffle keyed by source; each group must fit one
-    worker's memory — fine for per-source stats (groups are
-    corpus/20 here; a per-domain variant would need the two-pass
-    histogram form, q81). Discrete quantiles keep everything
-    integer-exact across engines."""
+    Why not grouped-map: ``groupBy(source).applyInPandas`` delivers
+    each group as ONE pandas frame — corpus/|sources| rows per task,
+    an executor OOM at 100 TB. A discrete quantile over an integer
+    column only needs the (source, n_chars) → count histogram, whose
+    size is bounded by |sources| × |distinct lengths| (metadata-scale
+    at any corpus size), and a cumulative-sum walk to the target rank.
+    pandas ``quantile(0.5, interpolation='lower')`` picks 0-based
+    index floor((n-1)/2); the cumulative filter mirrors that exactly,
+    so the result is still bit-equal to DuckDB ``quantile_disc``
+    (asserted against the retained grouped-map twin,
+    :func:`robust_length_stats_grouped_map`, in the differential
+    suite).
+
+    Scale: the histogram aggregate (partial+final, keyed
+    (source, n_chars)) does the only data-sized shuffle; the windows
+    then repartition the metadata-sized histogram by ``source`` once,
+    and every later stage — per-source total, median pick, deviation
+    re-histogram, MAD pick — reuses that source partitioning (Spark
+    satisfies a groupBy whose keys are a superset of the incoming
+    hash partitioning without a new Exchange). Plan guard asserts no
+    pandas/Python stage and ≤2 Exchanges."""
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
-    return docs.groupBy("source").applyInPandas(
-        _robust_stats,
-        schema="source string, n_docs long, median_len long, mad_len long",
+    hist = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_src = Window.partitionBy("source")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rank = F.expr("(n_docs - 1) DIV 2 + 1")
+    h = hist.select(
+        "source",
+        "n_chars",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_src).alias("n_docs"),
+    )
+    # discrete median = smallest value whose cumulative count reaches
+    # the target rank, lifted to every row of the source via a window
+    # min (keeps the whole derivation inside one source partitioning)
+    h = h.select(
+        "source",
+        "n_chars",
+        "cnt",
+        "n_docs",
+        F.min(F.when(F.col("cum") >= rank, F.col("n_chars")))
+        .over(w_src)
+        .alias("median_len"),
+    )
+    dev_hist = h.groupBy(
+        "source",
+        "n_docs",
+        "median_len",
+        F.abs(F.col("n_chars") - F.col("median_len")).alias("dev"),
+    ).agg(F.sum("cnt").alias("dcnt"))
+    w_dev = (
+        Window.partitionBy("source")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = dev_hist.select(
+        "source",
+        "n_docs",
+        "median_len",
+        "dev",
+        F.sum("dcnt").over(w_dev).alias("dcum"),
+    )
+    return (
+        d.filter(F.col("dcum") >= rank)
+        .groupBy("source", "n_docs", "median_len")
+        .agg(F.min("dev").cast("long").alias("mad_len"))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("median_len").cast("long").alias("median_len"),
+            "mad_len",
+        )
     )

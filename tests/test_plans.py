@@ -369,3 +369,17 @@ def test_grouped_hll_partial_then_final(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q108_hll_by_source", mode="simple")
     assert plan.count("HashAggregate") >= 2
     assert "EvalPython" not in plan
+
+
+def test_robust_stats_is_histogram_not_grouped_map(spark, sf_dir):
+    """q113: the robust-stats operator must be the value-histogram form
+    — a grouped-map pandas stage keyed by `source` (cardinality ~20)
+    funnels corpus/20 rows into single pandas frames and OOMs at
+    100 TB. Guard: no Python stage of any kind, and only two
+    Exchanges (the data-sized (source, n_chars) histogram shuffle
+    plus one metadata-sized source repartition for the windows; the
+    three downstream aggregates must all reuse it)."""
+    plan = plan_of(spark, sf_dir, "q113_robust_length_stats", mode="simple")
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
