@@ -32,7 +32,7 @@ the 128-bit values (functions/textops.py docstring).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.textops import (
     hex_prefix_int,
@@ -171,6 +171,20 @@ b AS (
 # --------------------------------------------------------------------------
 # q17 — MinHash + LSH candidate pairs
 # --------------------------------------------------------------------------
+# Defensive per-bucket membership cap. LSH buckets are small for true
+# NEAR-dups, but a 100 TB corpus also contains pathological EXACT
+# duplication (millions of byte-identical docs, shared license-header
+# prefixes) that lands whole families in one (band, h) bucket — an
+# unbounded collect_list there is an executor OOM and |bucket|² pair
+# blow-up. Contract: exact dedup (q16/q88) runs upstream, so any
+# bucket past the cap is residual pathology; we keep the CAP smallest
+# doc_ids (deterministic) and report the overflow through the
+# "q17_bucket_cap" observed metric instead of dying. CAP=64 is ~6×
+# the largest bucket seen at sf0.1 (11), so test-scale results are
+# byte-identical to the uncapped oracle.
+_LSH_BUCKET_CAP = 64
+
+
 @query(
     "q17_dedup_minhash_lsh",
     oracle=f"""
@@ -190,11 +204,23 @@ def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a band-keyed self-join would execute it twice) and one shuffle
     keyed by bucket, never the O(n²) pair space. 8 hashes / 4 bands of
     2 gives P(candidate) = 1-(1-j²)⁴: ≈1 for true near-dups (j≥0.9),
-    ≈4% noise at j=0.1. Bucket lists stay small by construction (hash
-    buckets), so the per-bucket pair expansion is bounded."""
+    ≈4% noise at j=0.1. Bucket lists are small by construction for
+    near-dups, and a row_number cap (``_LSH_BUCKET_CAP``) bounds both
+    the collect_list state and the pair expansion against pathological
+    exact-duplicate buckets; overflow is reported via the
+    ``q17_bucket_cap`` observed metric (CollectMetrics node), not
+    silently — see the cap comment above."""
     bands = _minhash_bands(spark, sf_dir)
+    w_bucket = Window.partitionBy("band", "h").orderBy("doc_id")
+    ranked = bands.withColumn("rn", F.row_number().over(w_bucket)).observe(
+        "q17_bucket_cap",
+        F.sum((F.col("rn") > _LSH_BUCKET_CAP).cast("long")).alias(
+            "dropped_members"
+        ),
+    )
     buckets = (
-        bands.groupBy("band", "h")
+        ranked.filter(F.col("rn") <= _LSH_BUCKET_CAP)
+        .groupBy("band", "h")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -1298,7 +1324,17 @@ def q109_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q17 bucket discipline; chunk-aligned containment implies shared
     leading chunk for prefix dups). Verification is per-pair array
     intersection on chunk-count-sized arrays (≈ tokens/{_CT_W}),
-    all codegen."""
+    all codegen.
+
+    Defensive cap: a shared boilerplate first-chunk (license headers)
+    can put millions of docs behind one fp0 at 100 TB, turning the
+    self-join quadratic. As in q17, exact dedup (q16/q88) is the
+    upstream contract; residual hot buckets are cut to the
+    ``_LSH_BUCKET_CAP`` smallest doc_ids per fp0 (row_number, both
+    join sides see the same capped set) with overflow reported via
+    the ``q109_bucket_cap`` observed metric. The cap is far above any
+    test-scale bucket (max 4 at sf0.1), so oracle results are
+    unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", tokens("text").alias("w"))
     fps_expr = (
@@ -1309,6 +1345,18 @@ def q109_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"element_at({fps_expr}, 1)").alias("fp0"),
         F.expr(fps_expr).alias("fps"),
+    )
+    w_fp0 = Window.partitionBy("fp0").orderBy("doc_id")
+    f = (
+        f.withColumn("rn", F.row_number().over(w_fp0))
+        .observe(
+            "q109_bucket_cap",
+            F.sum((F.col("rn") > _LSH_BUCKET_CAP).cast("long")).alias(
+                "dropped_members"
+            ),
+        )
+        .filter(F.col("rn") <= _LSH_BUCKET_CAP)
+        .drop("rn")
     )
     a = f.select(
         F.col("doc_id").alias("doc_a"), F.col("fp0"), F.col("fps").alias("fa")

@@ -383,3 +383,22 @@ def test_robust_stats_is_histogram_not_grouped_map(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_lsh_bucket_cap_present(spark, sf_dir):
+    """q17: the per-(band, h) bucket membership cap must be in the
+    plan — a row_number window below the collect_list bounds both the
+    array state and the pair expansion against pathological exact-dup
+    buckets, and the overflow metric is observed, not silent."""
+    plan = plan_of(spark, sf_dir, "q17_dedup_minhash_lsh", mode="simple")
+    assert "row_number" in plan, plan
+    assert "CollectMetrics" in plan and "q17_bucket_cap" in plan, plan
+
+
+def test_containment_bucket_cap_present(spark, sf_dir):
+    """q109: same discipline for the fp0-keyed self-join — both join
+    sides must read the capped, metric-observed fingerprint set."""
+    plan = plan_of(spark, sf_dir, "q109_containment_dedup", mode="simple")
+    assert "row_number" in plan, plan
+    assert "CollectMetrics" in plan and "q109_bucket_cap" in plan, plan
+    assert plan.count("q109_bucket_cap") >= 2  # both self-join branches
