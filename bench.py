@@ -77,18 +77,30 @@ def main() -> None:
     }
     if warm_median:
         result["queries_warm_median"] = warm_median
-    prev = os.path.join(REPO, "BENCH_r02.json")
-    if os.path.exists(prev):
+    import glob
+
+    prevs = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if prevs:
         try:
-            with open(prev) as fh:
+            with open(prevs[-1]) as fh:  # latest recorded round
                 d = json.load(fh)
             # the driver wraps bench output under "parsed"
-            pq = d.get("parsed", d).get("queries", {})
+            parsed = d.get("parsed", d)
+            pq = parsed.get("queries", {})
             result["deltas_vs_prev"] = {
                 n: round(100.0 * (timings[n] - pq[n]) / pq[n], 1)
                 for n in timings
                 if n in pq and pq[n] > 0
             }
+            # warm-median deltas separate real regressions from codegen
+            # warmup noise (r3 verdict: q17/q20 cold wobble, warm flat)
+            pw = parsed.get("queries_warm_median", {})
+            result["deltas_warm_vs_prev"] = {
+                n: round(100.0 * (warm_median[n] - pw[n]) / pw[n], 1)
+                for n in warm_median
+                if n in pw and pw[n] > 0
+            }
+            result["prev_round_file"] = os.path.basename(prevs[-1])
         except Exception:
             pass
     try:
