@@ -402,3 +402,84 @@ def test_containment_bucket_cap_present(spark, sf_dir):
     assert "row_number" in plan, plan
     assert "CollectMetrics" in plan and "q109_bucket_cap" in plan, plan
     assert plan.count("q109_bucket_cap") >= 2  # both self-join branches
+
+
+def test_exact_dedup_is_single_shuffle_partial_agg(spark, sf_dir):
+    """q16: exact dedup must be a hash aggregate with map-side combine
+    — duplicates collapse BEFORE the shuffle, so the exchange carries
+    one row per distinct fingerprint, not per document."""
+    plan = plan_of(spark, sf_dir, "q16_dedup_exact", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_langid_markers_broadcast_and_argmax_pruned(spark, sf_dir):
+    """q24: the marker table is a compile-time literal — it must
+    broadcast, and the per-doc argmax must prune via WindowGroupLimit
+    rather than materialize every (doc, lang) score row."""
+    plan = plan_of(spark, sf_dir, "q24_langid", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_fingerprint_is_map_only(spark, sf_dir):
+    """q26: the Rabin-Karp fold is per-row sequential work — zero
+    shuffles, zero Python; scan-bound at any corpus size."""
+    plan = plan_of(spark, sf_dir, "q26_fingerprint_rolling", mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_mm_decode_is_arrow_batched_not_row_at_a_time(spark, sf_dir):
+    """q27: multimodal decode must go through Arrow-batched
+    MapInPandas, never row-at-a-time BatchEvalPython."""
+    plan = plan_of(spark, sf_dir, "q27_mm_decode_meta", mode="simple")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_match_is_blocked_never_quadratic(spark, sf_dir):
+    """q43: blocked Levenshtein must join on the block key — any
+    cartesian/nested-loop here is the O(n*m) pair space."""
+    plan = plan_of(spark, sf_dir, "q43_fuzzy_type_match", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_window_single_shuffle(spark, sf_dir):
+    """q60: overlapping time windows expand map-side (one row per
+    covering window) and aggregate partial-then-final over ONE
+    exchange — no per-window re-shuffle."""
+    plan = plan_of(spark, sf_dir, "q60_window_sliding", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_pq_adc_lut_broadcast_topk_pruned(spark, sf_dir):
+    """q83: the ADC lookup table is centroids-sized — it must
+    broadcast; the per-query top-k must prune via WindowGroupLimit."""
+    plan = plan_of(spark, sf_dir, "q83_pq_adc_search", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_arrow_hist_partials_merge_jvm_side(spark, sf_dir):
+    """q112: mapInArrow emits per-batch partial histograms; the merge
+    must be a JVM hash aggregate over one exchange — the Python stage
+    never sees shuffled data."""
+    plan = plan_of(spark, sf_dir, "q112_mm_arrow_hist", mode="simple")
+    assert "MapInArrow" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_context_windows_map_only(spark, sf_dir):
+    """q114: overlapping context-window chunking is a per-doc
+    transform + posexplode — zero shuffles, zero Python."""
+    plan = plan_of(spark, sf_dir, "q114_context_windows", mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
