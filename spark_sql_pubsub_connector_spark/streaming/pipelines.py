@@ -15,8 +15,13 @@ time as publish timestamp.
 
 from __future__ import annotations
 
+import glob
 import json
+import os
+import shutil
+import uuid
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.tables import load_table
@@ -33,40 +38,97 @@ def seed_topic_from_events(
     limit: int | None = None,
     ack_deadline_s: float = 60.0,
     region_of=None,
+    num_partitions: int = 8,
 ) -> int:
     """Publish the events table into a broker topic deterministically.
 
+    Distributed: the staged-commit protocol the sink already uses.
+    Executors build each message's staged JSON line entirely JVM-side
+    (``to_json`` + ``base64``) and write one text part file per
+    range-partition of ``event_id``; the driver then splices the part
+    files into the topic log in filename (= partition = event_id)
+    order via ``FileBroker.commit_staged``, so message ids are
+    monotone in event_id exactly as the old driver-side
+    ``collect``+``publish`` loop produced — but no event data ever
+    moves through the driver, and seeding scales with the cluster
+    like any other write job. (``broker_dir`` is shared storage by
+    the FileBroker contract, so executor-written staging files are
+    visible to the driver.)
+
+    ``limit`` keeps its "first N by event_id" meaning via a
+    pushed-down ``event_id < N`` filter — event ids are dense 0..N-1
+    in every driver fixture (FIXTURES.md), and the filter keeps the
+    scan distributed where ``orderBy().limit()`` would TakeOrdered
+    everything into one task.
+
     ``region_of``: optional callable row→region string, used to build
-    skewed-region fixtures for the partition-planner tests.
+    skewed-region fixtures for the partition-planner tests. Those
+    fixtures are small by construction, so this hook keeps the
+    original driver-side path.
     """
     broker = FileBroker(broker_dir)
     broker.create_topic(topic)
     if subscription is not None:
         broker.create_subscription(subscription, topic, ack_deadline_s=ack_deadline_s)
-    ev = load_table(spark, sf_dir, "events").orderBy("event_id")
+    ev = load_table(spark, sf_dir, "events")
     if limit is not None:
-        ev = ev.limit(limit)
-    rows = ev.collect()
-    msgs = [
-        PubsubMessage(
-            data=json.dumps(
-                {
-                    "event_id": r["event_id"],
-                    "user_id": r["user_id"],
-                    "event_type": r["event_type"],
-                    "value": r["value"],
-                    "props": r["props"],
-                }
-            ).encode(),
-            attributes={"event_type": r["event_type"]},
-            ordering_key=str(r["user_id"]),
-            publish_ts_us=r["ts_ns"] // 1000,
-            region=region_of(r) if region_of is not None else "global",
+        ev = ev.filter(F.col("event_id") < limit)
+
+    if region_of is not None:  # fixture hook: tiny, driver-side
+        rows = ev.orderBy("event_id").collect()
+        msgs = [
+            PubsubMessage(
+                data=json.dumps(
+                    {
+                        "event_id": r["event_id"],
+                        "user_id": r["user_id"],
+                        "event_type": r["event_type"],
+                        "value": r["value"],
+                        "props": r["props"],
+                    }
+                ).encode(),
+                attributes={"event_type": r["event_type"]},
+                ordering_key=str(r["user_id"]),
+                publish_ts_us=r["ts_ns"] // 1000,
+                region=region_of(r),
+            )
+            for r in rows
+        ]
+        broker.publish(topic, msgs)
+        return len(msgs)
+
+    # staged line = the broker log record minus seq/message_id (the
+    # commit splices those in): ordering_key, data_b64, attributes,
+    # publish_ts_us, region — all composed JVM-side
+    payload = F.to_json(
+        F.struct("event_id", "user_id", "event_type", "value", "props")
+    )
+    line = F.to_json(
+        F.struct(
+            F.col("user_id").cast("string").alias("ordering_key"),
+            F.base64(F.encode(payload, "UTF-8")).alias("data_b64"),
+            F.create_map(F.lit("event_type"), F.col("event_type")).alias(
+                "attributes"
+            ),
+            F.expr("ts_ns DIV 1000").alias("publish_ts_us"),
+            F.lit("global").alias("region"),
         )
-        for r in rows
-    ]
-    broker.publish(topic, msgs)
-    return len(msgs)
+    )
+    staging = os.path.join(
+        broker_dir, f".seed-staging-{topic}-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        ev.repartitionByRange(num_partitions, "event_id")
+        .sortWithinPartitions("event_id")
+        .select(line.alias("value"))
+        .write.mode("overwrite")
+        .text(staging)
+    )
+    try:
+        parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+        return broker.commit_staged(topic, parts)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_stream(
