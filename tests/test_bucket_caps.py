@@ -1,0 +1,80 @@
+"""Behavioral proof that the q17/q109 defensive bucket caps engage:
+point the real operators at a synthetic ``documents`` table containing
+a pathological exact-duplicate family (100 identical docs — the
+license-header / mirrored-page case exact dedup would normally remove
+upstream) and check the pair expansion is cut to C(cap, 2) instead of
+C(100, 2), while docs in ordinary below-cap buckets are untouched.
+
+The plan guards in test_plans.py pin that the cap expression exists;
+this pins what it does."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from spark_sql_pubsub_connector_spark.plans import all_specs
+from spark_sql_pubsub_connector_spark.plans.dedup import _LSH_BUCKET_CAP
+
+SPECS = all_specs()
+
+N_DUPES = 100  # > _LSH_BUCKET_CAP (64)
+
+
+@pytest.fixture(scope="module")
+def hot_sf_dir(spark, tmp_path_factory):
+    """A documents.parquet whose rows are one 100-copy duplicate family
+    plus two distinct docs that pair only with each other."""
+    d = str(tmp_path_factory.mktemp("hotdocs"))
+    # 32 DISTINCT tokens: two distinct 16-token chunks, so identical
+    # docs verify as full containment (a repeated phrase would collapse
+    # under array_intersect's set semantics and read as partial overlap)
+    dupe_text = " ".join(f"tok{i}" for i in range(32))
+    pair_a = "one two three four five six seven eight nine ten " * 3
+    pair_b = pair_a + "eleven"
+    rows = [(i, dupe_text) for i in range(N_DUPES)]
+    rows += [(1000, pair_a), (1001, pair_b)]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .selectExpr(
+            "doc_id",
+            "text",
+            "'en' AS lang",
+            "'synthetic' AS source",
+            "CAST(length(text) AS LONG) AS n_chars",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{d}/documents.parquet")
+    )
+    return d
+
+
+def test_q17_cap_bounds_pathological_pair_expansion(spark, hot_sf_dir):
+    assert N_DUPES > _LSH_BUCKET_CAP
+    pairs = SPECS["q17_dedup_minhash_lsh"].build(spark, hot_sf_dir)
+    fam = pairs.filter("doc_a < 1000 AND doc_b < 1000").count()
+    # identical docs agree on every band; uncapped this would be
+    # C(100,2)=4950 pairs — the cap keeps the 64 smallest doc_ids
+    assert fam == math.comb(_LSH_BUCKET_CAP, 2), fam
+    # the surviving members are exactly the cap-smallest doc_ids
+    max_id = pairs.filter("doc_b < 1000").agg({"doc_b": "max"}).first()[0]
+    assert max_id == _LSH_BUCKET_CAP - 1
+
+
+def test_q17_cap_spares_below_cap_buckets(spark, hot_sf_dir):
+    pairs = SPECS["q17_dedup_minhash_lsh"].build(spark, hot_sf_dir)
+    # the distinct near-dup pair lives in its own tiny bucket and must
+    # survive capping untouched
+    assert pairs.filter("doc_a = 1000 AND doc_b = 1001").count() == 1
+
+
+def test_q109_cap_bounds_fp0_self_join(spark, hot_sf_dir):
+    out = SPECS["q109_containment_dedup"].build(spark, hot_sf_dir)
+    fam = out.filter("doc_a < 1000 AND doc_b < 1000")
+    assert fam.count() == math.comb(_LSH_BUCKET_CAP, 2)
+    # every surviving family pair is a full containment (identical docs)
+    assert fam.filter("is_contained = 0").count() == 0
+    # the below-cap shared-prefix pair still verifies containment
+    assert out.filter("doc_a = 1000 AND doc_b = 1001").count() == 1
