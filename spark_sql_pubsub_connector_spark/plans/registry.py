@@ -80,3 +80,31 @@ def queries() -> dict[str, Builder]:
 
 def oracle_sql() -> dict[str, str]:
     return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+
+
+def observed_metrics(df) -> dict[str, dict]:
+    """Named ``observe()`` metrics from ``df``'s last execution, e.g.
+    the q17/q109 bucket-cap overflow counters::
+
+        pairs = queries()["q17_dedup_minhash_lsh"](spark, sf_dir)
+        pairs.collect()
+        observed_metrics(pairs)["q17_bucket_cap"]["dropped_members"]
+
+    Metrics populate when an action runs on THIS DataFrame object
+    (``collect``/``write``); derived DataFrames (``df.count()`` builds a
+    new plan) report through their own execution. Returns
+    {metric_name: {column: value}}; a metric whose query has not run
+    yet surfaces with null values."""
+    out: dict[str, dict] = {}
+    om = df._jdf.queryExecution().observedMetrics()
+    it = om.iterator()
+    while it.hasNext():
+        kv = it.next()
+        row = kv._2()
+        schema = row.schema()
+        vals = {}
+        for i in range(schema.length()):
+            v = row.get(i)
+            vals[schema.apply(i).name()] = None if v is None else int(str(v))
+        out[str(kv._1())] = vals
+    return out

@@ -78,3 +78,24 @@ def test_q109_cap_bounds_fp0_self_join(spark, hot_sf_dir):
     assert fam.filter("is_contained = 0").count() == 0
     # the below-cap shared-prefix pair still verifies containment
     assert out.filter("doc_a = 1000 AND doc_b = 1001").count() == 1
+
+
+def test_cap_overflow_is_reported_not_silent(spark, hot_sf_dir):
+    """The observe() counters must carry the exact number of dropped
+    bucket members: (100 - cap) surviving copies dropped per bucket ×
+    4 LSH bands for q17, × 1 fp0 bucket (counted on both self-join
+    branches) for q109."""
+    from spark_sql_pubsub_connector_spark.plans.registry import observed_metrics
+
+    over = N_DUPES - _LSH_BUCKET_CAP
+    q17 = SPECS["q17_dedup_minhash_lsh"].build(spark, hot_sf_dir)
+    q17.collect()
+    assert observed_metrics(q17)["q17_bucket_cap"]["dropped_members"] == 4 * over
+
+    q109 = SPECS["q109_containment_dedup"].build(spark, hot_sf_dir)
+    q109.collect()
+    drops = observed_metrics(q109)["q109_bucket_cap"]["dropped_members"]
+    # the capped subtree appears under both join branches; Spark may
+    # dedup the metric or report one branch — either way the per-branch
+    # drop count is exact
+    assert drops in (over, 2 * over)
