@@ -7,8 +7,9 @@ Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3, per round-2
 advice): ``queries`` records the COLD first run — comparable with
 BENCH_r01/r02, which were single cold runs — and ``queries_warm_median``
 the median of the warm repeats, which separates codegen-compilation cost
-from steady-state execution. ``deltas_vs_prev`` reports cold-vs-cold
-percentage change against BENCH_r02.json when present.
+from steady-state execution. ``deltas_vs_prev`` / ``deltas_warm_vs_prev``
+report percentage change against the highest-numbered BENCH_r{N}.json
+present (the latest recorded round; ``prev_round_file`` names it).
 
 Profile notes (round 2, sf0.1): cold-run times are dominated by
 whole-stage-codegen compilation, not execution — q01 runs 1.7 s cold /
@@ -78,8 +79,13 @@ def main() -> None:
     if warm_median:
         result["queries_warm_median"] = warm_median
     import glob
+    import re
 
-    prevs = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    prevs = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=round_no)
     if prevs:
         try:
             with open(prevs[-1]) as fh:  # latest recorded round

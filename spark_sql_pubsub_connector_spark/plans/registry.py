@@ -105,6 +105,16 @@ def observed_metrics(df) -> dict[str, dict]:
         vals = {}
         for i in range(schema.length()):
             v = row.get(i)
-            vals[schema.apply(i).name()] = None if v is None else int(str(v))
+            if v is None:
+                vals[schema.apply(i).name()] = None
+                continue
+            s = str(v)
+            try:
+                vals[schema.apply(i).name()] = int(s)
+            except ValueError:
+                try:
+                    vals[schema.apply(i).name()] = float(s)
+                except ValueError:
+                    vals[schema.apply(i).name()] = s
         out[str(kv._1())] = vals
     return out

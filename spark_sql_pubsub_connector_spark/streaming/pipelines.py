@@ -100,8 +100,13 @@ def seed_topic_from_events(
     # staged line = the broker log record minus seq/message_id (the
     # commit splices those in): ordering_key, data_b64, attributes,
     # publish_ts_us, region — all composed JVM-side
+    # ignoreNullFields=false: emit "value": null like the json.dumps
+    # path does, instead of silently dropping the key (to_json's
+    # default) — consumers index payload fields unconditionally
+    keep_nulls = {"ignoreNullFields": "false"}
     payload = F.to_json(
-        F.struct("event_id", "user_id", "event_type", "value", "props")
+        F.struct("event_id", "user_id", "event_type", "value", "props"),
+        keep_nulls,
     )
     line = F.to_json(
         F.struct(
@@ -112,7 +117,8 @@ def seed_topic_from_events(
             ),
             F.expr("ts_ns DIV 1000").alias("publish_ts_us"),
             F.lit("global").alias("region"),
-        )
+        ),
+        keep_nulls,
     )
     staging = os.path.join(
         broker_dir, f".seed-staging-{topic}-{uuid.uuid4().hex[:8]}"

@@ -99,3 +99,20 @@ def test_cap_overflow_is_reported_not_silent(spark, hot_sf_dir):
     # dedup the metric or report one branch — either way the per-branch
     # drop count is exact
     assert drops in (over, 2 * over)
+
+
+def test_cap_headroom_at_oracle_scale(spark, sf_dir):
+    """The registered oracles are the UNCAPPED self-joins, so the cap
+    must never bite at any oracle-checked scale — this canary fails
+    loudly (drops > 0) before the hash comparison could fail
+    cryptically. If it ever trips, raise _LSH_BUCKET_CAP above the new
+    max bucket or fix the fixture's duplication."""
+    from spark_sql_pubsub_connector_spark.plans.registry import observed_metrics
+
+    for name, metric in (
+        ("q17_dedup_minhash_lsh", "q17_bucket_cap"),
+        ("q109_containment_dedup", "q109_bucket_cap"),
+    ):
+        df = SPECS[name].build(spark, sf_dir)
+        df.collect()
+        assert observed_metrics(df)[metric]["dropped_members"] == 0, name
