@@ -1329,34 +1329,49 @@ def q109_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Defensive cap: a shared boilerplate first-chunk (license headers)
     can put millions of docs behind one fp0 at 100 TB, turning the
     self-join quadratic. As in q17, exact dedup (q16/q88) is the
-    upstream contract; residual hot buckets are cut to the
-    ``_LSH_BUCKET_CAP`` smallest doc_ids per fp0 (row_number, both
-    join sides see the same capped set) with overflow reported via
-    the ``q109_bucket_cap`` observed metric. The cap is far above any
-    test-scale bucket (max 4 at sf0.1), so oracle results are
-    unchanged."""
+    upstream contract, so any bucket past ``_LSH_BUCKET_CAP`` is
+    residual exact-dup pathology — it is ROUTED OUT whole via a
+    count-based pre-filter (r4 verdict nit: the earlier row_number
+    cap made a pathological million-member bucket one window
+    partition, i.e. a single-task external sort; bucket COUNTS
+    partial-aggregate map-side, the oversize key set is tiny by
+    contract and broadcasts, and the corpus side is never sorted or
+    re-shuffled for the cap). Routed-out members are reported via
+    the ``q109_bucket_cap`` observed metric, not silently. The cap
+    is far above any test-scale bucket (max 4 at sf0.1), so oracle
+    results are unchanged — the registered oracle stays the uncapped
+    self-join, and ``test_cap_headroom_at_oracle_scale`` canaries
+    that the cap never bites at oracle-checked scales."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", tokens("text").alias("w"))
+    # fp0 spelled as a direct first-chunk md5 (identical value to
+    # element_at(fps, 1)) so the bucket-count branch prunes the full
+    # per-chunk fingerprint array out of its scan
+    fp0_expr = f"md5(encode(concat_ws(' ', slice(w, 1, {_CT_W})), 'UTF-8'))"
     fps_expr = (
         f"transform(sequence(0, CAST((size(w) + {_CT_W - 1}) / {_CT_W} AS INT) - 1), "
         f"i -> md5(encode(concat_ws(' ', slice(w, i * {_CT_W} + 1, {_CT_W})), 'UTF-8')))"
     )
     f = w.select(
         "doc_id",
-        F.expr(f"element_at({fps_expr}, 1)").alias("fp0"),
+        F.expr(fp0_expr).alias("fp0"),
         F.expr(fps_expr).alias("fps"),
     )
-    w_fp0 = Window.partitionBy("fp0").orderBy("doc_id")
+    hot = (
+        f.groupBy("fp0")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > _LSH_BUCKET_CAP)
+    )
     f = (
-        f.withColumn("rn", F.row_number().over(w_fp0))
+        f.join(F.broadcast(hot), "fp0", "left")
         .observe(
             "q109_bucket_cap",
-            F.sum((F.col("rn") > _LSH_BUCKET_CAP).cast("long")).alias(
+            F.sum(F.col("bucket_n").isNotNull().cast("long")).alias(
                 "dropped_members"
             ),
         )
-        .filter(F.col("rn") <= _LSH_BUCKET_CAP)
-        .drop("rn")
+        .filter(F.col("bucket_n").isNull())
+        .drop("bucket_n")
     )
     a = f.select(
         F.col("doc_id").alias("doc_a"), F.col("fp0"), F.col("fps").alias("fa")

@@ -70,12 +70,14 @@ def test_q17_cap_spares_below_cap_buckets(spark, hot_sf_dir):
     assert pairs.filter("doc_a = 1000 AND doc_b = 1001").count() == 1
 
 
-def test_q109_cap_bounds_fp0_self_join(spark, hot_sf_dir):
+def test_q109_cap_routes_out_oversize_fp0_bucket(spark, hot_sf_dir):
+    """r4 verdict #3: q109's cap is count-based routing — an oversize
+    fp0 bucket (exact-dup residue by contract) is removed WHOLE before
+    the self-join, so the pathological family contributes zero pairs
+    instead of C(cap, 2); below-cap buckets are untouched."""
     out = SPECS["q109_containment_dedup"].build(spark, hot_sf_dir)
     fam = out.filter("doc_a < 1000 AND doc_b < 1000")
-    assert fam.count() == math.comb(_LSH_BUCKET_CAP, 2)
-    # every surviving family pair is a full containment (identical docs)
-    assert fam.filter("is_contained = 0").count() == 0
+    assert fam.count() == 0
     # the below-cap shared-prefix pair still verifies containment
     assert out.filter("doc_a = 1000 AND doc_b = 1001").count() == 1
 
@@ -83,8 +85,10 @@ def test_q109_cap_bounds_fp0_self_join(spark, hot_sf_dir):
 def test_cap_overflow_is_reported_not_silent(spark, hot_sf_dir):
     """The observe() counters must carry the exact number of dropped
     bucket members: (100 - cap) surviving copies dropped per bucket ×
-    4 LSH bands for q17, × 1 fp0 bucket (counted on both self-join
-    branches) for q109."""
+    4 LSH bands for q17 (row_number cap keeps the cap-smallest ids);
+    ALL 100 members of the oversize fp0 bucket for q109 (count-based
+    routing removes the bucket whole, counted on both self-join
+    branches)."""
     from spark_sql_pubsub_connector_spark.plans.registry import observed_metrics
 
     over = N_DUPES - _LSH_BUCKET_CAP
@@ -98,7 +102,7 @@ def test_cap_overflow_is_reported_not_silent(spark, hot_sf_dir):
     # the capped subtree appears under both join branches; Spark may
     # dedup the metric or report one branch — either way the per-branch
     # drop count is exact
-    assert drops in (over, 2 * over)
+    assert drops in (N_DUPES, 2 * N_DUPES)
 
 
 def test_cap_headroom_at_oracle_scale(spark, sf_dir):

@@ -396,10 +396,15 @@ def test_lsh_bucket_cap_present(spark, sf_dir):
 
 
 def test_containment_bucket_cap_present(spark, sf_dir):
-    """q109: same discipline for the fp0-keyed self-join — both join
-    sides must read the capped, metric-observed fingerprint set."""
+    """q109: the fp0 hot-bucket cap must be the count-based routing
+    form (r4 verdict #3) — bucket sizes partial-aggregate, the tiny
+    oversize key set broadcasts into a left join, and NO per-bucket
+    row_number sort appears (the old form made a pathological bucket
+    a single-task external sort). Both self-join sides must read the
+    capped, metric-observed fingerprint set."""
     plan = plan_of(spark, sf_dir, "q109_containment_dedup", mode="simple")
-    assert "row_number" in plan, plan
+    assert "row_number" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "CollectMetrics" in plan and "q109_bucket_cap" in plan, plan
     assert plan.count("q109_bucket_cap") >= 2  # both self-join branches
 
