@@ -85,7 +85,28 @@ def main() -> None:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
-    prevs = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=round_no)
+    # Compare against the highest round STRICTLY BELOW the round being
+    # recorded (ADVICE r4: once the driver writes the current round's
+    # BENCH file, a re-run within the round would otherwise diff
+    # against itself and mask regressions). The round being recorded is
+    # VERDICT round + 1; with no VERDICT yet (round 1) every file is
+    # older than the current run by construction.
+    cur_round = None
+    try:
+        with open(os.path.join(REPO, "VERDICT.md")) as fh:
+            m = re.search(r"round\s+(\d+)", fh.readline())
+        if m:
+            cur_round = int(m.group(1)) + 1
+    except OSError:
+        pass
+    prevs = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if cur_round is None or 0 <= round_no(p) < cur_round
+        ),
+        key=round_no,
+    )
     if prevs:
         try:
             with open(prevs[-1]) as fh:  # latest recorded round
@@ -162,6 +183,13 @@ def connector_throughput(
     broker_dir = tempfile.mkdtemp(prefix=f"bench-broker-{run}-")
     broker = FileBroker(broker_dir)
 
+    # the seeder asserts it delivered exactly `limit` messages, so clamp
+    # to the fixture size rather than fail on a small SPARK_GRAFT_SF_DIR
+    # (throughput denominators then match what actually flowed)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_msgs = min(n_msgs, n_events)
+    warmup_msgs = min(warmup_msgs, n_events)
+
     # untimed warmup: tiny source drain + sink republish
     wtopic, wsub = f"bw-{run}", f"bws-{run}"
     seed_topic_from_events(
@@ -196,13 +224,17 @@ def connector_throughput(
         spark, sf_dir, broker_dir, topic, None, limit=n_msgs, ack_deadline_s=600
     )
 
-    # Each timed phase runs twice on separately-seeded subscriptions of
-    # the SAME topic and reports the best run: a single 3-4 s drain is
-    # exposed to multi-second scheduler/GC jitter (observed spread on
-    # an otherwise-idle 32-core box: 6.5k-23k msgs/s), and the metric
-    # is sustained engine capacity, not the jitter floor.
+    # Each timed phase runs three times (SPARK_GRAFT_CONNECTOR_RUNS) on
+    # separately-seeded subscriptions of the SAME topic and reports the
+    # best run: a single 3-4 s drain is exposed to multi-second
+    # scheduler/GC jitter (observed spread on an otherwise-idle 32-core
+    # box: 6.5k-23k msgs/s), and the metric is sustained engine
+    # capacity, not the jitter floor. The per-run times plus the
+    # *_spread_pct fields state the observed noise band so a real
+    # regression is distinguishable from jitter (ADVICE/VERDICT r4 #7).
+    n_conn_runs = max(2, int(os.environ.get("SPARK_GRAFT_CONNECTOR_RUNS", "3")))
     source_s = []
-    for i in range(2):
+    for i in range(n_conn_runs):
         sub = f"bs-{run}-{i}"
         broker.create_subscription(sub, topic, ack_deadline_s=600)
         src = read_stream(
@@ -213,7 +245,7 @@ def connector_throughput(
         source_s.append(time.perf_counter() - t0)
 
     roundtrip = []
-    for i in range(2):
+    for i in range(n_conn_runs):
         sub2, out_topic = f"bs2-{run}-{i}", f"{topic}-out-{i}"
         broker.create_subscription(sub2, topic, ack_deadline_s=600)
         broker.create_topic(out_topic)
@@ -237,6 +269,10 @@ def connector_throughput(
         )
 
     rt_s, published = min(roundtrip, key=lambda t: t[0] / max(t[1], 1))
+
+    def spread_pct(times) -> float:
+        return round(100.0 * (max(times) - min(times)) / min(times), 1)
+
     return {
         "n_msgs": n_msgs,
         "source_msgs_per_s": round(n_msgs / min(source_s), 1),
@@ -244,6 +280,9 @@ def connector_throughput(
         "roundtrip_published": published,
         "source_runs_s": [round(s, 2) for s in source_s],
         "roundtrip_runs_s": [round(t[0], 2) for t in roundtrip],
+        # observed noise band: best-vs-worst run of this invocation
+        "source_spread_pct": spread_pct(source_s),
+        "roundtrip_spread_pct": spread_pct([t[0] for t in roundtrip]),
     }
 
 

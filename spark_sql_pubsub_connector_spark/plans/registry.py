@@ -94,7 +94,14 @@ def observed_metrics(df) -> dict[str, dict]:
     (``collect``/``write``); derived DataFrames (``df.count()`` builds a
     new plan) report through their own execution. Returns
     {metric_name: {column: value}}; a metric whose query has not run
-    yet surfaces with null values."""
+    yet surfaces with null values.
+
+    Conversion is driven by each metric column's declared dataType
+    (ADVICE r4: parse-guessing through str() misreported a genuinely
+    string-typed metric that happens to look numeric). Diagnostics
+    helper only — it reaches through py4j internals
+    (``_jdf.queryExecution``, no public PySpark surface yet) and is
+    not on any query path."""
     out: dict[str, dict] = {}
     om = df._jdf.queryExecution().observedMetrics()
     it = om.iterator()
@@ -104,17 +111,19 @@ def observed_metrics(df) -> dict[str, dict]:
         schema = row.schema()
         vals = {}
         for i in range(schema.length()):
+            name = schema.apply(i).name()
             v = row.get(i)
             if v is None:
-                vals[schema.apply(i).name()] = None
+                vals[name] = None
                 continue
-            s = str(v)
-            try:
-                vals[schema.apply(i).name()] = int(s)
-            except ValueError:
-                try:
-                    vals[schema.apply(i).name()] = float(s)
-                except ValueError:
-                    vals[schema.apply(i).name()] = s
+            tname = schema.apply(i).dataType().typeName()
+            if tname in ("byte", "short", "integer", "long"):
+                vals[name] = int(str(v))
+            elif tname in ("float", "double") or tname.startswith("decimal"):
+                vals[name] = float(str(v))
+            elif tname == "boolean":
+                vals[name] = str(v).lower() == "true"
+            else:
+                vals[name] = str(v)
         out[str(kv._1())] = vals
     return out

@@ -59,7 +59,20 @@ def seed_topic_from_events(
     pushed-down ``event_id < N`` filter — event ids are dense 0..N-1
     in every driver fixture (FIXTURES.md), and the filter keeps the
     scan distributed where ``orderBy().limit()`` would TakeOrdered
-    everything into one task.
+    everything into one task. Because that meaning silently depends
+    on the dense-id contract, the seeded count is asserted against
+    ``limit`` after the commit: a fixture whose ids drift fails
+    loudly instead of under-seeding (ADVICE r4).
+
+    Field parity with the retired driver-side loop (ADVICE r4):
+    ``publish_ts_us`` uses true floor division (``ts_ns DIV 1000``
+    truncates toward zero, Python ``//`` floors — they differ on
+    negative timestamps) and a null ``user_id`` yields the string
+    ``"None"`` exactly as ``str(row["user_id"])`` did. One KNOWN
+    byte-level drift remains: payload JSON is ``to_json``-compact
+    (``{"a":1}``) where ``json.dumps`` emitted spaces after
+    separators — semantically equal JSON, but not byte-identical to
+    logs seeded before round 4.
 
     ``region_of``: optional callable row→region string, used to build
     skewed-region fixtures for the partition-planner tests. Those
@@ -95,6 +108,11 @@ def seed_topic_from_events(
             for r in rows
         ]
         broker.publish(topic, msgs)
+        if limit is not None and len(msgs) != limit:
+            raise ValueError(
+                f"seeder under-fill: limit={limit} but {len(msgs)} messages "
+                "seeded — dense event_id contract violated (FIXTURES.md)"
+            )
         return len(msgs)
 
     # staged line = the broker log record minus seq/message_id (the
@@ -110,12 +128,19 @@ def seed_topic_from_events(
     )
     line = F.to_json(
         F.struct(
-            F.col("user_id").cast("string").alias("ordering_key"),
+            # str(None) == "None" in the old driver-side loop; keep it
+            F.coalesce(F.col("user_id").cast("string"), F.lit("None")).alias(
+                "ordering_key"
+            ),
             F.base64(F.encode(payload, "UTF-8")).alias("data_b64"),
             F.create_map(F.lit("event_type"), F.col("event_type")).alias(
                 "attributes"
             ),
-            F.expr("ts_ns DIV 1000").alias("publish_ts_us"),
+            # exact int64 floor division (pmod is nonnegative), matching
+            # Python's ts_ns // 1000 for negative timestamps too
+            F.expr("(ts_ns - pmod(ts_ns, 1000)) DIV 1000").alias(
+                "publish_ts_us"
+            ),
             F.lit("global").alias("region"),
         ),
         keep_nulls,
@@ -132,9 +157,16 @@ def seed_topic_from_events(
     )
     try:
         parts = sorted(glob.glob(os.path.join(staging, "part-*")))
-        return broker.commit_staged(topic, parts)
+        n = broker.commit_staged(topic, parts)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+    if limit is not None and n != limit:
+        raise ValueError(
+            f"seeder under-fill: limit={limit} but {n} messages seeded — "
+            "the events fixture's dense event_id 0..N-1 contract "
+            "(FIXTURES.md) no longer holds for this sf_dir"
+        )
+    return n
 
 
 def read_stream(
