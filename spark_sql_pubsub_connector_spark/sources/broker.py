@@ -589,9 +589,9 @@ class RealBrokerClient:
 
     def _client_kwargs(self, endpoint: str) -> dict:
         kw: dict = {"client_options": {"api_endpoint": endpoint}}
-        if endpoint.startswith("localhost"):
+        if endpoint.startswith(("localhost", "127.0.0.1")):
             # emulator path: plaintext + no credentials
-            # (Subscriber.scala:38-54)
+            # (Subscriber.scala:38-54); loopback spelled either way
             from google.auth.credentials import AnonymousCredentials
 
             kw["credentials"] = AnonymousCredentials()
