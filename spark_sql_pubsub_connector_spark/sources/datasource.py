@@ -21,9 +21,10 @@ Parity map to the reference (SURVEY.md §2.1):
          single bounded batch; a backlog beyond that envelope drains
          across repeated runs on the same checkpoint (tested:
          test_available_now_bounded_drain_across_runs).
-         Re-checked against pyspark 4.1.2 (round 4): the datasource
-         module still exposes no AvailableNow/availableNow surface —
-         watch item stands
+         Re-checked against pyspark 4.1.2 (rounds 4 and 5; r5 probe:
+         zero availableNow mentions in pyspark.sql.datasource, no new
+         DataSourceStreamReader methods): still no
+         SupportsTriggerAvailableNow analog — watch item stands
   S6/S13 per-batch partition planning — static num_partitions, or
          backlog-driven with per-region splits via BacklogMonitor
   S7/S8  per-task pull of ≤ max_messages_per_partition messages,
