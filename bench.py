@@ -33,6 +33,40 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def latest_prior_bench(repo_dir: str) -> str | None:
+    """Path of the BENCH_r{N}.json to diff against: the highest round
+    STRICTLY BELOW the round being recorded (ADVICE r4: once the driver
+    writes the current round's BENCH file, a re-run within the round
+    would otherwise diff against itself and mask regressions). The
+    round being recorded is VERDICT round + 1; with no VERDICT yet
+    (round 1) every existing file predates the current run by
+    construction."""
+    import glob
+    import re
+
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    cur_round = None
+    try:
+        with open(os.path.join(repo_dir, "VERDICT.md")) as fh:
+            m = re.search(r"round\s+(\d+)", fh.readline())
+        if m:
+            cur_round = int(m.group(1)) + 1
+    except OSError:
+        pass
+    prevs = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+            if cur_round is None or 0 <= round_no(p) < cur_round
+        ),
+        key=round_no,
+    )
+    return prevs[-1] if prevs else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -78,38 +112,10 @@ def main() -> None:
     }
     if warm_median:
         result["queries_warm_median"] = warm_median
-    import glob
-    import re
-
-    def round_no(p: str) -> int:
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        return int(m.group(1)) if m else -1
-
-    # Compare against the highest round STRICTLY BELOW the round being
-    # recorded (ADVICE r4: once the driver writes the current round's
-    # BENCH file, a re-run within the round would otherwise diff
-    # against itself and mask regressions). The round being recorded is
-    # VERDICT round + 1; with no VERDICT yet (round 1) every file is
-    # older than the current run by construction.
-    cur_round = None
-    try:
-        with open(os.path.join(REPO, "VERDICT.md")) as fh:
-            m = re.search(r"round\s+(\d+)", fh.readline())
-        if m:
-            cur_round = int(m.group(1)) + 1
-    except OSError:
-        pass
-    prevs = sorted(
-        (
-            p
-            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-            if cur_round is None or 0 <= round_no(p) < cur_round
-        ),
-        key=round_no,
-    )
-    if prevs:
+    prev = latest_prior_bench(REPO)
+    if prev:
         try:
-            with open(prevs[-1]) as fh:  # latest recorded round
+            with open(prev) as fh:  # latest round before the current one
                 d = json.load(fh)
             # the driver wraps bench output under "parsed"
             parsed = d.get("parsed", d)
@@ -127,7 +133,7 @@ def main() -> None:
                 for n in warm_median
                 if n in pw and pw[n] > 0
             }
-            result["prev_round_file"] = os.path.basename(prevs[-1])
+            result["prev_round_file"] = os.path.basename(prev)
         except Exception:
             pass
     try:

@@ -63,6 +63,17 @@ def test_seed_leaves_no_staging_behind(seeded, tmp_path):
     assert leftovers == []
 
 
+def test_limit_beyond_fixture_fails_loudly(spark, sf_dir, tmp_path):
+    """ADVICE r4: `limit` is implemented as a pushed-down
+    `event_id < N` filter, which silently under-seeds if the dense-id
+    contract drifts — the seeder must raise instead."""
+    n_events = load_table(spark, sf_dir, "events").count()
+    with pytest.raises(ValueError, match="under-fill"):
+        seed_topic_from_events(
+            spark, sf_dir, str(tmp_path / "b3"), "t3", None, limit=n_events + 7
+        )
+
+
 def test_region_of_fixture_hook_still_driver_side(spark, sf_dir, tmp_path):
     bd = str(tmp_path / "broker2")
     n = seed_topic_from_events(
