@@ -62,6 +62,15 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     b = SparkSession.builder.appName(app_name).master(master)
+    # local mode runs driver AND executors in one JVM whose heap
+    # defaults to 1g regardless of machine size — long sessions that
+    # build the whole corpus at sf0.1 OOM there (seen r5: q54/q68
+    # heap-space failures in the sf0.1 oracle mirror after 100+
+    # queries of accumulated cache). Only effective when WE launch
+    # the JVM; a pre-existing session keeps its own heap.
+    b = b.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     for k, v in _BUILD_CONFS.items():
         b = b.config(k, v)
     for k, v in _RUNTIME_CONFS.items():
