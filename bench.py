@@ -8,8 +8,12 @@ advice): ``queries`` records the COLD first run — comparable with
 BENCH_r01/r02, which were single cold runs — and ``queries_warm_median``
 the median of the warm repeats, which separates codegen-compilation cost
 from steady-state execution. ``deltas_vs_prev`` / ``deltas_warm_vs_prev``
-report percentage change against the highest-numbered BENCH_r{N}.json
-present (the latest recorded round; ``prev_round_file`` names it).
+report percentage change against the highest BENCH_r{N}.json strictly
+below the round being recorded (``prev_round_file`` names it).
+``calibration`` times two fixed probes (CPU-bound, shuffle-bound) so
+cross-round comparisons can separate host-speed drift — this VM swings
+>2x with unobservable host load — from engine regressions: divide a
+query delta by the calibration delta before believing it.
 
 Profile notes (round 2, sf0.1): cold-run times are dominated by
 whole-stage-codegen compilation, not execution — q01 runs 1.7 s cold /
@@ -85,6 +89,34 @@ def main() -> None:
     warm = spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count()
     warm.write.format("noop").mode("overwrite").save()
 
+    # Host-speed calibration (r5): this box is a VM whose effective
+    # speed swings >2x run-to-run with host load we cannot observe
+    # (measured r5: cold totals 13.3->23.1 s minutes apart, code
+    # unchanged). These two fixed probes — one CPU/codegen-bound, one
+    # shuffle-bound — time the SAME work every round; comparing their
+    # drift against a prior round's values separates machine-speed
+    # drift from genuine engine regressions (best of 3, min).
+    def calib_once() -> tuple[float, float]:
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        t1 = time.perf_counter()
+        (
+            spark.range(60_000_000)
+            .selectExpr("id % 1024 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return t1 - t0, time.perf_counter() - t1
+
+    calib = [calib_once() for _ in range(3)]
+    calibration = {
+        "cpu_probe_s": round(min(c[0] for c in calib), 4),
+        "shuffle_probe_s": round(min(c[1] for c in calib), 4),
+    }
+
     def run_once(spec) -> float:
         t0 = time.perf_counter()
         df = spec.build(spark, sf_dir)
@@ -95,11 +127,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm_median: dict[str, float] = {}
+    warm_min: dict[str, float] = {}
     for name, spec in specs.items():
         runs = [run_once(spec) for _ in range(n_runs)]
         timings[name] = round(runs[0], 4)  # cold, comparable with r1/r2
         if len(runs) > 1:
             warm_median[name] = round(statistics.median(runs[1:]), 4)
+            # min-of-warm: the least noise-exposed capacity estimate
+            warm_min[name] = round(min(runs[1:]), 4)
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -112,6 +147,8 @@ def main() -> None:
     }
     if warm_median:
         result["queries_warm_median"] = warm_median
+        result["queries_warm_min"] = warm_min
+    result["calibration"] = calibration
     prev = latest_prior_bench(REPO)
     if prev:
         try:
