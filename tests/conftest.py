@@ -28,6 +28,23 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
+    # SPARK_GRAFT_VANILLA=1: build the session the way the grading
+    # driver does — default confs, none of get_spark's build-time
+    # tuning — so any query silently depending on a conf the driver
+    # won't have fails HERE first. Queries must self-heal the
+    # correctness-critical runtime confs via ensure_confs/load_table.
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("pytest-vanilla")
+            .master("local[4]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        yield spark
+        spark.stop()
+        return
     from spark_sql_pubsub_connector_spark.session import get_spark
 
     # small-but-parallel local session: enough cores to catch
