@@ -44,15 +44,27 @@ _FRAME_STRIDE = 4
 # --------------------------------------------------------------------------
 def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction: payload bytes → (byte_len,
-    content_md5). Deterministic, pure-Python, no external codecs."""
+    content_md5). Deterministic, pure-Python, no external codecs.
+
+    Null payloads (a null source column upstream) follow SQL
+    semantics — null in, null features out, row preserved — matching
+    ``length(NULL)``/``md5(NULL)`` on the oracle side. Object-dtype
+    series carry the Nones; Arrow casts them to the declared ``long``/
+    ``string`` schema, so non-null output bytes are unchanged."""
     for pdf in batches:
         payloads = pdf["payload"]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "byte_len": payloads.map(len).astype("int64"),
+                "byte_len": pd.Series(
+                    [len(b) if b is not None else None for b in payloads],
+                    dtype="object",
+                    index=payloads.index,
+                ),
                 "content_md5": payloads.map(
-                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    lambda b: None
+                    if b is None
+                    else hashlib.md5(bytes(b)).hexdigest()
                 ),
                 "source": pdf["src"],
             }
@@ -113,14 +125,19 @@ def _decode_image(payload: bytes) -> tuple[int, int, int]:
 
 
 def _extract_image_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Null payloads (null text upstream nulls the whole concat) decode
+    # to all-null metadata, SQL-style; non-null rows are unchanged.
     for pdf in batches:
-        decoded = [_decode_image(bytes(b)) for b in pdf["payload"]]
+        decoded = [
+            _decode_image(bytes(b)) if b is not None else (None, None, None)
+            for b in pdf["payload"]
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": pd.Series((d[0] for d in decoded), dtype="int64"),
-                "height": pd.Series((d[1] for d in decoded), dtype="int64"),
-                "body_len": pd.Series((d[2] for d in decoded), dtype="int64"),
+                "width": pd.Series([d[0] for d in decoded], dtype="object"),
+                "height": pd.Series([d[1] for d in decoded], dtype="object"),
+                "body_len": pd.Series([d[2] for d in decoded], dtype="object"),
             }
         )
 
@@ -222,6 +239,12 @@ def _resize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         ids, ows, ohs, sigs = [], [], [], []
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            ids.append(doc_id)
+            if b is None:  # SQL semantics: null blob → null thumbnail
+                ows.append(None)
+                ohs.append(None)
+                sigs.append(None)
+                continue
             payload = bytes(b)
             w, h, _ = _decode_image(payload)
             body = payload[12:]
@@ -229,15 +252,14 @@ def _resize_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ow, oh = (w * _THUMB) // m, (h * _THUMB) // m
             body_sig = hashlib.md5(body + f"{ow}x{oh}".encode()).hexdigest()
             resized = b"FAKE" + f"{ow:04d}{oh:04d}".encode() + body_sig.encode()
-            ids.append(doc_id)
             ows.append(ow)
             ohs.append(oh)
             sigs.append(hashlib.md5(resized).hexdigest())
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),
-                "out_w": pd.Series(ows, dtype="int64"),
-                "out_h": pd.Series(ohs, dtype="int64"),
+                "out_w": pd.Series(ows, dtype="object"),
+                "out_h": pd.Series(ohs, dtype="object"),
                 "resized_md5": pd.Series(sigs, dtype="object"),
             }
         )
@@ -318,10 +340,20 @@ def _extract_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     for pdf in batches:
         ids, ns, durs, peaks, means, energies = [], [], [], [], [], []
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            ids.append(doc_id)
+            if b is None:  # SQL semantics: null blob → null features
+                for col in (ns, durs, peaks, means, energies):
+                    col.append(None)
+                continue
             sr, body = _decode_audio(bytes(b))
             pcm = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
             n = int(pcm.size)
-            ids.append(doc_id)
+            if n == 0:  # empty body: count 0, empty-set aggregates null
+                ns.append(0)
+                durs.append(0)
+                for col in (peaks, means, energies):
+                    col.append(None)
+                continue
             ns.append(n)
             durs.append(n * 1000 // sr)
             peaks.append(int(pcm.max()))
@@ -330,11 +362,11 @@ def _extract_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),
-                "n_samples": pd.Series(ns, dtype="int64"),
-                "duration_ms": pd.Series(durs, dtype="int64"),
-                "peak": pd.Series(peaks, dtype="int64"),
-                "mean_q4": pd.Series(means, dtype="int64"),
-                "energy_q4": pd.Series(energies, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="object"),
+                "duration_ms": pd.Series(durs, dtype="object"),
+                "peak": pd.Series(peaks, dtype="object"),
+                "mean_q4": pd.Series(means, dtype="object"),
+                "energy_q4": pd.Series(energies, dtype="object"),
             }
         )
 

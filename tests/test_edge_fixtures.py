@@ -1,5 +1,6 @@
 """Degenerate-input sweep: every registered batch query must execute
-cleanly on a ZERO-ROW corpus and a SINGLE-ROW corpus.
+cleanly on a ZERO-ROW corpus, a SINGLE-ROW corpus, and a NULL-INJECTED
+corpus.
 
 The driver's fixtures are always populous, so the oracle mirror never
 exercises the empty-group / empty-join / null-aggregate paths a real
@@ -14,6 +15,15 @@ every query degrades to an empty-or-small result, never an exception.
 Single-row fixtures also break referential integrity on purpose (one
 customer, one order that likely doesn't reference it): joins must
 produce empty output, not errors.
+
+The null-injected corpus nulls ~20% of the soft fields real pipelines
+actually see nulls in (documents.text/lang/source, events.user_id/
+event_type/value/props, embeddings.embedding/label) while keeping the
+tables populous. This is the sweep that caught the multimodal
+mapInPandas helpers calling ``len``/``bytes`` on null payloads
+(q27/q28/q62/q96, fixed round 5 with SQL null-in-null-out semantics);
+it pins every Python-boundary operator against the nulls that a real
+100 TB corpus is guaranteed to contain.
 
 Runs against schema-faithful fixtures derived from the sf0.001 parquet
 (``limit 0`` / ``limit 1`` per table), so column names, types, and
@@ -59,6 +69,34 @@ def one_row_dir(spark):
     shutil.rmtree(out, ignore_errors=True)
 
 
+_NULL_COLS = {
+    "documents": ("text", "lang", "source"),
+    "events": ("user_id", "event_type", "value", "props"),
+    "embeddings": ("embedding", "label"),
+}
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(spark):
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="edge-sfnulls-")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        key = df.columns[0]
+        for c in _NULL_COLS.get(t, ()):
+            # deterministic ~20% nulls, keyed so reruns are stable
+            df = df.withColumn(
+                c,
+                F.when(
+                    F.xxhash64(F.col(key), F.lit(c)) % 5 == 0, None
+                ).otherwise(F.col(c)),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
 @pytest.mark.parametrize("name", BATCH)
 def test_zero_row_corpus(name, spark, empty_dir):
     df = SPECS[name].build(spark, empty_dir)
@@ -69,3 +107,27 @@ def test_zero_row_corpus(name, spark, empty_dir):
 def test_single_row_corpus(name, spark, one_row_dir):
     df = SPECS[name].build(spark, one_row_dir)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_null_injected_corpus(name, spark, nulls_dir):
+    df = SPECS[name].build(spark, nulls_dir)
+    assert df.count() >= 0
+
+
+def test_null_payloads_yield_null_features_not_errors(spark, nulls_dir):
+    """The multimodal Python boundary follows SQL null semantics: a
+    null payload row survives with null feature columns (length(NULL)
+    is NULL), it neither crashes the Arrow worker nor disappears."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{nulls_dir}/documents.parquet")
+    n_null = docs.filter(F.col("text").isNull()).count()
+    n_docs = docs.count()
+    assert 0 < n_null < n_docs  # the fixture really injected some
+
+    df = SPECS["q27_mm_decode_meta"].build(spark, nulls_dir)
+    assert df.count() == n_docs
+    nulls = df.filter(F.col("content_md5").isNull())
+    assert nulls.count() == n_null
+    assert nulls.filter(F.col("byte_len").isNotNull()).count() == 0
