@@ -165,8 +165,10 @@ def q33_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, sv = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # exact integer cents, like functions/exact.py
-            sv += int((pdf["value"] * 100).round().astype("int64").sum())
+            # exact integer cents, like functions/exact.py; dropna =
+            # SQL sum semantics (null values don't crash the cast,
+            # they're skipped — matching the batch twin's F.sum)
+            sv += int((pdf["value"].dropna() * 100).round().astype("int64").sum())
         state.update((n, sv))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value_q2": [sv]}
@@ -221,8 +223,10 @@ def q48_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFra
     def fold(n: int, sv: int, pdfs) -> tuple[int, int]:
         for pdf in pdfs:
             n += len(pdf)
-            # exact integer cents, like functions/exact.py
-            sv += int((pdf["value"] * 100).round().astype("int64").sum())
+            # exact integer cents, like functions/exact.py; dropna =
+            # SQL sum semantics (null values don't crash the cast,
+            # they're skipped — matching the batch twin's F.sum)
+            sv += int((pdf["value"].dropna() * 100).round().astype("int64").sum())
         return n, sv
 
     keyed = ev.select("event_type", "value").groupBy("event_type")

@@ -109,10 +109,69 @@ def test_single_row_corpus(name, spark, one_row_dir):
     assert df.count() >= 0
 
 
+_ADVERSARIAL_TEXT = (
+    "",  # empty string (distinct from null)
+    " \t\n  ",  # whitespace only
+    "😀🎉🚀 emoji only 🌍",
+    "中文文本测试，没有空格的长句子组成的文档内容在这里继续延伸",
+    "مرحبا بالعالم هذا نص عربي من اليمين إلى اليسار",
+    "mixed العربية and English و 中文 text",
+    "\x00\x01\x02 control \x1f chars \x7f",
+    "a",  # single char
+    "word " * 5000,  # very long, highly repetitive
+    "x" * 50_000,  # one enormous token
+    "line1\nline2\r\nline3\ttabbed",
+    "ünïcödé àccénts çédille ñ",
+)
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark):
+    """sf0.001 with ~1/3 of document texts replaced by adversarial
+    strings: empty, whitespace-only, emoji/CJK/RTL, control chars,
+    50k-char single tokens, highly repetitive long docs. Tokenizers,
+    shinglers, hashers, and codecs must stay total over these."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="edge-sfadv-")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            expr = F.when(
+                F.col("doc_id") % 3 == 0,
+                F.element_at(
+                    F.array(*[F.lit(s) for s in _ADVERSARIAL_TEXT]),
+                    (F.col("doc_id") % len(_ADVERSARIAL_TEXT) + 1).cast("int"),
+                ),
+            ).otherwise(F.col("text"))
+            df = df.withColumn("text", expr).withColumn(
+                "n_chars", F.length("text")
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_adversarial_text_corpus(name, spark, adversarial_dir):
+    df = SPECS[name].build(spark, adversarial_dir)
+    assert df.count() >= 0
+
+
 @pytest.mark.parametrize("name", BATCH)
 def test_null_injected_corpus(name, spark, nulls_dir):
     df = SPECS[name].build(spark, nulls_dir)
     assert df.count() >= 0
+
+
+def test_stateful_streaming_survives_null_events(spark, nulls_dir):
+    """The stateful streaming folds (q33 applyInPandasWithState, q48
+    transformWithState) must apply SQL sum semantics to null event
+    values — skip them — instead of crashing the state worker on the
+    NaN→int64 cast. The null corpus nulls ~20% of events.value (and
+    user_id/event_type, exercising null grouping keys)."""
+    for name in ("q33_stream_stateful_counts", "q48_stream_transform_with_state"):
+        assert SPECS[name].build(spark, nulls_dir).count() > 0
 
 
 def test_null_payloads_yield_null_features_not_errors(spark, nulls_dir):
