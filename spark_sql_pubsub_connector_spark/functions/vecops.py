@@ -59,11 +59,19 @@ def cosine_q_expr(dot: str, na: str, nb: str) -> str:
     The norm product is widened to DOUBLE before multiplying (BIGINT ×
     BIGINT would overflow at ~1.6e13 each); both engines then perform
     the identical divide/sqrt/floor chain. Engine-agnostic SQL text —
-    valid for Spark and DuckDB.
+    valid for Spark and DuckDB; this helper builds BOTH sides, so the
+    guard below changes them symmetrically.
+
+    Zero-norm vectors (an empty or all-zero embedding — real corpora
+    contain them) make cosine undefined; the CASE guard returns SQL
+    NULL instead of tripping Spark's ANSI DIVIDE_BY_ZERO and killing
+    the whole stage. Non-degenerate rows are untouched — the exact
+    divide/sqrt/floor chain is byte-identical to the unguarded form.
     """
     return (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN NULL ELSE "
         f"CAST(floor(CAST({dot} AS DOUBLE) / "
-        f"sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)) * {SIM_SCALE} + 0.5) AS BIGINT)"
+        f"sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)) * {SIM_SCALE} + 0.5) AS BIGINT) END"
     )
 
 
@@ -91,6 +99,14 @@ def bucket_exprs(n_planes: int, qarr: str = "q") -> tuple[str, str]:
     bit_j = (Σ_i coeff[j][i] * q[i]) > 0   (exact integer sum, so the
     sign is unambiguous and identical across engines);
     bucket = Σ_j bit_j · 2^j  ∈ [0, 2^n_planes).
+
+    The Spark side reads elements with ``get()`` (0-based, NULL on an
+    out-of-range index) rather than ``[]``, which under ANSI mode
+    throws INVALID_ARRAY_INDEX and kills the stage on a truncated or
+    empty embedding. DuckDB's ``[]`` already yields NULL out-of-range,
+    so both engines agree on degenerate vectors too: any NULL term
+    nulls the sum, ``NULL > 0`` is not true, the bit is 0. Values on
+    well-formed DIM-length arrays are identical to direct indexing.
     """
     planes = hyperplanes(n_planes)
 
@@ -98,7 +114,12 @@ def bucket_exprs(n_planes: int, qarr: str = "q") -> tuple[str, str]:
         bits = []
         for j, row in enumerate(planes):
             terms = " + ".join(
-                f"{c}*{qarr}[{i + 1 if one_based else i}]" for i, c in enumerate(row)
+                (
+                    f"{c}*{qarr}[{i + 1}]"
+                    if one_based
+                    else f"{c}*get({qarr}, {i})"
+                )
+                for i, c in enumerate(row)
             )
             bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
         return "(" + " + ".join(bits) + ")"

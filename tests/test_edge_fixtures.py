@@ -152,6 +152,47 @@ def adversarial_dir(spark):
     shutil.rmtree(out, ignore_errors=True)
 
 
+@pytest.fixture(scope="module")
+def corrupt_emb_dir(spark):
+    """sf0.001 with degenerate embeddings: every 7th vector an EMPTY
+    array (zero norm — cosine undefined), every 7th+1 truncated to 3
+    dims (out-of-range reads for the fixed-DIM expressions). Caught
+    two ANSI-mode stage-killers in round 5: DIVIDE_BY_ZERO in
+    cosine_q_expr and INVALID_ARRAY_INDEX in bucket_exprs."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="edge-sfemb-")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 7 == 0, F.array().cast("array<float>"))
+                .when(F.col("vec_id") % 7 == 1, F.slice("embedding", 1, 3))
+                .otherwise(F.col("embedding")),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+_EMBEDDING_QUERIES = sorted(
+    n
+    for n in BATCH
+    if n.split("_")[0]
+    in {
+        "q20", "q21", "q22", "q49", "q57", "q61", "q66",
+        "q76", "q82", "q83", "q90", "q111",
+    }
+)
+
+
+@pytest.mark.parametrize("name", _EMBEDDING_QUERIES)
+def test_corrupt_embeddings_corpus(name, spark, corrupt_emb_dir):
+    df = SPECS[name].build(spark, corrupt_emb_dir)
+    assert df.count() >= 0
+
+
 @pytest.mark.parametrize("name", BATCH)
 def test_adversarial_text_corpus(name, spark, adversarial_dir):
     df = SPECS[name].build(spark, adversarial_dir)
