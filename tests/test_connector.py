@@ -934,3 +934,62 @@ def test_stateful_dedup_effectively_once_across_restart(spark, broker_dir, tmp_p
     second = run()
     # the restored state recognizes every redelivered key
     assert second == [], second
+
+
+def test_adversarial_payloads_roundtrip_exactly(spark, broker, broker_dir, tmp_path):
+    """Source→sink byte fidelity over the payloads a real corpus will
+    eventually throw at the connector: empty data, raw binary junk, a
+    pre-1970 publish timestamp, full-unicode payload/attributes/
+    ordering key (emoji, CJK, Cyrillic), a 5 MB blob, and kilobyte-long
+    attribute keys/values. Every message must survive the pubsub
+    source, the staged-commit sink, and a republish with bytes,
+    attributes, and ordering keys intact."""
+    y9999_us = 253_402_300_799_000_000
+    msgs = [
+        PubsubMessage(data=b"", attributes={}, ordering_key="",
+                      publish_ts_us=1_700_000_000_000_000),
+        PubsubMessage(data=b"\x00\xff\xfe junk \x00" * 100,
+                      attributes={"k": ""}, ordering_key="",
+                      publish_ts_us=-1_000_000),
+        PubsubMessage(data="\U0001f600 unicode päyload 中文".encode(),
+                      attributes={"emoji \U0001f389": "välue 中"},
+                      ordering_key="ключ-\U0001f511",
+                      publish_ts_us=y9999_us),
+        PubsubMessage(data=b"x" * 5_000_000, attributes={"big": "1"},
+                      ordering_key="big", publish_ts_us=123),
+        PubsubMessage(data=b'{"nested": {"json": [1,2,3]}}',
+                      attributes={"k" * 1000: "v" * 1000},
+                      ordering_key="k" * 500, publish_ts_us=456),
+    ]
+    broker.publish("t", msgs)
+    broker.create_topic("t2")
+
+    src = read_stream(
+        spark, broker_dir, "s", num_partitions=2, max_messages_per_partition=10
+    )
+    out = src.select(
+        F.col("data"),
+        F.col("attributes"),
+        F.col("ordering_key").alias("okey"),
+        F.col("publish_timestamp"),
+    )
+    q = write_stream(
+        out.drop("publish_timestamp"),
+        broker_dir,
+        "t2",
+        str(tmp_path / "ckpt_adv"),
+        ordering_key="okey",
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and broker.backlog("s") > 0:
+        time.sleep(0.3)
+    q.processAllAvailable()
+    q.stop()
+
+    got = broker.topic_messages("t2")
+    assert len(got) == len(msgs)
+    by_data = {bytes(m.data): m for m in got}
+    for sent in msgs:
+        echoed = by_data[sent.data]
+        assert echoed.attributes == sent.attributes
+        assert echoed.ordering_key == sent.ordering_key
