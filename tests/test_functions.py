@@ -83,8 +83,9 @@ def test_bucket_exprs_spark_duck_agree_on_literals(duck):
         if sum(c * v for c, v in zip(row, vec)) > 0
     )
     assert got == expected
-    # the Spark-side text references q[0]..q[63]; same term count
-    assert spark_e.count("q[") == duck_e.count("q[") == 4 * DIM
+    # the Spark side reads via get(q, i) (NULL out-of-range, matching
+    # DuckDB's q[i] semantics on short arrays); same term count
+    assert spark_e.count("get(q, ") == duck_e.count("q[") == 4 * DIM
 
 
 def test_minhash_coefficients_are_valid_universal_hash_params():
