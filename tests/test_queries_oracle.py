@@ -30,7 +30,10 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     names = set(e.queries())
     oracles = e.oracle_sql()
-    assert set(oracles) <= names
+    # the driver contract surface IS the registry: every registered
+    # query is exported, and exactly the oracle-bearing ones have SQL
+    assert names == set(SPECS)
+    assert set(oracles) == {n for n, s in SPECS.items() if s.oracle is not None}
 
 
 def test_q113_grouped_map_twin_matches_histogram(spark, sf_dir):
