@@ -104,3 +104,51 @@ def test_expiry_redelivers_exactly_the_unacked(tmp_path_factory, n, first):
             break
         seen |= {rm.message.message_id for rm in more}
     assert seen == {str(i) for i in range(n)} - acked
+
+
+def test_concurrent_consumers_partition_the_stream(tmp_path_factory):
+    """TRUE multi-threaded contention (the single-JVM analog of 32
+    partition readers pulling one subscription): 8 threads pull and ack
+    concurrently under long leases. The file lock must make leases
+    mutually exclusive — every message delivered to exactly one thread,
+    no double-lease, zero backlog after the drain."""
+    import threading
+
+    tmp_path = tmp_path_factory.mktemp("conc")
+    n = 400
+    b = _mk(tmp_path, n, deadline=600)
+
+    delivered: list[list[bytes]] = [[] for _ in range(8)]
+    errors: list[BaseException] = []
+
+    def worker(slot: int) -> None:
+        # each thread uses its own FileBroker handle (its own fds),
+        # like separate executor processes sharing the broker dir
+        wb = FileBroker(str(tmp_path / "b"))
+        try:
+            while True:
+                got = wb.pull("s", 17)
+                if not got:
+                    if wb.backlog("s") == 0:
+                        return
+                    time.sleep(0.01)
+                    continue
+                delivered[slot].extend(m.message.data for m in got)
+                wb.acknowledge("s", [m.ack_id for m in got])
+        except BaseException as exc:  # surface failures to the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert all(not t.is_alive() for t in threads)
+
+    flat = [d for ds in delivered for d in ds]
+    assert len(flat) == n, f"{len(flat)} deliveries for {n} messages"
+    assert len(set(flat)) == n  # exactly-one delivery per message
+    assert b.backlog("s") == 0
+    # real contention happened: no single thread drained everything
+    assert sum(1 for ds in delivered if ds) >= 2
