@@ -1,0 +1,169 @@
+"""Measured scale-up probe: replicate the sf0.1 fixtures R× with
+key-shifting and run the bench-tagged queries at each scale.
+
+The 100 TB contract (README "Scale design") is argued from plan shapes;
+this tool MEASURES it on one box: if a query's wall time grows ~R× for
+an R× corpus, its plan is linear in the data (shuffle-partitioned
+aggs/joins, bucketed dedup); superlinear growth exposes a pair-space or
+driver-side funnel the plan guards missed.
+
+Replication preserves workload shape instead of creating pathology:
+
+  - fact tables shift every key by ``r * stride`` (stride = a power of
+    ten above the table's max key), so per-key densities — events per
+    user, lineitems per order, docs per source bucket — are unchanged
+    and joins stay referentially intact within each replica;
+  - ``region``/``nation`` stay single-copy (fixed dimensions, as in
+    TPC-H scale-up);
+  - document text gets a per-replica token prefix on EVERY token
+    (``r3x...``), so replicas are textually disjoint: MinHash/SimHash
+    bucket membership stays within-replica, bucket sizes stay constant,
+    and near-dup work grows linearly like a real independent corpus
+    (replica-suffixing only the doc would instead make every doc a
+    near-dup of its replicas — a 100%-duplication corpus, which is the
+    bucket-cap stress test, not the scaling probe);
+  - embeddings get a deterministic per-replica, per-dimension
+    perturbation (direction changes, so replicas are not exact cosine
+    ties), while the probe's query set is pinned to the ORIGINAL
+    ``vec_id < 100`` rows — top-k work scales with the corpus, the
+    query side stays fixed, like a production ANN serving set.
+
+Usage:
+    python tools/scale_probe.py [R ...]        # default: 1 2 5 10
+    SPARK_GRAFT_SF_DIR=...                     # base fixtures (sf0.1)
+
+Prints one JSON line per scale with per-query wall seconds, plus a
+final summary of time ratios vs R=1 (noop-sink evaluation, cold then
+warm, same discipline as bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SHIFT = {
+    # table -> (key columns to shift, stride)
+    "customer": (["c_custkey"], 10_000_000),
+    "supplier": (["s_suppkey"], 1_000_000),
+    "part": (["p_partkey"], 10_000_000),
+    "orders": (["o_orderkey", "o_custkey"], None),  # per-col strides below
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], None),
+    "events": (["event_id", "user_id"], None),
+    "documents": (["doc_id"], 10_000_000),
+    "embeddings": (["vec_id"], 10_000_000),
+}
+COL_STRIDE = {
+    "o_orderkey": 100_000_000,
+    "o_custkey": 10_000_000,
+    "l_orderkey": 100_000_000,
+    "l_partkey": 10_000_000,
+    "l_suppkey": 1_000_000,
+    "event_id": 100_000_000,
+    "user_id": 10_000_000,
+}
+SINGLE_COPY = ("region", "nation")
+
+
+def build_corpus(spark, base: str, out: str, r_total: int) -> None:
+    from pyspark.sql import functions as F
+
+    from spark_sql_pubsub_connector_spark.plans.tables import load_table
+
+    for t in SINGLE_COPY:
+        shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    for t, (cols, stride) in SHIFT.items():
+        df = load_table(spark, base, t)
+        reps = []
+        for r in range(r_total):
+            rep = df
+            for c in cols:
+                s = COL_STRIDE.get(c, stride)
+                rep = rep.withColumn(c, F.col(c) + F.lit(r * s))
+            if t == "documents" and r > 0:
+                # textually-disjoint replicas: prefix every token
+                rep = rep.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"r{r}x$1")
+                ).withColumn("n_chars", F.length("text"))
+            if t == "embeddings" and r > 0:
+                rep = rep.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, i) -> "
+                        f"CAST(x + (({r} * (i + 1)) % 7) * 0.001 AS FLOAT))"
+                    ),
+                )
+            reps.append(rep)
+        u = reps[0]
+        for rep in reps[1:]:
+            u = u.unionByName(rep)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def main() -> None:
+    scales = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from spark_sql_pubsub_connector_spark.plans import all_specs
+    from spark_sql_pubsub_connector_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = {n: s for n, s in sorted(all_specs().items()) if s.bench}
+
+    spark.range(1000).selectExpr("sum(id)").collect()  # codegen warm
+
+    results: dict[int, dict[str, float]] = {}
+    for r_total in scales:
+        out = tempfile.mkdtemp(prefix=f"scale-x{r_total}-")
+        t0 = time.perf_counter()
+        build_corpus(spark, base, out, r_total)
+        build_s = time.perf_counter() - t0
+        timings: dict[str, float] = {}
+        for name, spec in specs.items():
+            runs = []
+            for _ in range(2):  # cold + one warm; report warm
+                t1 = time.perf_counter()
+                spec.build(spark, out).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t1)
+            timings[name] = round(min(runs), 3)
+        results[r_total] = timings
+        print(
+            json.dumps(
+                {
+                    "scale": r_total,
+                    "build_s": round(build_s, 1),
+                    "queries_warm_s": timings,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(out, ignore_errors=True)
+
+    if 1 in results and len(results) > 1:
+        base_t = results[1]
+        ratios = {
+            r: {
+                n: round(results[r][n] / base_t[n], 2)
+                for n in base_t
+                if base_t[n] > 0
+            }
+            for r in results
+            if r != 1
+        }
+        print(json.dumps({"time_ratios_vs_x1": ratios}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
