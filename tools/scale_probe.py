@@ -109,7 +109,9 @@ def build_corpus(spark, base: str, out: str, r_total: int) -> None:
 
 
 def main() -> None:
-    scales = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+    args = sys.argv[1:]
+    run_all = "--all" in args  # every batch query, one run each
+    scales = [int(a) for a in args if a != "--all"] or [1, 2, 5, 10]
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from spark_sql_pubsub_connector_spark.plans import all_specs
@@ -117,7 +119,11 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    specs = {n: s for n, s in sorted(all_specs().items()) if s.bench}
+    specs = {
+        n: s
+        for n, s in sorted(all_specs().items())
+        if (run_all and "streaming" not in s.tags) or (not run_all and s.bench)
+    }
 
     spark.range(1000).selectExpr("sum(id)").collect()  # codegen warm
 
@@ -128,9 +134,10 @@ def main() -> None:
         build_corpus(spark, base, out, r_total)
         build_s = time.perf_counter() - t0
         timings: dict[str, float] = {}
+        n_runs = 1 if run_all else 2  # --all: one run, anomalies are ≫ noise
         for name, spec in specs.items():
             runs = []
-            for _ in range(2):  # cold + one warm; report warm
+            for _ in range(n_runs):
                 t1 = time.perf_counter()
                 spec.build(spark, out).write.format("noop").mode(
                     "overwrite"
