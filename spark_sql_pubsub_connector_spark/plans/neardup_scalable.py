@@ -60,24 +60,22 @@ def embedding_neardup_ivf(
         .select("vec_id", "embedding", "nrm")
     )
     n = e.count()  # one scalar job; at 100 TB this is table metadata
-    k = max(1, -(-n // target_cell))  # ceil
-    stride = max(1, n // k)
+    stride = max(2, n // max(1, -(-n // target_cell)))
 
-    # deterministic centroid sample: every stride-th vector by vec_id
-    # rank (dense, so it tolerates arbitrary id gaps)
-    w = Window.orderBy("vec_id")
-    cents = (
-        e.withColumn("rk", F.row_number().over(w))
-        .filter((F.col("rk") - 1) % stride == 0)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent"),
-            F.col("nrm").alias("cent_nrm"),
-        )
+    # deterministic centroid sample, fully map-side: vectors whose id
+    # hash lands on the stride grid. Expected k = n/stride, so the
+    # expected cell size is the constant ``target_cell`` knob — no
+    # global sort, no single-task window (the anti-pattern this module
+    # exists to remove). At real scale the centroid set would come
+    # from a stored index build (q49/q66); the probe stays
+    # self-contained and deterministic.
+    cents = e.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent"),
+        F.col("nrm").alias("cent_nrm"),
     )
-    # The rank window is a one-pass global sort of (vec_id) only — at
-    # real scale the centroid sample would come from a stored index
-    # build (q49/q66); the probe keeps it self-contained.
 
     # assign: broadcast the k centroids, argmax of cosine against the
     # centroid (the vector's own norm is constant per vec_id, so
