@@ -15,11 +15,23 @@ divisor, not a scalable blocking scheme.
 
 The scalable shape (what SemDeDup-style embedding dedup runs at
 corpus scale) blocks by **IVF cell with the cell count scaling in n**:
-k = ⌈n / TARGET_CELL⌉ deterministic centroids, every vector assigned
-to its nearest centroid (broadcast join + min-distance argmin — the
-dynamic-k generalization of q49's literal-expression assign), pairs
-formed only within a cell. Expected cell size is the constant
-``TARGET_CELL``, so candidate volume is Θ(n · TARGET_CELL): linear.
+k = min(⌈n / TARGET_CELL⌉, k_max) deterministic centroids, every
+vector assigned to its nearest centroid (broadcast join + argmax
+cosine — the dynamic-k generalization of q49's literal-expression
+assign), pairs formed only within a cell. Expected cell size is the
+constant ``TARGET_CELL``, so candidate volume is Θ(n · TARGET_CELL):
+linear.
+
+Cost honesty: the assign stage is a dense n×k dot-product sweep, so
+an UNCAPPED k ∝ n would make assignment itself Θ(n²/TARGET_CELL) —
+quadratic with a better constant, not linear. ``k_max`` caps it:
+below n = k_max·TARGET_CELL vectors everything is linear; beyond,
+cells grow past the knob and the operator stays n·k_max-linear in
+assignment while pair volume grows with cell size. Production IVF
+carries the same knob (a capped codebook, with the n×k sweep as the
+BLAS/GPU-shaped stage); size k_max to the cluster — k_max·TARGET_CELL
+of 4096·256 ≈ 1M vectors per (executor-count-scaled) shard here,
+10⁶-cell codebooks at warehouse scale.
 Like every LSH/IVF blocking (including the registered q22's), recall
 is defined by the blocking: a pair is emitted iff the two vectors
 land in the same cell AND cosine ≥ the threshold. The tests pin
@@ -49,6 +61,7 @@ def embedding_neardup_ivf(
     target_cell: int = TARGET_CELL,
     sim_threshold: int = NEARDUP_SIM_Q,
     nprobe: int = 2,
+    k_max: int = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine ≥ threshold on the 1e9 grid)
     blocked by IVF cell, k scaling with the corpus; each vector probes
@@ -60,7 +73,8 @@ def embedding_neardup_ivf(
         .select("vec_id", "embedding", "nrm")
     )
     n = e.count()  # one scalar job; at 100 TB this is table metadata
-    stride = max(2, n // max(1, -(-n // target_cell)))
+    k = min(max(1, -(-n // target_cell)), k_max)  # capped codebook size
+    stride = max(2, n // k)
 
     # deterministic centroid sample, fully map-side: vectors whose id
     # hash lands on the stride grid. Expected k = n/stride, so the
