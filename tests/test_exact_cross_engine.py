@@ -1,0 +1,87 @@
+"""Cross-engine differential test for the exact-aggregation helpers.
+
+``esum``/``eavg`` (and their ``sql_`` twins) are the foundation of
+every money-typed oracle hash: both engines must snap each term to the
+same BIGINT grid, sum exactly, and perform the identical IEEE-754
+division — bit-equal, no tolerance. This pins that on adversarial
+fixed-decimal data the populous fixtures never stress: negatives,
+values at the 2-decimal grid edge, large magnitudes near the
+documented per-group headroom, high-cardinality repeats that force
+different partial-aggregation orders, and groups of size 1 and 8
+(the ``avg`` boundary the module docstring calls out: n=8 averages
+end in ...25 at 4 decimals — exactly where ``round(sum(x), k)``
+strategies flip).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from spark_sql_pubsub_connector_spark.functions.exact import (
+    eavg,
+    esum,
+    sql_eavg,
+    sql_esum,
+)
+
+
+def _rows() -> list[tuple[int, float]]:
+    rows: list[tuple[int, float]] = []
+    # group 0: the docstring's n=8 boundary — avg ends in ...25
+    rows += [(0, 0.01)] * 2 + [(0, 0.02)] * 6
+    # group 1: sign cancellation at the grid edge
+    rows += [(1, -0.01), (1, 0.01), (1, -0.03), (1, 0.02)]
+    # group 2: large magnitudes (money-typed, far under the 9.2e14
+    # per-group headroom at scale 2)
+    rows += [(2, 12_345_678.99), (2, -9_999_999.99), (2, 987_654_321.07)]
+    # group 3: single row
+    rows += [(3, -0.07)]
+    # group 4: many repeats across partitions — forces partial-agg
+    # order differences between engines/partitions
+    rows += [(4, 0.03 if i % 3 else -0.01) for i in range(1000)]
+    # group 5: values whose *100 float image is near .5 below the grid
+    # (fixed-decimal contract: 2 decimals, so the snap is unambiguous,
+    # but 0.29/0.58/1.005-style doubles are the classic repr traps)
+    rows += [(5, 0.29), (5, 0.58), (5, 8.2), (5, 4.35), (5, -4.35)]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def spark_vals(spark):
+    df = spark.createDataFrame(_rows(), "g INT, v DOUBLE").repartition(8)
+    out = (
+        df.groupBy("g")
+        .agg(esum("v").alias("s"), eavg("v").alias("a"))
+        .collect()
+    )
+    return {r["g"]: (r["s"], r["a"]) for r in out}
+
+
+def test_exact_aggs_bit_equal_across_engines(spark_vals):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", _rows())
+    rows = con.execute(
+        f"SELECT g, {sql_esum('v', alias='s')}, {sql_eavg('v', alias='a')} "
+        "FROM t GROUP BY g"
+    ).fetchall()
+    duck = {g: (s, a) for g, s, a in rows}
+    assert set(duck) == set(spark_vals)
+    for g in duck:
+        # bit-equality, not approx: repr captures every bit of a double
+        assert repr(spark_vals[g]) == repr(duck[g]), (g, spark_vals[g], duck[g])
+
+
+def test_exact_aggs_match_integer_ground_truth(spark_vals):
+    import collections
+
+    sums: dict[int, int] = collections.defaultdict(int)
+    counts: dict[int, int] = collections.defaultdict(int)
+    for g, v in _rows():
+        sums[g] += round(v * 100)
+        counts[g] += 1
+    for g, (s, a) in spark_vals.items():
+        true_s = (sums[g] / 100.0)
+        assert s == true_s, (g, s, true_s)
+        assert a == true_s / counts[g], (g, a)
