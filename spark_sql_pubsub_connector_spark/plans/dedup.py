@@ -32,7 +32,7 @@ the 128-bit values (functions/textops.py docstring).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.textops import (
     hex_prefix_int,
@@ -177,11 +177,11 @@ b AS (
 # prefixes) that lands whole families in one (band, h) bucket — an
 # unbounded collect_list there is an executor OOM and |bucket|² pair
 # blow-up. Contract: exact dedup (q16/q88) runs upstream, so any
-# bucket past the cap is residual pathology; we keep the CAP smallest
-# doc_ids (deterministic) and report the overflow through the
-# "q17_bucket_cap" observed metric instead of dying. CAP=64 is ~6×
-# the largest bucket seen at sf0.1 (11), so test-scale results are
-# byte-identical to the uncapped oracle.
+# bucket past the cap is residual pathology; an oversize bucket is
+# routed out WHOLE (count-based pre-filter, same discipline as q109)
+# and reported through the "q17_bucket_cap" observed metric instead
+# of dying. CAP=64 is ~6× the largest bucket seen at sf0.1 (11), so
+# test-scale results are byte-identical to the uncapped oracle.
 _LSH_BUCKET_CAP = 64
 
 
@@ -205,22 +205,36 @@ def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by bucket, never the O(n²) pair space. 8 hashes / 4 bands of
     2 gives P(candidate) = 1-(1-j²)⁴: ≈1 for true near-dups (j≥0.9),
     ≈4% noise at j=0.1. Bucket lists are small by construction for
-    near-dups, and a row_number cap (``_LSH_BUCKET_CAP``) bounds both
-    the collect_list state and the pair expansion against pathological
-    exact-duplicate buckets; overflow is reported via the
+    near-dups, and the count-based hot-bucket cap bounds both the
+    collect_list state and the pair expansion against pathological
+    exact-duplicate buckets: bucket sizes partial-aggregate map-side,
+    the oversize key set (tiny by contract) broadcasts into a left
+    join, and oversize buckets route out WHOLE — no per-bucket
+    row_number sort, so a pathological million-member bucket never
+    becomes a single-task external sort (the r4 verdict #3 / r5-staged
+    form, proven output-identical at every oracle-checked scale by the
+    retired twin test). Overflow is reported via the
     ``q17_bucket_cap`` observed metric (CollectMetrics node), not
     silently — see the cap comment above."""
     bands = _minhash_bands(spark, sf_dir)
-    w_bucket = Window.partitionBy("band", "h").orderBy("doc_id")
-    ranked = bands.withColumn("rn", F.row_number().over(w_bucket)).observe(
-        "q17_bucket_cap",
-        F.sum((F.col("rn") > _LSH_BUCKET_CAP).cast("long")).alias(
-            "dropped_members"
-        ),
+    hot = (
+        bands.groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > _LSH_BUCKET_CAP)
+    )
+    capped = (
+        bands.join(F.broadcast(hot), ["band", "h"], "left")
+        .observe(
+            "q17_bucket_cap",
+            F.sum(F.col("bucket_n").isNotNull().cast("long")).alias(
+                "dropped_members"
+            ),
+        )
+        .filter(F.col("bucket_n").isNull())
+        .drop("bucket_n")
     )
     buckets = (
-        ranked.filter(F.col("rn") <= _LSH_BUCKET_CAP)
-        .groupBy("band", "h")
+        capped.groupBy("band", "h")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
     )

@@ -2,15 +2,15 @@
 point the real operators at a synthetic ``documents`` table containing
 a pathological exact-duplicate family (100 identical docs — the
 license-header / mirrored-page case exact dedup would normally remove
-upstream) and check the pair expansion is cut to C(cap, 2) instead of
-C(100, 2), while docs in ordinary below-cap buckets are untouched.
+upstream) and check the oversize bucket is routed out WHOLE
+(count-based pre-filter — both operators use the q109-style routing
+since the r6 q17 swap), while docs in ordinary below-cap buckets are
+untouched.
 
 The plan guards in test_plans.py pin that the cap expression exists;
 this pins what it does."""
 
 from __future__ import annotations
-
-import math
 
 import pytest
 
@@ -51,16 +51,18 @@ def hot_sf_dir(spark, tmp_path_factory):
     return d
 
 
-def test_q17_cap_bounds_pathological_pair_expansion(spark, hot_sf_dir):
+def test_q17_cap_routes_out_pathological_bucket_whole(spark, hot_sf_dir):
+    """r6 swap (r4 verdict #3): q17's cap is count-based routing — an
+    oversize (band, h) bucket (exact-dup residue by contract) is
+    removed WHOLE before the collect_list, so the pathological family
+    contributes zero pairs instead of C(cap, 2) — and, crucially,
+    never becomes a single-task per-bucket sort."""
     assert N_DUPES > _LSH_BUCKET_CAP
     pairs = SPECS["q17_dedup_minhash_lsh"].build(spark, hot_sf_dir)
     fam = pairs.filter("doc_a < 1000 AND doc_b < 1000").count()
     # identical docs agree on every band; uncapped this would be
-    # C(100,2)=4950 pairs — the cap keeps the 64 smallest doc_ids
-    assert fam == math.comb(_LSH_BUCKET_CAP, 2), fam
-    # the surviving members are exactly the cap-smallest doc_ids
-    max_id = pairs.filter("doc_b < 1000").agg({"doc_b": "max"}).first()[0]
-    assert max_id == _LSH_BUCKET_CAP - 1
+    # C(100,2)=4950 pairs — count-based routing removes the bucket whole
+    assert fam == 0, fam
 
 
 def test_q17_cap_spares_below_cap_buckets(spark, hot_sf_dir):
@@ -84,17 +86,15 @@ def test_q109_cap_routes_out_oversize_fp0_bucket(spark, hot_sf_dir):
 
 def test_cap_overflow_is_reported_not_silent(spark, hot_sf_dir):
     """The observe() counters must carry the exact number of dropped
-    bucket members: (100 - cap) surviving copies dropped per bucket ×
-    4 LSH bands for q17 (row_number cap keeps the cap-smallest ids);
-    ALL 100 members of the oversize fp0 bucket for q109 (count-based
-    routing removes the bucket whole, counted on both self-join
-    branches)."""
+    bucket members: ALL 100 members of each of the 4 oversize band
+    buckets for q17 (count-based routing removes the bucket whole);
+    ALL 100 members of the oversize fp0 bucket for q109 (same routing,
+    counted on both self-join branches)."""
     from spark_sql_pubsub_connector_spark.plans.registry import observed_metrics
 
-    over = N_DUPES - _LSH_BUCKET_CAP
     q17 = SPECS["q17_dedup_minhash_lsh"].build(spark, hot_sf_dir)
     q17.collect()
-    assert observed_metrics(q17)["q17_bucket_cap"]["dropped_members"] == 4 * over
+    assert observed_metrics(q17)["q17_bucket_cap"]["dropped_members"] == 4 * N_DUPES
 
     q109 = SPECS["q109_containment_dedup"].build(spark, hot_sf_dir)
     q109.collect()

@@ -65,7 +65,7 @@ BUDGETS = {
     "q14_window_tumbling": (1, 0),
     "q15_sessionize": (1, 0),
     "q16_dedup_exact": (1, 0),
-    "q17_dedup_minhash_lsh": (2, 0),
+    "q17_dedup_minhash_lsh": (3, 0),
     "q18_dedup_simhash": (1, 0),
     "q19_dedup_ngram_jaccard": (2, 0),
     "q20_knn_bruteforce": (1, 0),

@@ -386,12 +386,15 @@ def test_robust_stats_is_histogram_not_grouped_map(spark, sf_dir):
 
 
 def test_lsh_bucket_cap_present(spark, sf_dir):
-    """q17: the per-(band, h) bucket membership cap must be in the
-    plan — a row_number window below the collect_list bounds both the
-    array state and the pair expansion against pathological exact-dup
-    buckets, and the overflow metric is observed, not silent."""
+    """q17: the hot-bucket cap must be the count-based routing form
+    (r4 verdict #3, applied r6) — bucket sizes partial-aggregate, the
+    tiny oversize key set broadcasts into a left join, and NO
+    per-bucket row_number sort appears (the old form made a
+    pathological bucket a single-task external sort); the overflow
+    metric is observed, not silent."""
     plan = plan_of(spark, sf_dir, "q17_dedup_minhash_lsh", mode="simple")
-    assert "row_number" in plan, plan
+    assert "row_number" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "CollectMetrics" in plan and "q17_bucket_cap" in plan, plan
 
 
