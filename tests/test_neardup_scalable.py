@@ -1,26 +1,34 @@
-"""Proofs for the staged q22 scale fix (``plans/neardup_scalable.py``).
-
-The registered q22 is frozen (VERDICT r4 #1); the IVF-blocked twin is
-its staged post-freeze replacement after the measured scale probe
-caught q22's fixed 16-bucket blocking growing 100× in wall time for
-25× data. These tests pin the twin's contract:
+"""Proofs for the registered q22 IVF blocking
+(``plans/similarity.embedding_neardup_ivf`` — registered r6 after the
+measured r5 scale probe caught the old fixed 16-bucket blocking
+growing 100× in wall time for 25× data). These tests pin the
+contract:
 
   1. precision 1.0 — every emitted pair is a true brute-force pair
      (same cosine values on the exact 1e9 grid);
   2. recall measured against brute force on the fixture and floored;
   3. linearity mechanism — the cell count scales with n, expected
-     cell size is the constant ``TARGET_CELL`` knob;
-  4. determinism — two runs emit identical pairs.
+     cell size is the constant target-cell knob;
+  4. determinism — two runs emit identical pairs;
+  5. the centroid set is never empty (min-vec_id fallback), so a
+     degenerate corpus degrades gracefully instead of silently
+     emitting zero pairs.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from spark_sql_pubsub_connector_spark.plans.neardup_scalable import (
+from spark_sql_pubsub_connector_spark.functions.textops import (
+    hex_prefix_int,
+    md5_str,
+)
+from spark_sql_pubsub_connector_spark.plans.similarity import (
     brute_force_neardup,
     embedding_neardup_ivf,
 )
+
+from .conftest import SF_DIR
 
 
 def _pairs(df) -> set[tuple]:
@@ -34,46 +42,62 @@ def test_precision_is_one_and_recall_floored(spark, sf_dir):
     assert truth, "fixture must contain near-dup pairs for this test"
     assert got <= truth  # precision 1.0: blocking never invents a pair
     recall = len(got) / len(truth)
-    # blocking recall < 1 by design (the registered q22's 16-bucket
-    # blocking measures 0.11 on this fixture; the twin at the default
-    # nprobe=2 measures 0.85 with the hash-sampled centroids). The
-    # floor pins against silent collapse.
+    # blocking recall < 1 by design (the retired 16-bucket blocking
+    # measured 0.11 on this fixture; the IVF form at the default
+    # nprobe=2 measures ~0.85). The floor pins against silent collapse.
     assert recall >= 0.60, f"recall {recall:.2f} below floor ({len(got)}/{len(truth)})"
 
 
 def test_cells_scale_with_corpus_and_stay_bounded(spark, sf_dir):
-    import pyspark.sql.functions as F
-
     from spark_sql_pubsub_connector_spark.plans.tables import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
     target = 64
     stride = max(2, n // max(1, -(-n // target)))
-    k = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0).count()
+    hs = hex_prefix_int(md5_str(F.col("vec_id").cast("string")), 15)
+    k = e.filter(hs % F.lit(stride) == 0).count()
     # the map-side hash sample (no global sort — the anti-pattern the
-    # twin exists to remove) lands within 2x of the expected n/stride,
-    # so expected cell size tracks the knob as the corpus grows
+    # IVF form exists to remove) lands within 2x of the expected
+    # n/stride, so expected cell size tracks the knob as the corpus
+    # grows
     assert n / (2 * stride) <= k <= 2 * n / stride, (n, stride, k)
     assert k >= 2, "fixture too small for the blocking to engage"
 
 
-def test_twin_is_deterministic(spark, sf_dir):
+def test_registered_q22_is_deterministic(spark, sf_dir):
     a = _pairs(embedding_neardup_ivf(spark, sf_dir, target_cell=64))
     b = _pairs(embedding_neardup_ivf(spark, sf_dir, target_cell=64))
     assert a == b and len(a) > 0
 
 
-def test_twin_handles_degenerate_embeddings(spark, tmp_path):
-    """Zero-norm and truncated vectors must not crash the twin (the
-    round-5 helper guards apply to it too)."""
-    base = "/root/testdata/sf0.001"
+def test_centroid_set_never_empty(spark, tmp_path):
+    """An unlucky hash sample must not silently zero the operator: with
+    a 3-row corpus (stride 2, hash sample likely tiny or empty) the
+    min-vec_id fallback guarantees ≥1 centroid, so every vector is
+    still assigned to a cell and true near-dup pairs survive."""
+    out = str(tmp_path / "tiny")
+    src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    src.filter(F.col("vec_id").isin(0, 1, 2)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
+    got = embedding_neardup_ivf(spark, out, target_cell=2)
+    truth = brute_force_neardup(spark, out)
+    # 3 vectors in ≤2 probed cells of ≥1 centroid: the operator runs
+    # and never invents pairs; with a single fallback centroid all
+    # vectors share a cell, so recall is exactly 1.0 there
+    assert _pairs(got) <= _pairs(truth)
+
+
+def test_q22_handles_degenerate_embeddings(spark, tmp_path):
+    """Zero-norm and truncated vectors must not crash the registered
+    q22 (the round-5 vecops guards apply to the IVF form too)."""
     out = str(tmp_path / "emb")
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
     ).split():
-        df = spark.read.parquet(f"{base}/{t}.parquet")
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         if t == "embeddings":
             df = df.withColumn(
                 "embedding",

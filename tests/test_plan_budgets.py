@@ -70,7 +70,7 @@ BUDGETS = {
     "q19_dedup_ngram_jaccard": (2, 0),
     "q20_knn_bruteforce": (1, 0),
     "q21_ann_lsh": (1, 0),
-    "q22_embedding_neardup": (0, 0),
+    "q22_embedding_neardup": (5, 0),
     "q23_text_stats": (1, 0),
     "q24_langid": (3, 0),
     "q25_token_counts": (1, 0),
@@ -151,6 +151,7 @@ BNLJ_OK = {
     "q103_mixture_rebalance",
     "q111_ivf_recall",
     "q20_knn_bruteforce",
+    "q22_embedding_neardup",
     "q73_hll_distinct",
     "q74_bloom_semijoin",
     "q79_source_mixture",

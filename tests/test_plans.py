@@ -76,12 +76,16 @@ def test_no_python_udfs_in_core_corpus(spark, sf_dir):
         assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
 
 
-def test_lsh_join_is_hash_join_on_bucket(spark, sf_dir):
+def test_neardup_ivf_blocking_plan(spark, sf_dir):
+    """q22 (IVF-blocked, registered r6): centroid assignment is a
+    BROADCAST of the ≤k_max codebook (the BNLJ here is constant
+    fan-out k, never data×data), and the pair join is an equi-join
+    keyed on the cell id — no CartesianProduct anywhere."""
     plan = plan_of(spark, sf_dir, "q22_embedding_neardup", mode="simple")
-    # blocked all-pairs must join on the bucket key, not nested-loop
-    assert "Join" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # codebook broadcast assign
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # within-cell pairing is an equi-join on the cell key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
 @pytest.mark.parametrize("name", ["q20_knn_bruteforce", "q21_ann_lsh"])

@@ -30,11 +30,23 @@ Replication preserves workload shape instead of creating pathology:
 
 Usage:
     python tools/scale_probe.py [R ...]        # default: 1 2 5 10
+    python tools/scale_probe.py --all 1 25 --out SCALE_r06.json
+    python tools/scale_probe.py --only q22_embedding_neardup 1 25
+    python tools/scale_probe.py --compare SCALE_r05.json SCALE_r06.json
     SPARK_GRAFT_SF_DIR=...                     # base fixtures (sf0.1)
 
 Prints one JSON line per scale with per-query wall seconds, plus a
 final summary of time ratios vs R=1 (noop-sink evaluation, cold then
 warm, same discipline as bench.py).
+
+``--out FILE`` additionally writes the whole run (per-scale timings +
+ratios) as one JSON object — the per-round artifact. ``--compare A B``
+is the round-over-round regression gate (VERDICT r5 #4): it diffs the
+``time_ratios_vs_x1`` blocks of two artifacts and exits 1 if any
+query's ratio grew by more than GATE_GROWTH× — the q22-class
+superlinear bug caught the round it is introduced, not three rounds
+later. Queries present in only one artifact are reported, not failed
+(registrations change between rounds).
 """
 
 from __future__ import annotations
@@ -45,6 +57,8 @@ import shutil
 import sys
 import tempfile
 import time
+
+GATE_GROWTH = 2.0  # --compare fails when ratio_new > GATE_GROWTH * ratio_old
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
@@ -108,9 +122,53 @@ def build_corpus(spark, base: str, out: str, r_total: int) -> None:
         u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
+def compare(prev_path: str, cur_path: str) -> int:
+    """Round-over-round gate: any query whose time ratio vs 1× grew
+    more than ``GATE_GROWTH``× between artifacts fails the run."""
+    def load_ratios(path: str) -> dict:
+        with open(path) as f:
+            d = json.load(f)
+        if "time_ratios_vs_x1" in d:  # this tool's --out shape
+            return d["time_ratios_vs_x1"]
+        # SCALE_r05.json's hand-rolled shape: one flat 25x ratio dict
+        return {"25": d["time_ratios_vs_1x"]}
+
+    prev, cur = load_ratios(prev_path), load_ratios(cur_path)
+    failures, report = [], {}
+    for scale, cur_ratios in cur.items():
+        prev_ratios = prev.get(scale, {})
+        for name, r_new in cur_ratios.items():
+            r_old = prev_ratios.get(name)
+            if r_old is None:
+                report[f"{scale}x:{name}"] = {"new_only": r_new}
+                continue
+            growth = round(r_new / r_old, 2) if r_old > 0 else None
+            if growth is not None and growth > GATE_GROWTH:
+                failures.append(
+                    {"scale": scale, "query": name, "ratio_prev": r_old,
+                     "ratio_new": r_new, "growth": growth}
+                )
+    print(json.dumps({"gate_growth": GATE_GROWTH, "failures": failures,
+                      "coverage_changes": report}), flush=True)
+    return 1 if failures else 0
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if "--compare" in args:
+        i = args.index("--compare")
+        sys.exit(compare(args[i + 1], args[i + 2]))
     run_all = "--all" in args  # every batch query, one run each
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        args = args[:i] + args[i + 2:]
+    out_file = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_file = args[i + 1]
+        args = args[:i] + args[i + 2:]
     scales = [int(a) for a in args if a != "--all"] or [1, 2, 5, 10]
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -122,7 +180,12 @@ def main() -> None:
     specs = {
         n: s
         for n, s in sorted(all_specs().items())
-        if (run_all and "streaming" not in s.tags) or (not run_all and s.bench)
+        if (
+            (n in only)
+            if only
+            else (run_all and "streaming" not in s.tags)
+            or (not run_all and s.bench)
+        )
     }
 
     spark.range(1000).selectExpr("sum(id)").collect()  # codegen warm
@@ -157,6 +220,7 @@ def main() -> None:
         )
         shutil.rmtree(out, ignore_errors=True)
 
+    ratios = {}
     if 1 in results and len(results) > 1:
         base_t = results[1]
         ratios = {
@@ -169,6 +233,19 @@ def main() -> None:
             if r != 1
         }
         print(json.dumps({"time_ratios_vs_x1": ratios}), flush=True)
+    if out_file:
+        with open(out_file, "w") as f:
+            json.dump(
+                {
+                    "base_dir": base,
+                    "scales": scales,
+                    "queries_warm_s": {str(r): t for r, t in results.items()},
+                    "time_ratios_vs_x1": {str(r): v for r, v in ratios.items()},
+                },
+                f,
+                indent=1,
+            )
+        print(json.dumps({"wrote": out_file}), flush=True)
     spark.stop()
 
 
