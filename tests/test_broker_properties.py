@@ -129,6 +129,13 @@ def test_concurrent_consumers_partition_the_stream(tmp_path_factory):
             while True:
                 got = wb.pull("s", 17)
                 if not got:
+                    # exit gate is NOT racy: backlog counts
+                    # leased-but-unacked messages too (the metric
+                    # semantics pinned by test_broker.py), and every
+                    # worker acks each pulled batch before its next
+                    # pull — so backlog 0 implies every delivery was
+                    # already acknowledged, never that another thread
+                    # still holds a lease that could expire later
                     if wb.backlog("s") == 0:
                         return
                     time.sleep(0.01)
@@ -150,5 +157,6 @@ def test_concurrent_consumers_partition_the_stream(tmp_path_factory):
     assert len(flat) == n, f"{len(flat)} deliveries for {n} messages"
     assert len(set(flat)) == n  # exactly-one delivery per message
     assert b.backlog("s") == 0
+    assert b.pull("s", 1) == []  # direct re-drain: nothing left to lease
     # real contention happened: no single thread drained everything
     assert sum(1 for ds in delivered if ds) >= 2

@@ -50,8 +50,10 @@ def progress(spark, sf_dir):
 
         def onQueryProgress(self, event):
             p = event.progress
-            if p.name:
-                captured.setdefault(p.name, []).append(p)
+            # unnamed runs (q32's pubsub-sink write has no queryName)
+            # are captured under their run id so the stateless check
+            # below sees them too
+            captured.setdefault(p.name or f"id:{p.runId}", []).append(p)
 
         def onQueryIdle(self, event):
             pass
@@ -90,6 +92,19 @@ def test_state_operator_shape(prefix, progress):
     assert runs, f"no progress captured for {qname} ({prefix}*)"
     ops = set().union(*(_ops(progress[n]) for n in runs))
     assert ops and ops <= allowed, (qname, ops)
+
+
+def test_stateless_streaming_queries_stay_stateless(progress):
+    """The docstring's 'stateless queries must stay stateless' clause,
+    enforced: any captured run NOT matching a declared stateful prefix
+    (e.g. q32's projection/write pipeline) must report an empty
+    stateOperators set — a stateless query silently gaining a state
+    store is exactly the regression this module exists to catch."""
+    prefixes = tuple(EXPECTED)
+    strays = {n: _ops(progress[n]) for n in progress if not n.startswith(prefixes)}
+    assert strays, "expected at least one stateless streaming run captured"
+    for n, ops in strays.items():
+        assert not ops, (n, ops)
 
 
 def test_stateful_queries_report_bounded_sharded_state(progress):
