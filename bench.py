@@ -170,6 +170,29 @@ def main() -> None:
                 for n in warm_median
                 if n in pw and pw[n] > 0
             }
+            # Calibration-normalized deltas (VERDICT r5 #5): the probes
+            # time identical work every round, so their drift IS the
+            # host-speed factor. Dividing this round's times by the
+            # mean probe drift before diffing separates machine drift
+            # (uniform, tracks the probes) from engine regressions
+            # (query-specific, survives normalization).
+            pc = parsed.get("calibration", {})
+            if pc.get("cpu_probe_s") and pc.get("shuffle_probe_s"):
+                drift = (
+                    calibration["cpu_probe_s"] / pc["cpu_probe_s"]
+                    + calibration["shuffle_probe_s"] / pc["shuffle_probe_s"]
+                ) / 2.0
+                result["calibration_drift_factor"] = round(drift, 3)
+                result["deltas_vs_prev_normalized"] = {
+                    n: round(100.0 * (timings[n] / drift - pq[n]) / pq[n], 1)
+                    for n in timings
+                    if n in pq and pq[n] > 0
+                }
+                result["deltas_warm_vs_prev_normalized"] = {
+                    n: round(100.0 * (warm_median[n] / drift - pw[n]) / pw[n], 1)
+                    for n in warm_median
+                    if n in pw and pw[n] > 0
+                }
             result["prev_round_file"] = os.path.basename(prev)
         except Exception:
             pass
