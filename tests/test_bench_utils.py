@@ -47,3 +47,22 @@ def test_unparseable_verdict_header_falls_back(tmp_path):
     repo = _mk(tmp_path, bench_rounds=(1, 2))
     (tmp_path / "VERDICT.md").write_text("no number here\n")
     assert latest_prior_bench(repo).endswith("BENCH_r02.json")
+
+
+def test_calibration_drift_normalization_math():
+    """The normalized delta must divide this round's time by the mean
+    probe drift before diffing (r6): a query that moved exactly with
+    the machine normalizes to ~0%, one that moved against it keeps a
+    real delta."""
+    calibration = {"cpu_probe_s": 0.6, "shuffle_probe_s": 0.8}
+    prev_cal = {"cpu_probe_s": 0.3, "shuffle_probe_s": 0.4}  # machine 2x slower now
+    drift = (
+        calibration["cpu_probe_s"] / prev_cal["cpu_probe_s"]
+        + calibration["shuffle_probe_s"] / prev_cal["shuffle_probe_s"]
+    ) / 2.0
+    assert drift == 2.0
+    prev_q, now_uniform, now_regressed = 1.0, 2.0, 4.0
+    norm_uniform = 100.0 * (now_uniform / drift - prev_q) / prev_q
+    norm_regressed = 100.0 * (now_regressed / drift - prev_q) / prev_q
+    assert norm_uniform == 0.0  # pure machine drift reads as flat
+    assert norm_regressed == 100.0  # real regression survives normalization
