@@ -216,7 +216,15 @@ def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     retired twin test). Overflow is reported via the
     ``q17_bucket_cap`` observed metric (CollectMetrics node), not
     silently — see the cap comment above."""
-    bands = _minhash_bands(spark, sf_dir)
+    # Both the hot-bucket count and the pair path read the bands frame,
+    # and the minhash subtree (md5 over every shingle) IS q17's cost —
+    # without persist the count side re-executes it whole (+68 %
+    # warm-bench, measured). Persisting shares ONE computation, the
+    # same discipline q54 applies to its edge list; bands is (doc_id,
+    # band, h) — a few percent of corpus bytes, MEMORY_AND_DISK, and
+    # Spark's cache manager dedupes the entry across repeated builds
+    # (q54/q68/q95/q101 all re-enter through this builder).
+    bands = _minhash_bands(spark, sf_dir).persist()
     hot = (
         bands.groupBy("band", "h")
         .agg(F.count(F.lit(1)).alias("bucket_n"))

@@ -14,9 +14,11 @@ properties, not statistics artifacts. Iterative operators (connected
 components q54, PageRank q69, k-means q66) legitimately repeat their
 per-round exchanges in one explain string, hence the
 large-but-frozen ceilings. The r6 q17 swap (count-based hot-bucket
-routing) adds one count-aggregate exchange to q17's subtree, which
-every downstream consumer of its pairs (q19/q54/q68/q69/q77/q91/q101)
-re-reads — their ceilings were re-measured and re-frozen then.
+routing over a persisted bands frame) adds one count-aggregate
+exchange to q17's subtree and makes its InMemoryRelation block print
+inner-plan exchanges in every consumer's explain text
+(q19/q54/q68/q69/q77/q91/q101) — their ceilings were re-measured and
+re-frozen then (plan-TEXT counts; the cached subtree executes once).
 
 Streaming-tagged specs are excluded: their build() executes a bounded
 drain and returns a memory-table result, so the interesting plan is
@@ -99,7 +101,7 @@ BUDGETS = {
     "q51_term_scrub": (0, 0),
     "q52_quality_filter": (0, 0),
     "q53_repetition_ngrams": (2, 0),
-    "q54_dedup_clusters": (368, 0),
+    "q54_dedup_clusters": (404, 0),
     "q55_asof_join": (1, 0),
     "q56_boilerplate_coverage": (2, 0),
     "q57_int8_quantize": (0, 0),
@@ -112,8 +114,8 @@ BUDGETS = {
     "q65_skew_join_salted": (3, 0),
     "q66_kmeans_update": (1, 0),
     "q67_bigram_lm": (3, 0),
-    "q68_dedup_savings": (369, 0),
-    "q69_pagerank_centrality": (63, 0),
+    "q68_dedup_savings": (405, 0),
+    "q69_pagerank_centrality": (69, 0),
     "q70_session_funnel": (1, 0),
     "q71_retention_cohorts": (3, 0),
     "q72_cms_token_freq": (3, 0),
@@ -121,7 +123,7 @@ BUDGETS = {
     "q74_bloom_semijoin": (14, 0),
     "q75_gapfill_ffill": (2, 0),
     "q76_random_projection": (0, 0),
-    "q77_triangle_clustering": (80, 0),
+    "q77_triangle_clustering": (87, 0),
     "q78_lm_doc_score": (4, 0),
     "q79_source_mixture": (3, 0),
     "q80_bpe_merge_candidates": (2, 0),
