@@ -45,11 +45,26 @@ def dot_q_expr(a: str, b: str) -> str:
 def sql_dot_q(a: str, b: str, dim: int = DIM) -> str:
     """DuckDB twin of :func:`dot_q_expr` (1-based list indexing).
     ``dim < DIM`` reduces over the array prefix only — the DuckDB twin
-    of a Spark-side ``slice(arr, 1, dim)`` dot product."""
+    of a Spark-side ``slice(arr, 1, dim)`` dot product.
+
+    Mirrors Spark's ``zip_with`` fold EXACTLY on degenerate arrays
+    (r6; found by the q22 degenerate-corpus differential): the term
+    list spans max of the two (dim-clamped) lengths, and ANY NULL term
+    nulls the whole dot — so a truncated×full pair is NULL on both
+    engines instead of DuckDB's old ``list_sum`` silently skipping the
+    missing elements and producing a partial dot that let corrupt
+    vectors pair on one engine only. Equal-length arrays — including
+    both-empty (dot 0) and equal-short — produce the identical exact
+    sum as before, so every oracle value on well-formed corpora is
+    byte-unchanged."""
+    terms = (
+        f"list_transform(range(1, greatest(least(len({a}), {dim}), "
+        f"least(len({b}), {dim})) + 1), i -> "
+        f"CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {PROD_SCALE} + 0.5) AS BIGINT))"
+    )
     return (
-        f"CAST(list_sum(list_transform(range(1, {dim + 1}), i -> "
-        f"CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {PROD_SCALE} + 0.5) AS BIGINT)"
-        f")) AS BIGINT)"
+        f"(CASE WHEN len(list_filter({terms}, x -> x IS NULL)) > 0 THEN NULL "
+        f"ELSE CAST(COALESCE(list_sum({terms}), 0) AS BIGINT) END)"
     )
 
 

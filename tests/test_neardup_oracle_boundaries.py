@@ -51,9 +51,7 @@ def corpora(spark, tmp_path_factory):
     return dirs
 
 
-@pytest.mark.parametrize("n", SIZES)
-def test_q22_oracle_matches_at_derivation_boundary(spark, corpora, n):
-    d = corpora[n]
+def _compare_engines(spark, d: str) -> tuple[list, list]:
     sdf = all_specs()["q22_embedding_neardup"].build(spark, d)
     scols = sorted(sdf.columns)
     srows = sorted(
@@ -71,8 +69,42 @@ def test_q22_oracle_matches_at_derivation_boundary(spark, corpora, n):
     drows = sorted(
         [tuple(row[i] for i in order) for row in cur.fetchall()], key=repr
     )
+    return srows, drows
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_q22_oracle_matches_at_derivation_boundary(spark, corpora, n):
+    srows, drows = _compare_engines(spark, corpora[n])
     assert srows == drows, f"n={n}: {len(srows)} spark vs {len(drows)} duckdb rows"
     if n >= 256:
         # past the knob the blocking must actually find pairs on the
         # fixture — guards against a silently-empty centroid set
         assert srows, f"n={n}: no pairs emitted"
+
+
+def test_q22_oracle_matches_on_degenerate_corpus(spark, tmp_path):
+    """Cross-ENGINE equality on a corpus with empty and truncated
+    embeddings — the degenerate class the r5 vecops guards exist for.
+    The plain degenerate test only proves Spark survives; this proves
+    both engines agree on what such rows contribute: a degenerate
+    vector can be hash-sampled as a centroid, can be the min-vec_id
+    fallback, NULL-sorts last in the assignment argmax, and its pairs
+    are excluded by the NULL-guarded cosine on BOTH engines."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "degen")
+    (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 7 == 0, F.array().cast("array<float>"))
+            .when(F.col("vec_id") % 7 == 1, F.slice("embedding", 1, 3))
+            .otherwise(F.col("embedding")),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    srows, drows = _compare_engines(spark, out)
+    assert srows == drows, f"{len(srows)} spark vs {len(drows)} duckdb rows"
+    assert srows, "healthy rows must still pair despite degenerate neighbors"

@@ -13,11 +13,14 @@ Contract pinned:
     tiny-magnitude vector that quantizes to all zeros, where the
     round-5 zero-norm guard must return NULL cosine on both sides;
   - short/empty arrays (out of the fixture contract, in every real
-    corpus): the LSH bucket still agrees (NULL term → NULL sum →
-    bit 0 on both engines); the raw dot diverges by documented
-    construction (Spark's ``zip_with`` truncates, DuckDB's fixed
-    ``range(1, DIM+1)`` reduction yields NULL) — and neither engine
-    raises, which is the robustness property the guards exist for.
+    corpus): since r6 the dot ALSO agrees exactly — ``sql_dot_q``
+    mirrors Spark's ``zip_with`` fold (mismatched lengths → NULL,
+    equal lengths including both-empty → the exact sum), closing the
+    divergence the r5 version of this file documented as acceptable
+    (the q22 degenerate-corpus differential proved it leaked into
+    query-level results: a truncated vector paired on one engine
+    only). The LSH bucket agrees as before, and neither engine
+    raises.
 """
 
 from __future__ import annotations
@@ -130,6 +133,19 @@ def test_full_length_vectors_agree_exactly(engines):
         assert _ints(s[k]) == _ints(d[k]), (k, s[k], d[k])
         checked += 1
     assert checked == 11 * 12 // 2
+
+
+def test_every_pair_agrees_including_short_arrays(engines):
+    """r6: the whole matrix — short×short, short×full, empty×empty —
+    must agree exactly across engines now that sql_dot_q mirrors the
+    zip_with fold. Spot-pin the semantics: mismatched lengths → NULL
+    dot; equal-length-short → exact sum; empty×empty → 0."""
+    s, d = engines
+    for k in sorted(s):
+        assert _ints(s[k]) == _ints(d[k]), (k, s[k], d[k])
+    assert s[(9, 9)][0] == 0  # empty × empty: dot 0, both engines
+    assert s[(9, 10)][0] is None  # empty × truncated: mismatched → NULL
+    assert s[(10, 10)][0] is not None  # truncated × itself: exact sum
 
 
 def test_zero_norm_cosine_is_null_on_both_engines(engines):
