@@ -8,12 +8,23 @@ advice): ``queries`` records the COLD first run — comparable with
 BENCH_r01/r02, which were single cold runs — and ``queries_warm_median``
 the median of the warm repeats, which separates codegen-compilation cost
 from steady-state execution. ``deltas_vs_prev`` / ``deltas_warm_vs_prev``
-report percentage change against the highest BENCH_r{N}.json strictly
-below the round being recorded (``prev_round_file`` names it).
+report percentage change against the highest *parseable* BENCH_r{N}.json
+strictly below the round being recorded (``prev_round_file`` names it).
 ``calibration`` times two fixed probes (CPU-bound, shuffle-bound) so
 cross-round comparisons can separate host-speed drift — this VM swings
 >2x with unobservable host load — from engine regressions: divide a
 query delta by the calibration delta before believing it.
+
+Output contract (r6 postmortem): the driver keeps only the LAST
+~2,000 chars of stdout and parses the final JSON line it finds there.
+Round 6's single ever-growing line outgrew that window and the round's
+bench signal was lost (``BENCH_r06.json`` ``"parsed": null``). The
+final stdout line is therefore a COMPACT headline — metric, total,
+cold + warm-median per query, connector rates — hard-budgeted to
+``HEADLINE_BUDGET`` chars (unit-tested in tests/test_bench_utils.py
+against the full bench query set), while the complete diagnostics
+(per-run arrays, deltas, calibration, normalization) go to an EARLIER
+stdout line and to ``BENCH_DIAG.json`` next to this script.
 
 Profile notes (round 2, sf0.1): cold-run times are dominated by
 whole-stage-codegen compilation, not execution — q01 runs 1.7 s cold /
@@ -37,6 +48,10 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+HEADLINE_BUDGET = 1500  # driver tail capture is ~2,000 chars; leave slack
+                        # for progress-bar \r junk sharing the window
+
+
 def latest_prior_bench(repo_dir: str) -> str | None:
     """Path of the BENCH_r{N}.json to diff against: the highest round
     STRICTLY BELOW the round being recorded (ADVICE r4: once the driver
@@ -44,13 +59,27 @@ def latest_prior_bench(repo_dir: str) -> str | None:
     would otherwise diff against itself and mask regressions). The
     round being recorded is VERDICT round + 1; with no VERDICT yet
     (round 1) every existing file predates the current run by
-    construction."""
+    construction.
+
+    Rounds whose artifact failed the driver's parse (``"parsed": null``
+    — r6's oversized final line) carry no query timings to diff
+    against, so the lookup walks DOWN to the newest round that actually
+    parsed rather than silently dropping every delta field."""
     import glob
     import re
 
     def round_no(p: str) -> int:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
+
+    def parsable(p: str) -> bool:
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        parsed = d.get("parsed", d)
+        return isinstance(parsed, dict) and bool(parsed.get("queries"))
 
     cur_round = None
     try:
@@ -68,7 +97,52 @@ def latest_prior_bench(repo_dir: str) -> str | None:
         ),
         key=round_no,
     )
-    return prevs[-1] if prevs else None
+    for p in reversed(prevs):
+        if parsable(p):
+            return p
+    return None
+
+
+def headline_line(result: dict) -> str:
+    """The one JSON line the driver parses, compacted to fit its tail
+    window: headline metric + per-query cold/warm-median + connector
+    rates, ``separators=(",", ":")``. If a future query-set growth ever
+    pushes past ``HEADLINE_BUDGET``, optional sections shed in a fixed
+    order (warm medians first, then the connector block) rather than
+    silently breaking the driver's parse again — coverage of the
+    budget with the FULL current bench set is pinned by
+    tests/test_bench_utils.py."""
+    compact = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "sf", "n_runs")
+        if k in result
+    }
+    compact["queries"] = result.get("queries", {})
+    if "queries_warm_median" in result:
+        compact["queries_warm_median"] = result["queries_warm_median"]
+    conn = result.get("connector")
+    if isinstance(conn, dict):
+        compact["connector"] = {
+            k: conn[k]
+            for k in (
+                "n_msgs",
+                "source_msgs_per_s",
+                "roundtrip_msgs_per_s",
+                "source_spread_pct",
+                "roundtrip_spread_pct",
+            )
+            if k in conn
+        }
+    elif "connector_error" in result:
+        compact["connector_error"] = result["connector_error"]
+    compact["diagnostics_file"] = "BENCH_DIAG.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    for shed in ("queries_warm_median", "connector"):
+        if len(line) <= HEADLINE_BUDGET:
+            break
+        compact.pop(shed, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -128,6 +202,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm_median: dict[str, float] = {}
     warm_min: dict[str, float] = {}
+    warm_spread: dict[str, float] = {}
     for name, spec in specs.items():
         runs = [run_once(spec) for _ in range(n_runs)]
         timings[name] = round(runs[0], 4)  # cold, comparable with r1/r2
@@ -135,6 +210,24 @@ def main() -> None:
             warm_median[name] = round(statistics.median(runs[1:]), 4)
             # min-of-warm: the least noise-exposed capacity estimate
             warm_min[name] = round(min(runs[1:]), 4)
+            # per-query noise band (r6 verdict #2/B): a normalized
+            # warm delta SMALLER than the query's own observed
+            # run-to-run spread is noise, not a regression — q20's
+            # "+30%" r6 reading fell inside its ±30%+ band (controlled
+            # A/B, r7). Diagnostics-only field.
+            warm_spread[name] = round(
+                100.0 * (max(runs[1:]) - min(runs[1:])) / min(runs[1:]), 1
+            )
+        # Measurement independence (r6 verdict #2): q17 persists its
+        # bands frame and the entry outlives the query in the shared
+        # session. A controlled A/B at sf0.1 (r7) measured the
+        # residency as harmless to q20 (warm median 0.554 s with bands
+        # resident vs 0.577/0.505 s without — inside noise), but
+        # clearing between queries makes every measurement independent
+        # BY CONSTRUCTION and stops per-corpus cache accumulation
+        # (ADVICE r6). Warm repeats above still share the cache — the
+        # within-query benefit persist exists for.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -148,6 +241,7 @@ def main() -> None:
     if warm_median:
         result["queries_warm_median"] = warm_median
         result["queries_warm_min"] = warm_min
+        result["queries_warm_spread_pct"] = warm_spread
     result["calibration"] = calibration
     prev = latest_prior_bench(REPO)
     if prev:
@@ -200,7 +294,16 @@ def main() -> None:
         result["connector"] = connector_throughput(spark, sf_dir)
     except Exception as e:  # never let the connector probe break the line
         result["connector_error"] = f"{type(e).__name__}: {e}"
-    print(json.dumps(result))
+    # Full diagnostics: a local file for the round notes plus one
+    # stdout line; the driver-facing COMPACT headline is the LAST line
+    # (see module docstring — the r6 signal loss).
+    try:
+        with open(os.path.join(REPO, "BENCH_DIAG.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({"diagnostics": result}))
+    print(headline_line(result), flush=True)
     spark.stop()
 
 

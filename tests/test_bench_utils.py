@@ -1,21 +1,28 @@
 """Driver-independent bench.py logic: the previous-round selection
 that ``deltas_vs_prev`` compares against (ADVICE r4 — must never diff
-a re-run against the round's own just-recorded file)."""
+a re-run against the round's own just-recorded file; r6 — must skip
+rounds whose artifact failed the driver's parse) and the final-line
+size budget whose overrun silenced the r6 bench signal."""
 
 from __future__ import annotations
 
 import json
 
-from bench import latest_prior_bench
+from bench import HEADLINE_BUDGET, headline_line, latest_prior_bench
 
 
-def _mk(tmp_path, *, verdict_round=None, bench_rounds=()):
+def _mk(tmp_path, *, verdict_round=None, bench_rounds=(), unparsed=()):
     if verdict_round is not None:
         (tmp_path / "VERDICT.md").write_text(
             f"# VERDICT — round {verdict_round}\n\nbody\n"
         )
     for r in bench_rounds:
-        (tmp_path / f"BENCH_r{r:02d}.json").write_text(json.dumps({"round": r}))
+        body = (
+            {"round": r, "parsed": None}
+            if r in unparsed
+            else {"round": r, "parsed": {"queries": {"q01": 1.0 + r}}}
+        )
+        (tmp_path / f"BENCH_r{r:02d}.json").write_text(json.dumps(body))
     return str(tmp_path)
 
 
@@ -47,6 +54,92 @@ def test_unparseable_verdict_header_falls_back(tmp_path):
     repo = _mk(tmp_path, bench_rounds=(1, 2))
     (tmp_path / "VERDICT.md").write_text("no number here\n")
     assert latest_prior_bench(repo).endswith("BENCH_r02.json")
+
+
+def test_skips_unparsed_round(tmp_path):
+    """r6's artifact recorded ``"parsed": null`` (final line outgrew the
+    driver's tail window): it carries no timings, so a later round must
+    diff against the newest round that actually parsed."""
+    repo = _mk(tmp_path, verdict_round=6, bench_rounds=(4, 5, 6), unparsed=(6,))
+    assert latest_prior_bench(repo).endswith("BENCH_r05.json")
+
+
+def test_all_priors_unparsed_yields_none(tmp_path):
+    repo = _mk(tmp_path, verdict_round=2, bench_rounds=(1, 2), unparsed=(1, 2))
+    assert latest_prior_bench(repo) is None
+
+
+def _full_result(n_queries=None, connector=True):
+    """A worst-case-realistically-sized bench result: every bench-tagged
+    query in the CURRENT registry (so the test fails the round a new
+    bench query pushes the real line over budget), values at the widest
+    round(·, 4) float width the bench emits."""
+    from spark_sql_pubsub_connector_spark.plans import all_specs
+
+    names = sorted(n for n, s in all_specs().items() if s.bench)
+    if n_queries is not None:  # synthetic growth beyond today's set
+        names = names + [f"q{900 + i}_future_bench_query_name" for i in range(n_queries)]
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": 12345.6789,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_runs": 3,
+        "queries": {n: 1234.5678 for n in names},
+        "queries_warm_median": {n: 1234.5678 for n in names},
+        "queries_warm_min": {n: 1234.5678 for n in names},
+        "deltas_vs_prev": {n: -123.4 for n in names},
+        "deltas_warm_vs_prev": {n: -123.4 for n in names},
+        "deltas_vs_prev_normalized": {n: -123.4 for n in names},
+        "deltas_warm_vs_prev_normalized": {n: -123.4 for n in names},
+        "calibration": {"cpu_probe_s": 0.3081, "shuffle_probe_s": 1.2345},
+        "calibration_drift_factor": 0.879,
+        "prev_round_file": "BENCH_r05.json",
+    }
+    if connector:
+        result["connector"] = {
+            "n_msgs": 60000,
+            "source_msgs_per_s": 25103.4,
+            "roundtrip_msgs_per_s": 19782.1,
+            "roundtrip_published": 60000,
+            "source_runs_s": [2.39, 2.41, 2.45],
+            "roundtrip_runs_s": [3.03, 3.05, 3.11],
+            "source_spread_pct": 2.5,
+            "roundtrip_spread_pct": 2.6,
+        }
+    return result
+
+
+def test_headline_line_fits_driver_tail_budget():
+    """THE r6 regression guard: the driver keeps ~2,000 chars of stdout
+    tail; the final line must stay under HEADLINE_BUDGET with the full
+    current bench query set and worst-case value widths."""
+    line = headline_line(_full_result())
+    assert len(line) <= HEADLINE_BUDGET, len(line)
+    parsed = json.loads(line)  # the driver must be able to parse it
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["queries"] and parsed["queries_warm_median"]
+    assert parsed["connector"]["source_msgs_per_s"] == 25103.4
+    # per-run arrays and delta fields are diagnostics, never headline
+    assert "source_runs_s" not in json.dumps(parsed)
+    assert "deltas_vs_prev" not in parsed and "calibration" not in parsed
+
+
+def test_headline_line_sheds_sections_rather_than_overflow():
+    """If the bench set ever grows past the budget, optional sections
+    shed in fixed order instead of overflowing the driver's window."""
+    line = headline_line(_full_result(n_queries=12))
+    assert len(line) <= HEADLINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["queries"]  # cold timings are never shed
+    assert "queries_warm_median" not in parsed  # first to shed
+
+
+def test_headline_line_carries_connector_error():
+    result = _full_result(connector=False)
+    result["connector_error"] = "RuntimeError: broker down"
+    parsed = json.loads(headline_line(result))
+    assert parsed["connector_error"] == "RuntimeError: broker down"
 
 
 def test_calibration_drift_normalization_math():
