@@ -42,24 +42,32 @@ def dot_q_expr(a: str, b: str) -> str:
     )
 
 
-def sql_dot_q(a: str, b: str, dim: int = DIM) -> str:
+def sql_dot_q(a: str, b: str, dim: int | None = None) -> str:
     """DuckDB twin of :func:`dot_q_expr` (1-based list indexing).
-    ``dim < DIM`` reduces over the array prefix only — the DuckDB twin
-    of a Spark-side ``slice(arr, 1, dim)`` dot product.
+    An explicit ``dim`` reduces over the array prefix only — the
+    DuckDB twin of a Spark-side ``slice(arr, 1, dim)`` dot product
+    (q90's Matryoshka prefix), where the clamp mirrors ``slice``
+    returning min(len, dim) elements.
 
     Mirrors Spark's ``zip_with`` fold EXACTLY on degenerate arrays
     (r6; found by the q22 degenerate-corpus differential): the term
-    list spans max of the two (dim-clamped) lengths, and ANY NULL term
-    nulls the whole dot — so a truncated×full pair is NULL on both
-    engines instead of DuckDB's old ``list_sum`` silently skipping the
-    missing elements and producing a partial dot that let corrupt
-    vectors pair on one engine only. Equal-length arrays — including
-    both-empty (dot 0) and equal-short — produce the identical exact
-    sum as before, so every oracle value on well-formed corpora is
-    byte-unchanged."""
+    list spans max of the two lengths, and ANY NULL term nulls the
+    whole dot — so a truncated×full pair is NULL on both engines
+    instead of DuckDB's old ``list_sum`` silently skipping the missing
+    elements and producing a partial dot that let corrupt vectors pair
+    on one engine only. The full-width default clamps NOTHING (r7,
+    ADVICE r6): Spark's unsliced ``zip_with`` spans over-length arrays
+    too, and the old ``least(len, 64)`` clamp silently summed only 64
+    terms of a 70-element pair — the one degenerate class that still
+    diverged. Equal-length well-formed arrays produce the identical
+    exact sum as before, so every oracle value on well-formed corpora
+    is byte-unchanged."""
+    if dim is None:
+        span = f"greatest(len({a}), len({b}))"
+    else:
+        span = f"greatest(least(len({a}), {dim}), least(len({b}), {dim}))"
     terms = (
-        f"list_transform(range(1, greatest(least(len({a}), {dim}), "
-        f"least(len({b}), {dim})) + 1), i -> "
+        f"list_transform(range(1, {span} + 1), i -> "
         f"CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {PROD_SCALE} + 0.5) AS BIGINT))"
     )
     return (

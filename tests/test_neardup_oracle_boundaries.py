@@ -89,16 +89,28 @@ def test_q22_oracle_matches_on_degenerate_corpus(spark, tmp_path):
     both engines agree on what such rows contribute: a degenerate
     vector can be hash-sampled as a centroid, can be the min-vec_id
     fallback, NULL-sorts last in the assignment argmax, and its pairs
-    are excluded by the NULL-guarded cosine on BOTH engines."""
+    are excluded by the NULL-guarded cosine on BOTH engines.
+
+    r7 (ADVICE r6): the corpus also injects OVER-length vectors (70
+    elements). Two over-length vectors have a defined 70-term dot —
+    Spark's unsliced zip_with spans the full length — and the old
+    DuckDB clamp summed only 64 terms, a silent non-NULL value
+    divergence this differential now catches; over×full stays NULL on
+    both engines (mismatched lengths)."""
     import pyspark.sql.functions as F
 
     out = str(tmp_path / "degen")
+    over = F.concat(
+        "embedding",
+        F.array(*[F.lit(0.5 + 0.1 * i).cast("float") for i in range(6)]),
+    )
     (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         .withColumn(
             "embedding",
             F.when(F.col("vec_id") % 7 == 0, F.array().cast("array<float>"))
             .when(F.col("vec_id") % 7 == 1, F.slice("embedding", 1, 3))
+            .when(F.col("vec_id") % 7 == 2, over)
             .otherwise(F.col("embedding")),
         )
         .coalesce(1)

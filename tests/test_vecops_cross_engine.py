@@ -55,10 +55,16 @@ def _vectors() -> list[tuple[int, list[float]]]:
     # embeddings are unit-scale by contract (vecops module docstring),
     # so that loud failure is correct, not guarded.
     vecs.append([10.0] * DIM)
+    # 13: OVER-length (70 elements) — ADVICE r6: Spark's unsliced
+    # zip_with spans all 70 terms, and sql_dot_q's old least(len, 64)
+    # clamp silently summed only 64 of them — the one degenerate class
+    # the r6 fix missed. The full-width default now clamps nothing.
+    vecs.append([0.5] * (DIM + 6))
     return list(enumerate(vecs))
 
 
 _SHORT_IDS = {i for i, v in _vectors() if len(v) != DIM}
+_OVER_IDS = {i for i, v in _vectors() if len(v) > DIM}
 _ZERO_NORM_IDS = {8, 11}
 
 
@@ -116,7 +122,7 @@ def engines(spark):
         for r in _spark_rows(spark)
     }
     d = {(va, vb): (dot, sim, b) for va, vb, dot, sim, b in _duck_rows()}
-    assert set(s) == set(d) and len(s) == 13 * 14 // 2
+    assert set(s) == set(d) and len(s) == 14 * 15 // 2
     return s, d
 
 
@@ -146,6 +152,11 @@ def test_every_pair_agrees_including_short_arrays(engines):
     assert s[(9, 9)][0] == 0  # empty × empty: dot 0, both engines
     assert s[(9, 10)][0] is None  # empty × truncated: mismatched → NULL
     assert s[(10, 10)][0] is not None  # truncated × itself: exact sum
+    # over-length (r7): 70×70 sums ALL 70 terms on both engines —
+    # 70 · floor(0.25·1e12 + 0.5) — not the old silently-clamped 64;
+    # over×full(64) is mismatched-length → NULL on both.
+    assert s[(13, 13)][0] == 70 * 250_000_000_000
+    assert s[(0, 13)][0] is None and d[(0, 13)][0] is None
 
 
 def test_zero_norm_cosine_is_null_on_both_engines(engines):
@@ -173,9 +184,13 @@ def test_short_arrays_bucket_to_zero_bits_on_both_engines(engines):
     s, d = engines
     for rows in (s, d):
         for (va, vb), (_, _, bucket) in rows.items():
-            if va in _SHORT_IDS:  # bucket_a is computed from vector va
+            if va in _SHORT_IDS - _OVER_IDS:  # bucket_a is from vector va
+                # truncated/empty: some plane term is NULL → all bits 0
                 assert bucket == 0, ((va, vb), bucket)
             else:
+                # full and OVER-length: the planes read exactly DIM
+                # elements (get()/[] over 0..63), so an over-length
+                # vector buckets like its 64-prefix — defined, non-NULL
                 assert bucket is not None, ((va, vb), bucket)
     # buckets agree pairwise everywhere
     for k in s:
