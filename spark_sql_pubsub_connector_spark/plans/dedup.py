@@ -232,10 +232,15 @@ def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = (
         bands.join(F.broadcast(hot), ["band", "h"], "left")
+        # Column renamed dropped_members → routed_members in r7
+        # (ADVICE r6): the r6 count-based cap swap changed the counter's
+        # meaning from "members beyond the cap" to "ALL members of
+        # oversize buckets, routed out whole"; the new name states the
+        # new semantics instead of silently redefining the old one.
         .observe(
             "q17_bucket_cap",
             F.sum(F.col("bucket_n").isNotNull().cast("long")).alias(
-                "dropped_members"
+                "routed_members"
             ),
         )
         .filter(F.col("bucket_n").isNull())
@@ -1389,7 +1394,7 @@ def q109_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .observe(
             "q109_bucket_cap",
             F.sum(F.col("bucket_n").isNotNull().cast("long")).alias(
-                "dropped_members"
+                "routed_members"
             ),
         )
         .filter(F.col("bucket_n").isNull())

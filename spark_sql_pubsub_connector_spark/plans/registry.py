@@ -88,7 +88,7 @@ def observed_metrics(df) -> dict[str, dict]:
 
         pairs = queries()["q17_dedup_minhash_lsh"](spark, sf_dir)
         pairs.collect()
-        observed_metrics(pairs)["q17_bucket_cap"]["dropped_members"]
+        observed_metrics(pairs)["q17_bucket_cap"]["routed_members"]
 
     Metrics populate when an action runs on THIS DataFrame object
     (``collect``/``write``); derived DataFrames (``df.count()`` builds a

@@ -94,11 +94,11 @@ def test_cap_overflow_is_reported_not_silent(spark, hot_sf_dir):
 
     q17 = SPECS["q17_dedup_minhash_lsh"].build(spark, hot_sf_dir)
     q17.collect()
-    assert observed_metrics(q17)["q17_bucket_cap"]["dropped_members"] == 4 * N_DUPES
+    assert observed_metrics(q17)["q17_bucket_cap"]["routed_members"] == 4 * N_DUPES
 
     q109 = SPECS["q109_containment_dedup"].build(spark, hot_sf_dir)
     q109.collect()
-    drops = observed_metrics(q109)["q109_bucket_cap"]["dropped_members"]
+    drops = observed_metrics(q109)["q109_bucket_cap"]["routed_members"]
     # the capped subtree appears under both join branches; Spark may
     # dedup the metric or report one branch — either way the per-branch
     # drop count is exact
@@ -119,4 +119,4 @@ def test_cap_headroom_at_oracle_scale(spark, sf_dir):
     ):
         df = SPECS[name].build(spark, sf_dir)
         df.collect()
-        assert observed_metrics(df)[metric]["dropped_members"] == 0, name
+        assert observed_metrics(df)[metric]["routed_members"] == 0, name

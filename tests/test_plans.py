@@ -84,8 +84,15 @@ def test_neardup_ivf_blocking_plan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q22_embedding_neardup", mode="simple")
     assert "BroadcastNestedLoopJoin" in plan  # codebook broadcast assign
     assert "CartesianProduct" not in plan
-    # within-cell pairing is an equi-join on the cell key
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # within-cell pairing is an equi-join on the cell key; the property
+    # pinned is "equi-join, no cartesian" — Spark may legitimately pick
+    # ANY hash/merge strategy for it depending on stats/AQE (ADVICE r6:
+    # a small fixture can make the whole cell side broadcastable)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
 
 
 @pytest.mark.parametrize("name", ["q20_knn_bruteforce", "q21_ann_lsh"])

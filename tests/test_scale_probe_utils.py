@@ -71,3 +71,23 @@ def test_reads_r5_hand_rolled_artifact_shape(tmp_path, capsys):
     assert compare(prev, cur) == 1
     out = json.loads(capsys.readouterr().out)
     assert out["failures"][0]["growth"] == 5.0
+
+
+def test_validate_only_rejects_unknown_names():
+    """ADVICE r6: a misspelled --only name must be a hard error, never
+    a silently-empty spec set that writes an empty artifact and lets a
+    later --compare pass vacuously."""
+    import pytest
+
+    from scale_probe import validate_only
+
+    known = {"q01_pricing_summary", "q22_embedding_neardup"}
+    assert validate_only(["q22_embedding_neardup"], known) == [
+        "q22_embedding_neardup"
+    ]
+    with pytest.raises(SystemExit, match="q22_embeding_neardup"):
+        validate_only(["q22_embeding_neardup"], known)  # typo
+    with pytest.raises(SystemExit):
+        validate_only([""], known)  # "--only ''" → [''] → unknown
+    with pytest.raises(SystemExit, match="empty"):
+        validate_only([], known)

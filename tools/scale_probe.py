@@ -153,6 +153,22 @@ def compare(prev_path: str, cur_path: str) -> int:
     return 1 if failures else 0
 
 
+def validate_only(only: list[str], known: set[str]) -> list[str]:
+    """ADVICE r6: a misspelled ``--only`` name used to select NOTHING —
+    the probe ran zero queries, wrote an artifact with empty
+    timings/ratios, and a later ``--compare`` passed vacuously, so a
+    typo read as a green gate. Unknown names are now a hard error."""
+    unknown = [n for n in only if n not in known]
+    if unknown:
+        raise SystemExit(
+            f"--only: unknown quer{'y' if len(unknown) == 1 else 'ies'} "
+            f"{unknown}; known names come from plans.all_specs()"
+        )
+    if not only:
+        raise SystemExit("--only: empty selection")
+    return only
+
+
 def main() -> None:
     args = sys.argv[1:]
     if "--compare" in args:
@@ -175,6 +191,8 @@ def main() -> None:
     from spark_sql_pubsub_connector_spark.plans import all_specs
     from spark_sql_pubsub_connector_spark.session import get_spark
 
+    if only:  # fail fast, before a SparkSession spins up
+        validate_only(only, set(all_specs()))
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     specs = {
@@ -207,6 +225,12 @@ def main() -> None:
                 ).save()
                 runs.append(time.perf_counter() - t1)
             timings[name] = round(min(runs), 3)
+            # q17/q109 persist per-sf_dir frames; each replicated
+            # corpus is a distinct sf_dir, so without clearing, every
+            # scale step pins another MEMORY_AND_DISK entry for the
+            # session's lifetime (ADVICE r6) and later queries measure
+            # under someone else's storage pressure.
+            spark.catalog.clearCache()
         results[r_total] = timings
         print(
             json.dumps(
