@@ -54,6 +54,26 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_spark_cache_between_modules():
+    """ADVICE r6: q17/q109 persist per-sf_dir frames and the suite's
+    session-scoped SparkSession sees MANY tmp corpora, pinning one
+    MEMORY_AND_DISK entry per corpus for the session lifetime. Cache
+    is semantically transparent, so clearing between modules bounds
+    the accumulation without touching any result. getActiveSession
+    (not the ``spark`` fixture) so spark-free modules don't pay a
+    session spin-up."""
+    yield
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            s.catalog.clearCache()
+    except Exception:
+        pass
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
