@@ -134,10 +134,13 @@ def headline_line(result: dict) -> str:
             if k in conn
         }
     elif "connector_error" in result:
-        compact["connector_error"] = result["connector_error"]
+        # a failed probe carries the exception text — a Py4J message
+        # can run to kilobytes, the exact overflow class that silenced
+        # r6's signal; the full text is in the diagnostics anyway
+        compact["connector_error"] = str(result["connector_error"])[:200]
     compact["diagnostics_file"] = "BENCH_DIAG.json"
     line = json.dumps(compact, separators=(",", ":"))
-    for shed in ("queries_warm_median", "connector"):
+    for shed in ("queries_warm_median", "connector", "connector_error"):
         if len(line) <= HEADLINE_BUDGET:
             break
         compact.pop(shed, None)

@@ -142,6 +142,19 @@ def test_headline_line_carries_connector_error():
     assert parsed["connector_error"] == "RuntimeError: broker down"
 
 
+def test_headline_line_truncates_kilobyte_connector_error():
+    """A failed connector probe carries the exception text; a Py4J
+    message can run to kilobytes — the same overflow class that
+    silenced the r6 signal. The headline keeps only a 200-char prefix
+    (the full text rides in the diagnostics)."""
+    result = _full_result(connector=False)
+    result["connector_error"] = "Py4JJavaError: " + "x" * 5000
+    line = headline_line(result)
+    assert len(line) <= HEADLINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert len(parsed["connector_error"]) == 200
+
+
 def test_calibration_drift_normalization_math():
     """The normalized delta must divide this round's time by the mean
     probe drift before diffing (r6): a query that moved exactly with
