@@ -103,6 +103,26 @@ def latest_prior_bench(repo_dir: str) -> str | None:
     return None
 
 
+def prev_calibration_fallback(repo_dir: str, prev_queries: dict) -> dict:
+    """Calibration for a prior round whose driver artifact lacks it
+    (headlines through r7 shed the block — ADVICE r7 medium). The
+    committed ``BENCH_DIAG.json`` is written by the same bench
+    invocation the driver parses, so when its cold-timings dict is
+    byte-identical to the prior artifact's, it is the same run and its
+    calibration is that round's. Any mismatch → empty dict (skip
+    normalization rather than normalize against the wrong host)."""
+    try:
+        with open(os.path.join(repo_dir, "BENCH_DIAG.json")) as fh:
+            diag = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if diag.get("queries") == prev_queries and isinstance(
+        diag.get("calibration"), dict
+    ):
+        return diag["calibration"]
+    return {}
+
+
 def headline_line(result: dict) -> str:
     """The one JSON line the driver parses, compacted to fit its tail
     window: headline metric + per-query cold/warm-median + connector
@@ -138,13 +158,35 @@ def headline_line(result: dict) -> str:
         # can run to kilobytes, the exact overflow class that silenced
         # r6's signal; the full text is in the diagnostics anyway
         compact["connector_error"] = str(result["connector_error"])[:200]
+    # ADVICE r7 (medium): the calibration probes must ride in the
+    # DRIVER artifact, not only BENCH_DIAG.json — next round's delta
+    # code reads the prior round's calibration from BENCH_r{N}.json
+    # "parsed", and without it the drift normalization this >2x-drift
+    # VM depends on silently disappears. Two rounded floats, ~70 chars.
+    if "calibration" in result:
+        compact["calibration"] = result["calibration"]
     compact["diagnostics_file"] = "BENCH_DIAG.json"
     line = json.dumps(compact, separators=(",", ":"))
-    for shed in ("queries_warm_median", "connector", "connector_error"):
+    for shed in ("queries_warm_median", "connector", "connector_error",
+                 "calibration"):
         if len(line) <= HEADLINE_BUDGET:
             break
         compact.pop(shed, None)
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > HEADLINE_BUDGET:
+        # ADVICE r7 (low): terminal fallback — if the query set itself
+        # outgrows the budget after every optional section has shed,
+        # drop per-query detail rather than silently recreating the r6
+        # tail-window overflow. The totals still parse; the per-query
+        # timings live in BENCH_DIAG.json.
+        minimal = {
+            k: compact[k]
+            for k in ("metric", "value", "unit", "sf", "n_runs")
+            if k in compact
+        }
+        minimal["queries_truncated"] = len(compact.get("queries", {}))
+        minimal["diagnostics_file"] = "BENCH_DIAG.json"
+        line = json.dumps(minimal, separators=(",", ":"))
     return line
 
 
@@ -274,6 +316,15 @@ def main() -> None:
             # (uniform, tracks the probes) from engine regressions
             # (query-specific, survives normalization).
             pc = parsed.get("calibration", {})
+            if not pc:
+                # Rounds ≤7 shed calibration from the headline (ADVICE
+                # r7 medium): recover it from the committed
+                # BENCH_DIAG.json, but only when that file is provably
+                # the SAME run as the prev driver artifact (identical
+                # cold-timings dict) — otherwise a stale diag from a
+                # local re-run would normalize against the wrong host
+                # speed, worse than no normalization.
+                pc = prev_calibration_fallback(REPO, pq)
             if pc.get("cpu_probe_s") and pc.get("shuffle_probe_s"):
                 drift = (
                     calibration["cpu_probe_s"] / pc["cpu_probe_s"]

@@ -353,6 +353,9 @@ def embedding_neardup_ivf(
     "q22_embedding_neardup",
     oracle=_sql_neardup_ivf(),
     tags=("similarity", "neardup"),
+    # r7 verdict #8: in the driver-visible bench headline so the
+    # scale-critical similarity family gets a round-over-round signal
+    bench=True,
 )
 def q22_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs near-duplicate detection, IVF-blocked: pairs form

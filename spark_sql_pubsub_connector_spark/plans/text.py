@@ -957,6 +957,9 @@ SELECT doc_id,
 FROM scored GROUP BY 1
 """,
     tags=("text", "lm", "quality"),
+    # r7 verdict #8: in the driver-visible bench headline so the
+    # vocabulary-growth watch (q78's 25x ratio) gets a per-round signal
+    bench=True,
 )
 def q78_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document against the corpus bigram LM (q67's model,

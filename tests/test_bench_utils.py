@@ -8,7 +8,12 @@ from __future__ import annotations
 
 import json
 
-from bench import HEADLINE_BUDGET, headline_line, latest_prior_bench
+from bench import (
+    HEADLINE_BUDGET,
+    headline_line,
+    latest_prior_bench,
+    prev_calibration_fallback,
+)
 
 
 def _mk(tmp_path, *, verdict_round=None, bench_rounds=(), unparsed=()):
@@ -120,9 +125,16 @@ def test_headline_line_fits_driver_tail_budget():
     assert parsed["metric"] == "headline_queries_total_wall"
     assert parsed["queries"] and parsed["queries_warm_median"]
     assert parsed["connector"]["source_msgs_per_s"] == 25103.4
+    # ADVICE r7 (medium): calibration must ride in the driver artifact
+    # so next round's drift normalization has a prior to diff against
+    assert parsed["calibration"] == {
+        "cpu_probe_s": 0.3081,
+        "shuffle_probe_s": 1.2345,
+    }
     # per-run arrays and delta fields are diagnostics, never headline
     assert "source_runs_s" not in json.dumps(parsed)
-    assert "deltas_vs_prev" not in parsed and "calibration" not in parsed
+    assert "deltas_vs_prev" not in parsed
+    assert "calibration_drift_factor" not in parsed
 
 
 def test_headline_line_sheds_sections_rather_than_overflow():
@@ -133,6 +145,41 @@ def test_headline_line_sheds_sections_rather_than_overflow():
     parsed = json.loads(line)
     assert parsed["queries"]  # cold timings are never shed
     assert "queries_warm_median" not in parsed  # first to shed
+
+
+def test_headline_line_terminal_fallback_never_overflows():
+    """ADVICE r7 (low): when every sheddable section is gone and the
+    line is STILL over budget (a much larger future bench set), the
+    headline drops per-query detail to a minimal parseable line rather
+    than overflowing the driver's tail window like r6 did."""
+    line = headline_line(_full_result(n_queries=60))
+    assert len(line) <= HEADLINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["value"] == 12345.6789
+    assert parsed["diagnostics_file"] == "BENCH_DIAG.json"
+    # per-query detail is what overflowed; its size is declared instead
+    assert "queries" not in parsed
+    assert parsed["queries_truncated"] > 60
+
+
+def test_prev_calibration_fallback_same_run_only(tmp_path):
+    """Rounds ≤7 shed calibration from the headline; the fallback may
+    recover it from BENCH_DIAG.json ONLY when the diag is provably the
+    same run as the prior driver artifact (identical cold timings) —
+    a stale diag would normalize against the wrong host speed."""
+    prev_queries = {"q01": 1.23, "q17": 3.21}
+    cal = {"cpu_probe_s": 0.28, "shuffle_probe_s": 0.35}
+    diag = tmp_path / "BENCH_DIAG.json"
+    diag.write_text(json.dumps({"queries": prev_queries, "calibration": cal}))
+    assert prev_calibration_fallback(str(tmp_path), prev_queries) == cal
+    # timings differ → different run → no fallback
+    assert prev_calibration_fallback(str(tmp_path), {"q01": 9.9}) == {}
+    # missing file → no fallback
+    assert prev_calibration_fallback(str(tmp_path / "nope"), prev_queries) == {}
+    # malformed diag → no fallback
+    diag.write_text("{not json")
+    assert prev_calibration_fallback(str(tmp_path), prev_queries) == {}
 
 
 def test_headline_line_carries_connector_error():
