@@ -73,6 +73,70 @@ def test_reads_r5_hand_rolled_artifact_shape(tmp_path, capsys):
     assert out["failures"][0]["growth"] == 5.0
 
 
+def test_compare_warns_on_methodology_mismatch(tmp_path, capsys):
+    """ADVICE r7: a min-of-2-warm artifact gate-compared against a
+    single-run-cold (pre-stamp) artifact crosses methodologies —
+    sub-second ratios systematically shift when the fixed codegen cost
+    drops out. The gate still runs, but the output must carry an
+    explicit warning so a failure is adjudicated as methodology, not
+    read as a plan regression."""
+    from scale_probe import DISCIPLINE
+
+    prev = _write(  # pre-r8 artifact: no discipline/vocab stamps
+        tmp_path, "prev.json", {"time_ratios_vs_x1": {"25": {"q1": 2.0}}}
+    )
+    cur = _write(
+        tmp_path, "cur.json",
+        {"time_ratios_vs_x1": {"25": {"q1": 2.1}},
+         "discipline": DISCIPLINE, "replica_vocab": "disjoint"},
+    )
+    assert compare(prev, cur) == 0  # warning, never a failure by itself
+    out = json.loads(capsys.readouterr().out)
+    assert {w["field"] for w in out["methodology_warnings"]} == {
+        "discipline", "replica_vocab"
+    }
+    # matching stamps → no warnings
+    cur2 = _write(
+        tmp_path, "cur2.json",
+        {"time_ratios_vs_x1": {"25": {"q1": 2.1}},
+         "discipline": DISCIPLINE, "replica_vocab": "disjoint"},
+    )
+    cur3 = _write(
+        tmp_path, "cur3.json",
+        {"time_ratios_vs_x1": {"25": {"q1": 2.2}},
+         "discipline": DISCIPLINE, "replica_vocab": "disjoint"},
+    )
+    assert compare(cur2, cur3) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["methodology_warnings"] == []
+
+
+def test_session_sizing_matches_measured_anchors():
+    """VERDICT r7 #2: the probe session must size itself from the data
+    scale. The measured anchors: 32 partitions at 1x is right; 100x
+    needed ~256 (32 put ~7M pairs in one task) and a 48g heap (8g
+    OOMed). The derived values must respect those anchors and stay
+    monotone in scale."""
+    from scale_probe import probe_driver_memory, probe_shuffle_partitions
+
+    assert probe_shuffle_partitions(1, 32) == 32  # 1x unchanged
+    assert probe_shuffle_partitions(12, 32) == 32
+    assert probe_shuffle_partitions(25, 32) == 96
+    p100 = probe_shuffle_partitions(100, 32)
+    assert 256 <= p100 <= 320  # ≈ the measured-good 256
+    assert probe_shuffle_partitions(10_000, 32) == 4096  # capped
+    assert probe_driver_memory(1) == "8g"
+    assert probe_driver_memory(25) == "13g"
+    assert probe_driver_memory(100) == "48g"  # the measured-good heap
+    assert probe_driver_memory(1_000) == "48g"  # capped at one box
+    prev_p, prev_m = 0, 0
+    for s in (1, 5, 10, 25, 50, 100, 200):
+        p = probe_shuffle_partitions(s, 32)
+        m = int(probe_driver_memory(s).rstrip("g"))
+        assert p >= prev_p and m >= prev_m
+        prev_p, prev_m = p, m
+
+
 def test_validate_only_rejects_unknown_names():
     """ADVICE r6: a misspelled --only name must be a hard error, never
     a silently-empty spec set that writes an empty artifact and lets a

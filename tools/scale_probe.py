@@ -32,6 +32,7 @@ Usage:
     python tools/scale_probe.py [R ...]        # default: 1 2 5 10
     python tools/scale_probe.py --all 1 25 --out SCALE_r06.json
     python tools/scale_probe.py --only q22_embedding_neardup 1 25
+    python tools/scale_probe.py --shared-vocab --only q78_lm_doc_score 1 25
     python tools/scale_probe.py --compare SCALE_r05.json SCALE_r06.json
     SPARK_GRAFT_SF_DIR=...                     # base fixtures (sf0.1)
 
@@ -60,6 +61,13 @@ import time
 
 GATE_GROWTH = 2.0  # --compare fails when ratio_new > GATE_GROWTH * ratio_old
 
+# Timing discipline stamped into every --out artifact (ADVICE r7):
+# r7 switched --all from single-run (cold) to min-of-2 (warm), which
+# removes the fixed codegen cost and systematically shrinks sub-second
+# walls — comparing artifacts produced under different disciplines
+# crosses methodologies, so --compare warns when the stamps differ.
+DISCIPLINE = {"n_runs": 2, "timing": "min-of-2-warm"}
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
@@ -87,7 +95,36 @@ COL_STRIDE = {
 SINGLE_COPY = ("region", "nation")
 
 
-def build_corpus(spark, base: str, out: str, r_total: int) -> None:
+def probe_shuffle_partitions(scale: int, cpus: int) -> int:
+    """Shuffle-partition count derived from the data scale (VERDICT r7
+    #2: the 100x probe needed a MANUAL 256-partition rerun to isolate
+    q22's bend — the probe session must size itself so big-scale
+    sweeps measure the plan, not one-box spill).
+
+    Rule: keep per-partition shuffle volume roughly at the 1x level,
+    where ``cpus`` partitions are measured-right. The r7 measurement
+    anchors the divisor: at 100x, 32 partitions put ~7 M candidate
+    pairs in one sort-merge task (spill); 256 restored in-memory
+    execution — i.e. ~8x more partitions for 100x data, so one
+    partition per ``cpus`` per ~12 units of scale. On a real cluster
+    the same job is done by AQE initial-partition scaling; here the
+    conf is runtime-set per scale step and recorded in the artifact."""
+    return min(4096, cpus * max(1, -(-scale // 12)))
+
+
+def probe_driver_memory(max_scale: int) -> str:
+    """Driver-JVM heap derived from the largest scale in the sweep
+    (VERDICT r7 #2: the default 8 g OOMed in the 100x query phase and
+    the probe needed a manual 48 g override). Local mode holds driver
+    AND all 32 executor threads in one heap, so it must grow with the
+    corpus: measured anchors are 8 g fine through 25x, 48 g fine at
+    100x — ~0.5 g per unit of scale between, floored and capped."""
+    return f"{min(48, max(8, -(-max_scale // 2)))}g"
+
+
+def build_corpus(
+    spark, base: str, out: str, r_total: int, shared_vocab: bool = False
+) -> None:
     from pyspark.sql import functions as F
 
     from spark_sql_pubsub_connector_spark.plans.tables import load_table
@@ -102,11 +139,20 @@ def build_corpus(spark, base: str, out: str, r_total: int) -> None:
             for c in cols:
                 s = COL_STRIDE.get(c, stride)
                 rep = rep.withColumn(c, F.col(c) + F.lit(r * s))
-            if t == "documents" and r > 0:
+            if t == "documents" and r > 0 and not shared_vocab:
                 # textually-disjoint replicas: prefix every token
                 rep = rep.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"r{r}x$1")
                 ).withColumn("n_chars", F.length("text"))
+                # ``shared_vocab`` (VERDICT r7 #1) keeps replica text
+                # VERBATIM (keys still shift): the distinct
+                # token/bigram key space stays at its 1x size while
+                # row volume scales Rx — the controlled counterpart
+                # for separating vocabulary growth (a corpus
+                # property) from plan defects in q78/q58/q99 ratios.
+                # Near-dup queries see a 100%-duplicated corpus under
+                # this mode, so it is an experiment switch, not the
+                # default probe.
             if t == "embeddings" and r > 0:
                 rep = rep.withColumn(
                     "embedding",
@@ -124,16 +170,36 @@ def build_corpus(spark, base: str, out: str, r_total: int) -> None:
 
 def compare(prev_path: str, cur_path: str) -> int:
     """Round-over-round gate: any query whose time ratio vs 1× grew
-    more than ``GATE_GROWTH``× between artifacts fails the run."""
-    def load_ratios(path: str) -> dict:
+    more than ``GATE_GROWTH``× between artifacts fails the run.
+
+    ADVICE r7: artifacts produced under different timing disciplines
+    (single-run cold vs min-of-warm) or different replica-vocabulary
+    modes measure different things — the gate still runs, but the
+    output carries an explicit ``methodology_warnings`` block so a
+    cross-methodology failure is adjudicated as such rather than read
+    as a plan regression."""
+    def load(path: str) -> dict:
         with open(path) as f:
             d = json.load(f)
-        if "time_ratios_vs_x1" in d:  # this tool's --out shape
-            return d["time_ratios_vs_x1"]
-        # SCALE_r05.json's hand-rolled shape: one flat 25x ratio dict
-        return {"25": d["time_ratios_vs_1x"]}
+        if "time_ratios_vs_x1" not in d:
+            # SCALE_r05.json's hand-rolled shape: one flat 25x ratio dict
+            d["time_ratios_vs_x1"] = {"25": d["time_ratios_vs_1x"]}
+        return d
 
-    prev, cur = load_ratios(prev_path), load_ratios(cur_path)
+    d_prev, d_cur = load(prev_path), load(cur_path)
+    prev, cur = d_prev["time_ratios_vs_x1"], d_cur["time_ratios_vs_x1"]
+    warnings = []
+    for field, note in (
+        ("discipline", "timing disciplines differ (pre-r8 artifacts "
+         "carry no stamp; --all was single-run cold before r7)"),
+        ("replica_vocab", "replica vocabulary modes differ (shared-"
+         "vocab artifacts are experiment runs, not probe baselines)"),
+    ):
+        if d_prev.get(field) != d_cur.get(field):
+            warnings.append(
+                {"field": field, "prev": d_prev.get(field),
+                 "cur": d_cur.get(field), "note": note}
+            )
     failures, report = [], {}
     for scale, cur_ratios in cur.items():
         prev_ratios = prev.get(scale, {})
@@ -149,7 +215,8 @@ def compare(prev_path: str, cur_path: str) -> int:
                      "ratio_new": r_new, "growth": growth}
                 )
     print(json.dumps({"gate_growth": GATE_GROWTH, "failures": failures,
-                      "coverage_changes": report}), flush=True)
+                      "coverage_changes": report,
+                      "methodology_warnings": warnings}), flush=True)
     return 1 if failures else 0
 
 
@@ -175,8 +242,10 @@ def main() -> None:
         i = args.index("--compare")
         sys.exit(compare(args[i + 1], args[i + 2]))
     run_all = "--all" in args  # every batch query, one run each
-    only: list[str] = []
-    if "--only" in args:
+    shared_vocab = "--shared-vocab" in args
+    args = [a for a in args if a != "--shared-vocab"]
+    only_flag, only = "--only" in args, []
+    if only_flag:
         i = args.index("--only")
         only = args[i + 1].split(",")
         args = args[:i] + args[i + 2:]
@@ -191,8 +260,28 @@ def main() -> None:
     from spark_sql_pubsub_connector_spark.plans import all_specs
     from spark_sql_pubsub_connector_spark.session import get_spark
 
-    if only:  # fail fast, before a SparkSession spins up
+    if only_flag:  # fail fast, before a SparkSession spins up — and
+        # unconditionally when the flag was given (ADVICE r7: the old
+        # ``if only:`` guard made the empty-selection branch dead code
+        # from main; ``--only ""`` must die here, not run zero queries)
         validate_only(only, set(all_specs()))
+    # Session sized from the sweep's LARGEST scale (VERDICT r7 #2):
+    # driver heap must be fixed at JVM launch, so it is derived from
+    # max(scales) up front; an explicit SPARK_GRAFT_DRIVER_MEM wins.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mem_overridden = "SPARK_GRAFT_DRIVER_MEM" in os.environ
+    if not mem_overridden:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = probe_driver_memory(
+            max(scales)
+        )
+    session_conf = {
+        "driver_memory": os.environ["SPARK_GRAFT_DRIVER_MEM"],
+        "driver_memory_overridden": mem_overridden,
+        "cpus": cpus,
+        "shuffle_partitions_by_scale": {
+            str(r): probe_shuffle_partitions(r, cpus) for r in scales
+        },
+    }
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     specs = {
@@ -241,9 +330,16 @@ def main() -> None:
     for r_total in scales:
         out = tempfile.mkdtemp(prefix=f"scale-x{r_total}-")
         t0 = time.perf_counter()
-        build_corpus(spark, base, out, r_total)
+        build_corpus(spark, base, out, r_total, shared_vocab=shared_vocab)
         build_s = time.perf_counter() - t0
+        # calibrate under the FIXED baseline conf (cpus partitions):
+        # the probes exist to track host speed across scales/rounds,
+        # so their own work must not vary with the per-scale sizing
         calibrations[r_total] = calibrate()
+        # per-scale shuffle sizing (VERDICT r7 #2) — runtime-settable,
+        # applied for the query phase only and recorded in the artifact
+        parts = session_conf["shuffle_partitions_by_scale"][str(r_total)]
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         timings: dict[str, float] = {}
         # min-of-2 everywhere (r7): --all used to be single-run on the
         # theory that anomalies ≫ noise, but two same-code r7 sweeps
@@ -252,7 +348,7 @@ def main() -> None:
         # sub-second queries on this drift-prone VM. min-of-2 is the
         # cheapest discipline that kills most false fires; a real
         # superlinear regression (q22's old 100x class) still fires.
-        n_runs = 2
+        n_runs = DISCIPLINE["n_runs"]
         for name, spec in specs.items():
             runs = []
             for _ in range(n_runs):
@@ -268,12 +364,14 @@ def main() -> None:
             # session's lifetime (ADVICE r6) and later queries measure
             # under someone else's storage pressure.
             spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
         results[r_total] = timings
         print(
             json.dumps(
                 {
                     "scale": r_total,
                     "build_s": round(build_s, 1),
+                    "shuffle_partitions": parts,
                     "calibration": calibrations[r_total],
                     "queries_warm_s": timings,
                 }
@@ -301,6 +399,11 @@ def main() -> None:
                 {
                     "base_dir": base,
                     "scales": scales,
+                    # methodology stamps (ADVICE r7): --compare warns
+                    # when two artifacts' stamps differ
+                    "discipline": DISCIPLINE,
+                    "replica_vocab": "shared" if shared_vocab else "disjoint",
+                    "session": session_conf,
                     "calibration": {
                         str(r): c for r, c in calibrations.items()
                     },
