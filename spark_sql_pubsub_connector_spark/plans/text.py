@@ -988,6 +988,12 @@ def q78_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.head", "b.tail")
+    # The bigram stream feeds BOTH the model aggregation and the
+    # scoring join; without persist the tokenize+explode scan runs
+    # twice (r7 verdict watch, mechanism confirmed r8 by a controlled
+    # shared-vocabulary sweep: the elevated 25x ratio was double-scan
+    # + partition sizing, not vocabulary growth — the q17/q54 pattern)
+    bi = bi.persist()
     pc = bi.groupBy("head", "tail").agg(
         F.count(F.lit(1)).cast("long").alias("c_pair")
     )
