@@ -155,3 +155,33 @@ def test_validate_only_rejects_unknown_names():
         validate_only([""], known)  # "--only ''" → [''] → unknown
     with pytest.raises(SystemExit, match="empty"):
         validate_only([], known)
+
+
+def test_reads_100x_hand_rolled_artifact_shape(tmp_path, capsys):
+    """SCALE100_r07.json is a hand-rolled summary (its ratios live under
+    time_ratios_vs_x1_at_100x); the gate must read it so the 100x probe
+    gets round-over-round comparison like the 25x sweep does."""
+    prev = _write(
+        tmp_path, "prev.json",
+        {"time_ratios_vs_x1_at_100x": {"q1": 4.0, "q2": 30.0}},
+    )
+    cur = _write(
+        tmp_path, "cur.json",
+        {"time_ratios_vs_x1": {"100": {"q1": 4.5, "q2": 22.0}}},
+    )
+    assert compare(prev, cur) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["failures"] == []
+
+
+def test_unknown_artifact_shape_dies_cleanly(tmp_path):
+    """An artifact with no ratio block at all must produce a one-line
+    SystemExit naming the file, not a KeyError traceback."""
+    import pytest
+
+    prev = _write(tmp_path, "prev.json", {"some_other_key": 1})
+    cur = _write(
+        tmp_path, "cur.json", {"time_ratios_vs_x1": {"25": {"q1": 1.0}}}
+    )
+    with pytest.raises(SystemExit, match="prev.json"):
+        compare(prev, cur)

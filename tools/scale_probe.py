@@ -182,8 +182,19 @@ def compare(prev_path: str, cur_path: str) -> int:
         with open(path) as f:
             d = json.load(f)
         if "time_ratios_vs_x1" not in d:
-            # SCALE_r05.json's hand-rolled shape: one flat 25x ratio dict
-            d["time_ratios_vs_x1"] = {"25": d["time_ratios_vs_1x"]}
+            if "time_ratios_vs_1x" in d:
+                # SCALE_r05.json's hand-rolled shape: one flat 25x dict
+                d["time_ratios_vs_x1"] = {"25": d["time_ratios_vs_1x"]}
+            elif "time_ratios_vs_x1_at_100x" in d:
+                # SCALE100_r07.json's hand-rolled summary shape
+                d["time_ratios_vs_x1"] = {
+                    "100": d["time_ratios_vs_x1_at_100x"]
+                }
+            else:
+                raise SystemExit(
+                    f"--compare: {path} has no ratio block "
+                    "(expected time_ratios_vs_x1)"
+                )
         return d
 
     d_prev, d_cur = load(prev_path), load(cur_path)
