@@ -165,10 +165,15 @@ def headline_line(result: dict) -> str:
     # VM depends on silently disappears. Two rounded floats, ~70 chars.
     if "calibration" in result:
         compact["calibration"] = result["calibration"]
+    # VERDICT r8 #3: the sizing stamp rides in the driver artifact so
+    # round-over-round warm comparisons state their session conf;
+    # sheds before calibration (next round's normalization needs that)
+    if "session" in result:
+        compact["session"] = result["session"]
     compact["diagnostics_file"] = "BENCH_DIAG.json"
     line = json.dumps(compact, separators=(",", ":"))
     for shed in ("queries_warm_median", "connector", "connector_error",
-                 "calibration"):
+                 "session", "calibration"):
         if len(line) <= HEADLINE_BUDGET:
             break
         compact.pop(shed, None)
@@ -200,6 +205,17 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     specs = {n: s for n, s in sorted(all_specs().items()) if s.bench}
+
+    # Session-conf stamp (VERDICT r8 #3): the bench numbers are only
+    # comparable round-over-round under the same session sizing, and
+    # the r8 q22 warm>cold inversion was a sizing question the headline
+    # could not answer because the conf wasn't recorded. Read back the
+    # LIVE values (an inherited session keeps its own heap).
+    session_stamp = {
+        "driver_memory": spark.conf.get("spark.driver.memory", "unset"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "master": spark.conf.get("spark.master", "unset"),
+    }
 
     # Warm the fixed-cost paths so the first query isn't charged for
     # them: codegen pipeline, parquet reader + filesystem init (via the
@@ -288,6 +304,7 @@ def main() -> None:
         result["queries_warm_min"] = warm_min
         result["queries_warm_spread_pct"] = warm_spread
     result["calibration"] = calibration
+    result["session"] = session_stamp
     prev = latest_prior_bench(REPO)
     if prev:
         try:

@@ -99,6 +99,11 @@ def _full_result(n_queries=None, connector=True):
         "deltas_warm_vs_prev_normalized": {n: -123.4 for n in names},
         "calibration": {"cpu_probe_s": 0.3081, "shuffle_probe_s": 1.2345},
         "calibration_drift_factor": 0.879,
+        "session": {
+            "driver_memory": "13g",
+            "shuffle_partitions": "32",
+            "master": "local[32]",
+        },
         "prev_round_file": "BENCH_r05.json",
     }
     if connector:
@@ -131,6 +136,9 @@ def test_headline_line_fits_driver_tail_budget():
         "cpu_probe_s": 0.3081,
         "shuffle_probe_s": 1.2345,
     }
+    # VERDICT r8 #3: the session-sizing stamp rides in the headline so
+    # warm-number comparisons across rounds state their conf
+    assert parsed["session"]["driver_memory"] == "13g"
     # per-run arrays and delta fields are diagnostics, never headline
     assert "source_runs_s" not in json.dumps(parsed)
     assert "deltas_vs_prev" not in parsed

@@ -174,6 +174,88 @@ def test_reads_100x_hand_rolled_artifact_shape(tmp_path, capsys):
     assert out["failures"] == []
 
 
+def test_adjudicated_honest_ratio_replaces_raw_as_gate_baseline(
+    tmp_path, capsys
+):
+    """ADVICE r8 (medium): SCALE100_r08.json stores q54's raw 1.21x —
+    which its own q54_x1_adjudication block declares dishonest (honest
+    4.89x). A next-round honest ~4.9x gated against the raw 1.21x
+    computes growth ~4 > GATE_GROWTH: a guaranteed false fire. The gate
+    must consume the artifact's adjudication and baseline on 4.89."""
+    prev = _write(
+        tmp_path, "prev.json",
+        {"time_ratios_vs_x1": {"100": {"q54_dedup_clusters": 1.21}},
+         "q54_x1_adjudication": {
+             "issue": "slow-host 1x leg deflated the ratio",
+             "honest_ratio_100x": 4.89,
+         }},
+    )
+    cur = _write(
+        tmp_path, "cur.json",
+        {"time_ratios_vs_x1": {"100": {"q54_dedup_clusters": 4.9}}},
+    )
+    assert compare(prev, cur) == 0  # 4.9/4.89, not 4.9/1.21
+    out = json.loads(capsys.readouterr().out)
+    assert out["failures"] == []
+    assert out["adjudications_applied"] == [
+        {"artifact": "prev.json", "scale": "100",
+         "query": "q54_dedup_clusters", "raw": 1.21, "honest": 4.89,
+         "adjudication_key": "q54_x1_adjudication"}
+    ]
+    # a REAL regression vs the honest baseline still fires
+    cur2 = _write(
+        tmp_path, "cur2.json",
+        {"time_ratios_vs_x1": {"100": {"q54_dedup_clusters": 11.0}}},
+    )
+    assert compare(prev, cur2) == 1
+
+
+def test_adjudication_scaleless_key_applies_to_artifact_scale(
+    tmp_path, capsys
+):
+    """ADVICE r8 (low): SCALE1000_r08_q54.json's block uses the
+    scaleless key honest_ratio_vs_x1 (raw 4.43, honest 9.03); a future
+    honest 9.03 would compute growth 2.04 > 2.0 — a marginal false
+    fire. A scaleless key applies to every scale the artifact carries
+    (these adjudicated artifacts are single-scale)."""
+    prev = _write(
+        tmp_path, "prev.json",
+        {"time_ratios_vs_x1": {"1000": {"q54_dedup_clusters": 4.43}},
+         "q54_x1_adjudication": {"honest_ratio_vs_x1": 9.03}},
+    )
+    cur = _write(
+        tmp_path, "cur.json",
+        {"time_ratios_vs_x1": {"1000": {"q54_dedup_clusters": 9.03}}},
+    )
+    assert compare(prev, cur) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["failures"] == []
+    assert out["adjudications_applied"][0]["honest"] == 9.03
+
+
+def test_adjudication_applies_to_real_r8_artifacts(capsys):
+    """The shipped r8 artifacts themselves: gating either against a
+    copy of itself must apply its own adjudication to BOTH sides and
+    pass — proving the fix reads the real committed block shapes."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    for name, scale, raw, honest in (
+        ("SCALE100_r08.json", "100", 1.21, 4.89),
+        ("SCALE1000_r08_q54.json", "1000", 4.43, 9.03),
+    ):
+        p = os.path.join(repo, name)
+        if not os.path.exists(p):  # artifact pruned in a later round
+            continue
+        assert compare(p, p) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["failures"] == []
+        subs = {
+            (a["artifact"], a["query"], a["raw"], a["honest"])
+            for a in out["adjudications_applied"]
+        }
+        assert (name, "q54_dedup_clusters", raw, honest) in subs
+        assert len(out["adjudications_applied"]) == 2  # both sides
+
+
 def test_unknown_artifact_shape_dies_cleanly(tmp_path):
     """An artifact with no ratio block at all must produce a one-line
     SystemExit naming the file, not a KeyError traceback."""

@@ -168,6 +168,46 @@ def build_corpus(
         u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
+def apply_adjudications(d: dict, path: str) -> list[dict]:
+    """Substitute an artifact's adjudicated honest ratios for its raw
+    stored ones before gating (ADVICE r8, medium): SCALE100_r08.json
+    stores q54's raw 1.21× in ``time_ratios_vs_x1`` — a measurement its
+    own ``q54_x1_adjudication`` block declares dishonest (slow-host 1×
+    leg; honest 4.89×). Gating a future honest ~4.9× against the raw
+    1.21× computes growth ~4 > GATE_GROWTH: a guaranteed false fire.
+    The adjudication block IS the artifact's own correction, so the
+    gate consumes it: any top-level ``q{N}_*adjudication`` mapping with
+    an ``honest_ratio_{scale}x`` / ``honest_ratio_vs_x1`` key replaces
+    the matching query's ratio (at the named scale, or at every scale
+    the artifact carries when the key names none). Mutates ``d`` and
+    returns the applied substitutions for the gate's output."""
+    import re
+
+    applied = []
+    ratios = d.get("time_ratios_vs_x1", {})
+    for key, block in d.items():
+        m = re.match(r"^(q\d+)\w*_adjudication$", key)
+        if not m or not isinstance(block, dict):
+            continue
+        qprefix = m.group(1) + "_"
+        for bk, bv in block.items():
+            hm = re.match(r"^honest_ratio(?:_(\d+)x|_vs_x1)$", bk)
+            if not hm or not isinstance(bv, (int, float)):
+                continue
+            scales = [hm.group(1)] if hm.group(1) else list(ratios)
+            for scale in scales:
+                for qname, raw in list(ratios.get(scale, {}).items()):
+                    if qname.startswith(qprefix) and raw != bv:
+                        ratios[scale][qname] = bv
+                        applied.append(
+                            {"artifact": os.path.basename(path),
+                             "scale": scale, "query": qname,
+                             "raw": raw, "honest": bv,
+                             "adjudication_key": key}
+                        )
+    return applied
+
+
 def compare(prev_path: str, cur_path: str) -> int:
     """Round-over-round gate: any query whose time ratio vs 1× grew
     more than ``GATE_GROWTH``× between artifacts fails the run.
@@ -177,7 +217,10 @@ def compare(prev_path: str, cur_path: str) -> int:
     modes measure different things — the gate still runs, but the
     output carries an explicit ``methodology_warnings`` block so a
     cross-methodology failure is adjudicated as such rather than read
-    as a plan regression."""
+    as a plan regression.
+
+    ADVICE r8: each side's own ``*_adjudication`` honest ratios replace
+    its raw stored ratios before gating (see apply_adjudications)."""
     def load(path: str) -> dict:
         with open(path) as f:
             d = json.load(f)
@@ -186,7 +229,9 @@ def compare(prev_path: str, cur_path: str) -> int:
                 # SCALE_r05.json's hand-rolled shape: one flat 25x dict
                 d["time_ratios_vs_x1"] = {"25": d["time_ratios_vs_1x"]}
             elif "time_ratios_vs_x1_at_100x" in d:
-                # SCALE100_r07.json's hand-rolled summary shape
+                # SCALE100_r07.json's hand-rolled summary shape — the
+                # "100" scale label is that one artifact's key name,
+                # not a general convention (ADVICE r8 nit)
                 d["time_ratios_vs_x1"] = {
                     "100": d["time_ratios_vs_x1_at_100x"]
                 }
@@ -198,6 +243,8 @@ def compare(prev_path: str, cur_path: str) -> int:
         return d
 
     d_prev, d_cur = load(prev_path), load(cur_path)
+    adjudications = apply_adjudications(d_prev, prev_path)
+    adjudications += apply_adjudications(d_cur, cur_path)
     prev, cur = d_prev["time_ratios_vs_x1"], d_cur["time_ratios_vs_x1"]
     warnings = []
     for field, note in (
@@ -227,7 +274,8 @@ def compare(prev_path: str, cur_path: str) -> int:
                 )
     print(json.dumps({"gate_growth": GATE_GROWTH, "failures": failures,
                       "coverage_changes": report,
-                      "methodology_warnings": warnings}), flush=True)
+                      "methodology_warnings": warnings,
+                      "adjudications_applied": adjudications}), flush=True)
     return 1 if failures else 0
 
 
