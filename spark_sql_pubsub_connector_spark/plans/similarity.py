@@ -270,13 +270,26 @@ def embedding_neardup_ivf(
     set would come from a stored index build (q49/q66); the probe
     stays self-contained and deterministic.
 
-    Assignment broadcasts the ≤``k_max`` centroids and takes each
-    vector's ``nprobe`` highest-cosine cells (argmax of dot/√cent_nrm
-    — the vector's own norm is constant per vec_id; cent_id breaks
-    ties deterministically, and both engines perform the identical
-    IEEE-754 divide/sqrt on exact BIGINTs so the ranking is
-    bit-reproducible). Pairs form only inside a shared cell; the
-    codebook cap keeps assignment n·k_max — never n².
+    Assignment broadcasts the ≤``k_max`` centroids AS ONE ARRAY ROW
+    and takes each vector's ``nprobe`` highest-cosine cells with a
+    partition-local ``transform``/``array_sort``/``slice`` over that
+    codebook array (argmax of dot/√cent_nrm — the vector's own norm
+    is constant per vec_id; cent_id breaks ties deterministically,
+    and both engines perform the identical IEEE-754 divide/sqrt on
+    exact BIGINTs so the ranking is bit-reproducible; the comparator
+    mirrors ``desc_nulls_last`` exactly). Pairs form only inside a
+    shared cell; the codebook cap keeps assignment n·k_max — never n².
+
+    The array form replaced the r6 crossJoin+row_number window in r9:
+    the window had to SHUFFLE n·k rows each still carrying the full
+    embedding (the pair stage needs it downstream), so at 100x the
+    corpus the pick stage alone moved ~n·k·dim values — measured as
+    q22's corpus-worst 21.98x ratio at 100x (`SCALE100_r08.json`).
+    Folding the argmax into a per-row expression over the broadcast
+    codebook does the identical arithmetic with ZERO shuffle and no
+    n·k row materialization; the only remaining exchanges are the
+    within-cell pair join and the final distinct, which are the
+    operator's real work.
 
     Cost: candidate volume Θ(n · target_cell · nprobe²) — linear in n.
     Recall is defined by the blocking (0.85 vs brute force on the
@@ -301,28 +314,53 @@ def embedding_neardup_ivf(
         F.col("nrm").alias("cent_nrm"),
     )
 
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("dot_c", F.expr(dot_q_expr("embedding", "cent")))
-        .withColumn(
-            "cos_c",
-            F.when(
-                F.col("cent_nrm") > 0,
-                F.col("dot_c").cast("double")
-                / F.sqrt(F.col("cent_nrm").cast("double")),
-            ),
-        )
-        .withColumn(
-            "pick",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("cos_c").desc_nulls_last(), F.col("cent_id")
-                )
-            ),
-        )
-        .filter(F.col("pick") <= nprobe)
-        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
+    # ≤k_max codebook → ONE array row (JVM-side collect_list; never
+    # the driver). array_sort on the (cent_id, …) structs makes the
+    # array order deterministic, though the comparator below never
+    # depends on it.
+    codebook = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent", "cent_nrm"))
+        ).alias("cb")
     )
+
+    # Per-row top-nprobe cells, fully partition-local. Scores and
+    # ordering are byte-identical to the replaced window form:
+    # cos_c = CAST(dot AS DOUBLE)/sqrt(CAST(cent_nrm AS DOUBLE)) when
+    # cent_nrm > 0 else NULL; order cos_c DESC NULLS LAST, cent_id ASC.
+    _by_id = (
+        "CASE WHEN l.cent_id < r.cent_id THEN -1 "
+        "WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END"
+    )
+    picks = f"""slice(array_sort(transform(cb, c -> struct(
+      CASE WHEN c.cent_nrm > 0 THEN
+        CAST({dot_q_expr("embedding", "c.cent")} AS DOUBLE)
+          / sqrt(CAST(c.cent_nrm AS DOUBLE))
+      END AS cos_c,
+      c.cent_id AS cent_id)),
+    (l, r) -> CASE
+      WHEN l.cos_c IS NULL AND r.cos_c IS NULL THEN {_by_id}
+      WHEN l.cos_c IS NULL THEN 1
+      WHEN r.cos_c IS NULL THEN -1
+      WHEN l.cos_c > r.cos_c THEN -1
+      WHEN l.cos_c < r.cos_c THEN 1
+      ELSE {_by_id} END), 1, {int(nprobe)})"""
+    assigned = (
+        e.crossJoin(F.broadcast(codebook))
+        .withColumn("_picks", F.expr(picks))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.explode(F.col("_picks").getField("cent_id")).alias("cell"),
+        )
+    )
+    # The assignment feeds BOTH sides of the pair self-join; the old
+    # window form's Exchange was deduped by ReuseExchange, but the
+    # map-only form has no exchange to reuse, so without persist the
+    # n·k codebook scoring would execute twice (the q17/q54/q78
+    # pattern). n·nprobe rows — bounded, embedding-width.
+    assigned = assigned.persist()
 
     a = assigned.select(
         F.col("vec_id").alias("vec_a"),
