@@ -22,9 +22,12 @@ Scale design:
     (zero driver state, zero RNG).
   - q22 blocks all-pairs near-dup by IVF cell with the cell COUNT
     scaling in n (deterministic hash-mod centroid sample, broadcast
-    assign, within-cell pairing): candidate volume is Θ(n · cell) —
-    linear. Registered in r6 after the measured scale probe caught
-    the old fixed-16-bucket blocking at Θ(n²/16).
+    two-level assign via a ⌊√k⌋-centroid coarse quantizer, within-cell
+    pairing): candidate volume is Θ(n · cell) and assignment is
+    Θ(n · √k · dim) — both linear. Registered in r6 after the measured
+    scale probe caught the old fixed-16-bucket blocking at Θ(n²/16);
+    hierarchical since r10 (the flat n·k·dim assignment predicted
+    ≈6,500 s/run at 1000× once k hit the 4096 cap).
   - Everything is JVM codegen arithmetic on array columns — no UDFs.
 """
 
@@ -202,41 +205,89 @@ def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Θ(n · target_cell) — linear. Measured 2.9× wall at 25× data with
 # recall 0.85 and precision 1.0 while staged.
 _ND_TARGET_CELL = 256  # expected vectors per IVF cell — the linearity knob
-_ND_NPROBE = 2  # cells each vector joins (multi-probe recall lever)
-_ND_K_MAX = 4096  # codebook cap: assignment stays n·k_max, never n²
+_ND_NPROBE = 2  # fine cells each vector joins (multi-probe recall lever)
+_ND_K_MAX = 4096  # codebook cap: assignment stays bounded, never n²
+_ND_CPROBE = 3  # coarse cells each vector descends into (recall lever —
+# at 3 the fixture recall equals the flat form's exactly; per-vector
+# work stays ≈(m + 3·k/m)·dim ≈ 4·√k·dim, ~16× under flat at the cap)
 
 
 def _sql_neardup_ivf() -> str:
     """DuckDB oracle mirroring :func:`embedding_neardup_ivf` exactly:
-    same portable md5 centroid selection, same count→k→stride
-    derivation (computed in SQL where Spark computes it driver-side
-    from the same count), same argmax assignment and pair join."""
+    same portable md5 centroid selection (fine AND the ``:c``-salted
+    coarse sub-sample), same count→k→stride→m→cstride derivation
+    (computed in SQL where Spark computes it driver-side from the same
+    count), same two-level argmax assignment (fine→coarse pick-1,
+    vector→coarse top-cprobe, vector→fine top-nprobe among fines in
+    probed coarse cells) and the same pair join."""
     hs = sql_hex_prefix_int("md5(CAST(e.vec_id AS VARCHAR))", 15)
-    cos_cent = (
-        f"CASE WHEN c.cent_nrm > 0 THEN CAST({sql_dot_q('e.embedding', 'c.cent')} AS DOUBLE)"
-        f" / sqrt(CAST(c.cent_nrm AS DOUBLE)) END"
+    hs2 = sql_hex_prefix_int("md5(CAST(cent_id AS VARCHAR) || ':c')", 15)
+    cos_f2c = (
+        f"CASE WHEN cc.ccnrm > 0 THEN CAST({sql_dot_q('c0.cent', 'cc.ccent')} AS DOUBLE)"
+        f" / sqrt(CAST(cc.ccnrm AS DOUBLE)) END"
+    )
+    cos_vc = (
+        f"CASE WHEN cc.ccnrm > 0 THEN CAST({sql_dot_q('e.embedding', 'cc.ccent')} AS DOUBLE)"
+        f" / sqrt(CAST(cc.ccnrm AS DOUBLE)) END"
+    )
+    cos_vf = (
+        f"CASE WHEN f.cent_nrm > 0 THEN CAST({sql_dot_q('e.embedding', 'f.cent')} AS DOUBLE)"
+        f" / sqrt(CAST(f.cent_nrm AS DOUBLE)) END"
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding, {_SQL_NORM} AS nrm FROM embeddings),
 p AS (
-  SELECT GREATEST(2, count(*) // LEAST(GREATEST(1,
-           CAST(ceil(count(*) / {_ND_TARGET_CELL}.0) AS BIGINT)), {_ND_K_MAX})) AS stride,
-         min(vec_id) AS mn
+  SELECT LEAST(GREATEST(1, CAST(ceil(count(*) / {_ND_TARGET_CELL}.0) AS BIGINT)),
+               {_ND_K_MAX}) AS k,
+         count(*) AS n, min(vec_id) AS mn
   FROM e
+),
+p2 AS (
+  SELECT mn, GREATEST(2, n // k) AS stride,
+         GREATEST(2, k // GREATEST(1,
+           CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT))) AS cstride
+  FROM p
 ),
 c0 AS (
   SELECT e.vec_id AS cent_id, e.embedding AS cent, e.nrm AS cent_nrm
-  FROM e, p
-  WHERE ({hs}) % p.stride = 0 OR e.vec_id = p.mn
+  FROM e, p2
+  WHERE ({hs}) % p2.stride = 0 OR e.vec_id = p2.mn
 ),
-asg AS (
-  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
-    SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+cc AS (
+  SELECT cent_id AS ccid, cent AS ccent, cent_nrm AS ccnrm
+  FROM c0, p2
+  WHERE ({hs2}) % p2.cstride = 0 OR cent_id = p2.mn
+),
+f2c AS (
+  SELECT cent_id, cent, cent_nrm, ccid FROM (
+    SELECT c0.cent_id, c0.cent, c0.cent_nrm, cc.ccid,
+           row_number() OVER (
+             PARTITION BY c0.cent_id
+             ORDER BY ({cos_f2c}) DESC NULLS LAST, cc.ccid
+           ) AS pick
+    FROM c0 CROSS JOIN cc
+  ) WHERE pick = 1
+),
+vp AS (
+  SELECT vec_id, ccid FROM (
+    SELECT e.vec_id, cc.ccid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY ({cos_cent}) DESC NULLS LAST, c.cent_id
+             ORDER BY ({cos_vc}) DESC NULLS LAST, cc.ccid
            ) AS pick
-    FROM e CROSS JOIN c0 c
+    FROM e CROSS JOIN cc
+  ) WHERE pick <= {_ND_CPROBE}
+),
+asg AS (
+  SELECT vec_id, embedding, nrm, cell FROM (
+    SELECT e.vec_id, e.embedding, e.nrm, f.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ({cos_vf}) DESC NULLS LAST, f.cent_id
+           ) AS pick
+    FROM e
+    JOIN vp ON vp.vec_id = e.vec_id
+    JOIN f2c f ON f.ccid = vp.ccid
   ) WHERE pick <= {_ND_NPROBE}
 ),
 pr AS (
@@ -255,6 +306,7 @@ def embedding_neardup_ivf(
     sim_threshold: int = NEARDUP_SIM_Q,
     nprobe: int = _ND_NPROBE,
     k_max: int = _ND_K_MAX,
+    cprobe: int = _ND_CPROBE,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine ≥ threshold on the 1e9 grid)
     blocked by IVF cell, with the cell count scaling in n.
@@ -270,31 +322,50 @@ def embedding_neardup_ivf(
     set would come from a stored index build (q49/q66); the probe
     stays self-contained and deterministic.
 
-    Assignment broadcasts the ≤``k_max`` centroids AS ONE ARRAY ROW
-    and takes each vector's ``nprobe`` highest-cosine cells with a
-    partition-local ``transform``/``array_sort``/``slice`` over that
-    codebook array (argmax of dot/√cent_nrm — the vector's own norm
-    is constant per vec_id; cent_id breaks ties deterministically,
-    and both engines perform the identical IEEE-754 divide/sqrt on
-    exact BIGINTs so the ranking is bit-reproducible; the comparator
-    mirrors ``desc_nulls_last`` exactly). Pairs form only inside a
-    shared cell; the codebook cap keeps assignment n·k_max — never n².
+    Assignment is TWO-LEVEL (r10, VERDICT r9 #1): the flat broadcast
+    argmax was n·k·dim with k growing to the ``k_max`` cap — the
+    in-repo anatomy measured ~1e8 mult-adds/s aggregate and predicted
+    ≈6,500 s/run at 1000× (PARITY.md q22 note). A coarse quantizer of
+    m = ⌊√k⌋ centroids (a ``':c'``-salted hash-mod sub-sample of the
+    fine codebook, min-cent_id fallback again) cuts per-vector work to
+    m·dim (coarse probe) + ~cprobe·(k/m)·dim (fine scoring inside the
+    ``cprobe`` probed coarse cells) ≈ 3·√k·dim — at the cap, ~21×
+    less arithmetic, and constant per vector once k hits the cap, so
+    total assignment is strictly linear in n.
 
-    The array form replaced the r6 crossJoin+row_number window in r9:
-    the window had to SHUFFLE n·k rows each still carrying the full
-    embedding (the pair stage needs it downstream), so at 100x the
-    corpus the pick stage alone moved ~n·k·dim values — measured as
-    q22's corpus-worst 21.98x ratio at 100x (`SCALE100_r08.json`).
-    Folding the argmax into a per-row expression over the broadcast
-    codebook does the identical arithmetic with ZERO shuffle and no
-    n·k row materialization; the only remaining exchanges are the
-    within-cell pair join and the final distinct, which are the
-    operator's real work.
+    Mechanics (all JVM expression arithmetic, zero shuffle): the
+    coarse codebook and the fine codebook annotated with each fine's
+    nearest coarse id (``fsa``) are built on k-row frames where the
+    broadcast arrays are plain ATTRIBUTES — keeping computed arrays
+    out of per-element lambda bodies, which Spark re-evaluates per
+    element — then combined into ONE row and broadcast. Per vector,
+    an ``aggregate`` fold over ``fsa`` does the fine pick: its zero
+    expression (evaluated ONCE per row) computes the top-``cprobe``
+    coarse ids, and the merge does an O(cprobe) membership test per
+    fine, scoring only fines inside probed coarse cells while
+    maintaining the running top-``nprobe`` by (cos DESC NULLS LAST,
+    cent_id ASC) — a total order, so the fold equals the oracle's
+    global ``row_number ≤ nprobe`` regardless of array order. Scores
+    are the same dot/√cent_nrm chain as ever (the vector's own norm
+    is constant per vec_id; both engines perform the identical
+    IEEE-754 divide/sqrt on exact BIGINTs, so every ranking is
+    bit-reproducible). Pairs form only inside a shared fine cell.
 
-    Cost: candidate volume Θ(n · target_cell · nprobe²) — linear in n.
-    Recall is defined by the blocking (0.85 vs brute force on the
-    fixtures at nprobe=2, precision 1.0); the brute-force twin
-    ``brute_force_neardup`` is the test-scale ground truth."""
+    Cost: candidate volume Θ(n · target_cell · nprobe²) — linear in
+    n; assignment Θ(n · √k · dim) — linear in n with k capped.
+    Recall is defined by the blocking (hierarchy adds a second
+    approximation level; measured vs the ``brute_force_neardup``
+    ground truth on the fixtures — see test_neardup_scalable's floor);
+    precision stays 1.0 (exact cosine on every emitted pair).
+
+    NOTE: the assignment frame is ``persist()``-ed (it feeds both
+    sides of the pair self-join; the map-only form has no Exchange
+    for ReuseExchange to dedupe). The cache is session-scoped —
+    bench tooling clears it between blocks; library consumers that
+    rebuild this plan repeatedly should ``spark.catalog.clearCache()``
+    (ADVICE r9)."""
+    import math
+
     e = (
         load_table(spark, sf_dir, "embeddings")
         .withColumn("nrm", F.expr(dot_q_expr("embedding", "embedding")))
@@ -303,6 +374,11 @@ def embedding_neardup_ivf(
     n, mn = e.agg(F.count(F.lit(1)), F.min("vec_id")).first()
     k = min(max(1, -(-n // target_cell)), k_max)  # capped codebook size
     stride = max(2, n // k)
+    # coarse-quantizer derivation — floor(sqrt(double)) exactly as the
+    # oracle computes it (k ≤ 4096 is exactly representable, so both
+    # engines floor the identical IEEE sqrt)
+    m = max(1, int(math.floor(math.sqrt(float(k)))))
+    cstride = max(2, k // m)
 
     hs = hex_prefix_int(md5_str(F.col("vec_id").cast("string")), 15)
     sel = hs % F.lit(stride) == 0
@@ -314,52 +390,102 @@ def embedding_neardup_ivf(
         F.col("nrm").alias("cent_nrm"),
     )
 
-    # ≤k_max codebook → ONE array row (JVM-side collect_list; never
-    # the driver). array_sort on the (cent_id, …) structs makes the
-    # array order deterministic, though the comparator below never
-    # depends on it.
-    codebook = cents.agg(
+    # Coarse sub-sample of the fine codebook: ':c'-salted hash so the
+    # selection is independent of the fine stride grid (the unsalted
+    # hash is ≡ 0 mod stride for every fine centroid — a second mod on
+    # it would be badly non-uniform). mn is always a fine centroid, so
+    # it doubles as the coarse non-emptiness fallback.
+    hs2 = hex_prefix_int(
+        md5_str(F.concat(F.col("cent_id").cast("string"), F.lit(":c"))), 15
+    )
+    csel = hs2 % F.lit(cstride) == 0
+    if mn is not None:
+        csel = csel | (F.col("cent_id") == F.lit(mn))
+    coarse_row = cents.filter(csel).agg(
         F.array_sort(
             F.collect_list(F.struct("cent_id", "cent", "cent_nrm"))
-        ).alias("cb")
+        ).alias("cc")
     )
 
-    # Per-row top-nprobe cells, fully partition-local. Scores and
-    # ordering are byte-identical to the replaced window form:
-    # cos_c = CAST(dot AS DOUBLE)/sqrt(CAST(cent_nrm AS DOUBLE)) when
-    # cent_nrm > 0 else NULL; order cos_c DESC NULLS LAST, cent_id ASC.
+    # Shared comparator: cos DESC NULLS LAST, cent_id ASC — a total
+    # order (cent_id unique), mirroring the oracle's window ORDER BY.
     _by_id = (
         "CASE WHEN l.cent_id < r.cent_id THEN -1 "
         "WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END"
     )
-    picks = f"""slice(array_sort(transform(cb, c -> struct(
-      CASE WHEN c.cent_nrm > 0 THEN
-        CAST({dot_q_expr("embedding", "c.cent")} AS DOUBLE)
-          / sqrt(CAST(c.cent_nrm AS DOUBLE))
-      END AS cos_c,
-      c.cent_id AS cent_id)),
-    (l, r) -> CASE
+    cmp = f"""(l, r) -> CASE
       WHEN l.cos_c IS NULL AND r.cos_c IS NULL THEN {_by_id}
       WHEN l.cos_c IS NULL THEN 1
       WHEN r.cos_c IS NULL THEN -1
       WHEN l.cos_c > r.cos_c THEN -1
       WHEN l.cos_c < r.cos_c THEN 1
-      ELSE {_by_id} END), 1, {int(nprobe)})"""
+      ELSE {_by_id} END"""
+
+    def _cos(vec: str, cent: str, cnrm: str) -> str:
+        return (
+            f"CASE WHEN {cnrm} > 0 THEN "
+            f"CAST({dot_q_expr(vec, cent)} AS DOUBLE)"
+            f" / sqrt(CAST({cnrm} AS DOUBLE)) END"
+        )
+
+    # fine → nearest coarse (pick-1 argmax): k rows × m coarse — tiny,
+    # and `cc` is an attribute here (computed once on the 1-row build
+    # side of the broadcast), never re-evaluated per lambda element.
+    f2c_pick = (
+        f"element_at(array_sort(transform(cc, c -> struct("
+        f"{_cos('cent', 'c.cent', 'c.cent_nrm')} AS cos_c, "
+        f"c.cent_id AS cent_id)), {cmp}), 1).cent_id"
+    )
+    f_assigned = cents.crossJoin(F.broadcast(coarse_row)).withColumn(
+        "ccid", F.expr(f2c_pick)
+    )
+    # ONE combined codebook row: annotated fines + the coarse array
+    # carried through the aggregate via first() (cc is the identical
+    # broadcast value on every input row, so first() is deterministic;
+    # re-joining coarse_row here instead would duplicate its whole
+    # subtree in the plan — pre-AQE ReuseExchange does not dedupe it).
+    cb2 = f_assigned.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent", "cent_nrm", "ccid"))
+        ).alias("fsa"),
+        F.first("cc").alias("cc"),
+    )
+
+    # Per-vector two-level pick as ONE aggregate fold. The zero
+    # expression — the m·dim coarse probe — is evaluated once per row;
+    # the merge touches every fine but does dim-work only on the ones
+    # inside a probed coarse cell, keeping the running top-nprobe via
+    # sort+slice of ≤ nprobe+1 structs (equivalent to a global
+    # row_number ≤ nprobe because the comparator is total).
+    probed = (
+        f"transform(slice(array_sort(transform(cc, c -> struct("
+        f"{_cos('embedding', 'c.cent', 'c.cent_nrm')} AS cos_c, "
+        f"c.cent_id AS cent_id)), {cmp}), 1, {int(cprobe)}), s -> s.cent_id)"
+    )
+    fold = f"""aggregate(fsa,
+      struct({probed} AS pids,
+             CAST(array() AS array<struct<cos_c:double,cent_id:bigint>>) AS best),
+      (st, f) -> CASE WHEN array_contains(st.pids, f.ccid) THEN
+          struct(st.pids AS pids,
+                 slice(array_sort(concat(st.best, array(struct(
+                   {_cos('embedding', 'f.cent', 'f.cent_nrm')} AS cos_c,
+                   f.cent_id AS cent_id))), {cmp}), 1, {int(nprobe)}) AS best)
+        ELSE st END,
+      st -> transform(st.best, s -> s.cent_id))"""
     assigned = (
-        e.crossJoin(F.broadcast(codebook))
-        .withColumn("_picks", F.expr(picks))
+        e.crossJoin(F.broadcast(cb2))
         .select(
             "vec_id",
             "embedding",
             "nrm",
-            F.explode(F.col("_picks").getField("cent_id")).alias("cell"),
+            F.explode(F.expr(fold)).alias("cell"),
         )
     )
-    # The assignment feeds BOTH sides of the pair self-join; the old
-    # window form's Exchange was deduped by ReuseExchange, but the
-    # map-only form has no exchange to reuse, so without persist the
-    # n·k codebook scoring would execute twice (the q17/q54/q78
-    # pattern). n·nprobe rows — bounded, embedding-width.
+    # The assignment feeds BOTH sides of the pair self-join; the
+    # map-only form has no exchange for ReuseExchange to dedupe, so
+    # without persist the n·√k codebook scoring would execute twice
+    # (the q17/q54/q78 pattern). n·nprobe rows — bounded,
+    # embedding-width. See the docstring NOTE on cache lifetime.
     assigned = assigned.persist()
 
     a = assigned.select(

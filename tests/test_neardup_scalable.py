@@ -43,8 +43,11 @@ def test_precision_is_one_and_recall_floored(spark, sf_dir):
     assert got <= truth  # precision 1.0: blocking never invents a pair
     recall = len(got) / len(truth)
     # blocking recall < 1 by design (the retired 16-bucket blocking
-    # measured 0.11 on this fixture; the IVF form at the default
-    # nprobe=2 measures ~0.85). The floor pins against silent collapse.
+    # measured 0.11 on this fixture; the flat IVF form measured 0.619
+    # at target_cell=64 / 0.957 at the registered 256, and the r10
+    # two-level form at the default cprobe=3 measures the identical
+    # 0.619 — the coarse probe saturates the fixture's coarse cells).
+    # The floor pins against silent collapse.
     assert recall >= 0.60, f"recall {recall:.2f} below floor ({len(got)}/{len(truth)})"
 
 

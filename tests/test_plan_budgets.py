@@ -75,7 +75,12 @@ BUDGETS = {
     "q19_dedup_ngram_jaccard": (3, 0),
     "q20_knn_bruteforce": (1, 0),
     "q21_ann_lsh": (1, 0),
-    "q22_embedding_neardup": (5, 0),
+    # r10 two-level assignment adds one bounded codebook aggregation
+    # (coarse + annotated-fine collect_lists, each a SinglePartition
+    # exchange of ≤k_max=4096 codebook rows — never data-sized); the
+    # persisted assignment's build plan prints under both pair-join
+    # sides, so each counts twice: 2·2 + join 2 + distinct 1 = 7.
+    "q22_embedding_neardup": (7, 0),
     "q23_text_stats": (1, 0),
     "q24_langid": (3, 0),
     "q25_token_counts": (1, 0),

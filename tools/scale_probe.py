@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -180,9 +181,13 @@ def apply_adjudications(d: dict, path: str) -> list[dict]:
     an ``honest_ratio_{scale}x`` / ``honest_ratio_vs_x1`` key replaces
     the matching query's ratio (at the named scale, or at every scale
     the artifact carries when the key names none). Mutates ``d`` and
-    returns the applied substitutions for the gate's output."""
-    import re
+    returns the applied substitutions for the gate's output.
 
+    ADVICE r9: a scaleless ``honest_ratio_vs_x1`` key legitimately
+    applies to a single-scale artifact; applying it to EVERY scale of
+    a multi-scale artifact would silently mis-correct the scales the
+    adjudication never measured, so that case is flagged in the
+    applied-substitution records (``scaleless_key_spanned_scales``)."""
     applied = []
     ratios = d.get("time_ratios_vs_x1", {})
     for key, block in d.items():
@@ -190,21 +195,28 @@ def apply_adjudications(d: dict, path: str) -> list[dict]:
         if not m or not isinstance(block, dict):
             continue
         qprefix = m.group(1) + "_"
+        # ADVICE r9: when the block records the full query name, match
+        # it exactly; the prefix fallback would also rewrite any other
+        # query sharing the q-number prefix.
+        exact = block.get("query") if isinstance(block.get("query"), str) else None
         for bk, bv in block.items():
             hm = re.match(r"^honest_ratio(?:_(\d+)x|_vs_x1)$", bk)
             if not hm or not isinstance(bv, (int, float)):
                 continue
             scales = [hm.group(1)] if hm.group(1) else list(ratios)
+            scaleless_span = None if hm.group(1) or len(scales) <= 1 else scales
             for scale in scales:
                 for qname, raw in list(ratios.get(scale, {}).items()):
-                    if qname.startswith(qprefix) and raw != bv:
+                    matched = (qname == exact) if exact else qname.startswith(qprefix)
+                    if matched and raw != bv:
                         ratios[scale][qname] = bv
-                        applied.append(
-                            {"artifact": os.path.basename(path),
-                             "scale": scale, "query": qname,
-                             "raw": raw, "honest": bv,
-                             "adjudication_key": key}
-                        )
+                        rec = {"artifact": os.path.basename(path),
+                               "scale": scale, "query": qname,
+                               "raw": raw, "honest": bv,
+                               "adjudication_key": key}
+                        if scaleless_span:
+                            rec["scaleless_key_spanned_scales"] = scaleless_span
+                        applied.append(rec)
     return applied
 
 

@@ -155,8 +155,16 @@ def main() -> None:
             capture_output=True,
             text=True,
         )
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        results[f"{idx}:{ph}"] = json.loads(line)
+        # ADVICE r9: a crashed phase must surface its own stderr, not
+        # die as an IndexError on the empty stdout parse below.
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not lines:
+            sys.stderr.write(p.stderr)
+            raise RuntimeError(
+                f"phase {ph!r} failed (returncode={p.returncode}, "
+                f"{len(lines)} JSON lines) — stderr above"
+            )
+        results[f"{idx}:{ph}"] = json.loads(lines[-1])
     if out_file:
         with open(out_file, "w") as f:
             json.dump(results, f, indent=1)
