@@ -21,14 +21,19 @@ Scale design:
     bounded, and the hyperplane coefficients are compile-time literals
     (zero driver state, zero RNG).
   - q22 blocks all-pairs near-dup by IVF cell with the cell COUNT
-    scaling in n (deterministic hash-mod centroid sample, broadcast
-    two-level assign via a ⌊√k⌋-centroid coarse quantizer, within-cell
+    scaling in n (deterministic hash-mod centroid sample, two-level
+    assign via a ⌊√k⌋-centroid coarse quantizer, within-cell
     pairing): candidate volume is Θ(n · cell) and assignment is
     Θ(n · √k · dim) — both linear. Registered in r6 after the measured
     scale probe caught the old fixed-16-bucket blocking at Θ(n²/16);
     hierarchical since r10 (the flat n·k·dim assignment predicted
     ≈6,500 s/run at 1000× once k hit the 4096 cap).
-  - Everything is JVM codegen arithmetic on array columns — no UDFs.
+  - q20/q21 are JVM codegen arithmetic on array columns — no UDFs.
+    q22's quantized-cosine chain runs through Arrow-batched numpy
+    (``functions.vecnp``, bit-equal by construction) since r10: every
+    JVM higher-order-function encoding of it measured at the same
+    ~1e8 mult-adds/s interpreted ceiling, while the identical float64
+    op sequence vectorizes ~100× faster per core.
 """
 
 from __future__ import annotations
@@ -299,6 +304,58 @@ SELECT DISTINCT vec_a, vec_b, sim_q9 FROM pr WHERE sim_q9 >= {NEARDUP_SIM_Q}
 """
 
 
+def _nd_cand_set(ids, embs):
+    """Candidate-set structure for the two-level pick: ids (int64,
+    ASCENDING — the tie-break order), float64 embeddings (or None for
+    a NULL embedding), exact norms, and per-length stacked matrices
+    restricted to members with a positive norm (the only members whose
+    cosine against an equal-length vector is non-NULL — ``cnrm > 0``
+    CASE guard + the NULL-on-length-mismatch dot rule)."""
+    import numpy as np
+
+    from ..functions import vecnp
+
+    order = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")
+    ids = np.asarray(ids, dtype=np.int64)[order]
+    embs = [embs[i] for i in order]
+    lens = np.array(
+        [-1 if v is None else v.size for v in embs], dtype=np.int64
+    )
+    nrms = np.zeros(ids.size, dtype=np.int64)
+    by_len: dict = {}
+    for L in set(lens.tolist()):
+        if L < 0:
+            continue
+        idx = np.nonzero(lens == L)[0]
+        M = (
+            np.stack([embs[i] for i in idx])
+            if idx.size
+            else np.empty((0, max(L, 0)))
+        )
+        nr = vecnp.nrm_q(M)
+        nrms[idx] = nr
+        pos = nr > 0
+        if pos.any():
+            by_len[L] = (idx[pos], M[pos], nr[pos])
+    return {"ids": ids, "embs": embs, "lens": lens, "nrms": nrms, "by_len": by_len}
+
+
+def _nd_scores(X, L, cs):
+    """(b × |cs|) float64 ranking-cosine matrix of the length-``L``
+    rows ``X`` against candidate set ``cs`` — NULL encoded as -inf
+    (mismatched length, NULL embedding, or non-positive norm)."""
+    import numpy as np
+
+    from ..functions import vecnp
+
+    sc = np.full((X.shape[0], cs["ids"].size), -np.inf)
+    ent = cs["by_len"].get(L)
+    if ent is not None:
+        idx, M, nr = ent
+        sc[:, idx] = vecnp.cos_scores(vecnp.dots_q(X, M), nr)
+    return sc
+
+
 def embedding_neardup_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -324,54 +381,70 @@ def embedding_neardup_ivf(
 
     Assignment is TWO-LEVEL (r10, VERDICT r9 #1): the flat broadcast
     argmax was n·k·dim with k growing to the ``k_max`` cap — the
-    in-repo anatomy measured ~1e8 mult-adds/s aggregate and predicted
-    ≈6,500 s/run at 1000× (PARITY.md q22 note). A coarse quantizer of
-    m = ⌊√k⌋ centroids (a ``':c'``-salted hash-mod sub-sample of the
-    fine codebook, min-cent_id fallback again) cuts per-vector work to
-    m·dim (coarse probe) + ~cprobe·(k/m)·dim (fine scoring inside the
-    ``cprobe`` probed coarse cells) ≈ 3·√k·dim — at the cap, ~21×
-    less arithmetic, and constant per vector once k hits the cap, so
-    total assignment is strictly linear in n.
+    committed anatomy predicted ≈6,500 s/run at 1000×. A coarse
+    quantizer of m = ⌊√k⌋ centroids (a ``':c'``-salted hash-mod
+    sub-sample of the fine codebook — the unsalted hash is ≡0 mod
+    stride on every fine, so a second mod on it would be badly
+    non-uniform; min-cent_id fallback keeps it non-empty) cuts
+    per-vector work to m·dim + ~cprobe·(k/m)·dim ≈ 4·√k·dim,
+    constant once k hits the cap, so assignment is strictly linear
+    in n.
 
-    Mechanics (all JVM expression arithmetic, zero shuffle): the
-    coarse codebook and the fine codebook annotated with each fine's
-    nearest coarse id (``fsa``) are built on k-row frames where the
-    broadcast arrays are plain ATTRIBUTES — keeping computed arrays
-    out of per-element lambda bodies, which Spark re-evaluates per
-    element — then combined into ONE row and broadcast. Per vector,
-    an ``aggregate`` fold over ``fsa`` does the fine pick: its zero
-    expression (evaluated ONCE per row) computes the top-``cprobe``
-    coarse ids, and the merge does an O(cprobe) membership test per
-    fine, scoring only fines inside probed coarse cells while
-    maintaining the running top-``nprobe`` by (cos DESC NULLS LAST,
-    cent_id ASC) — a total order, so the fold equals the oracle's
-    global ``row_number ≤ nprobe`` regardless of array order. Scores
-    are the same dot/√cent_nrm chain as ever (the vector's own norm
-    is constant per vec_id; both engines perform the identical
-    IEEE-754 divide/sqrt on exact BIGINTs, so every ranking is
-    bit-reproducible). Pairs form only inside a shared fine cell.
+    Execution is VECTORIZED (r10): three JVM expression encodings of
+    the quantized-cosine chain — windowed argmax (r8), aggregate fold
+    and broadcast-map lookup (r10 drafts, `SCALE100_r10_q22_*.json`) —
+    all plateaued at ~1e8 mult-adds/s aggregate because Spark's
+    higher-order functions are interpreted per element and excluded
+    from whole-stage codegen. The chain is therefore run through
+    ``functions.vecnp`` (Arrow-batched numpy, the multimodal family's
+    sanctioned pattern), which performs the IDENTICAL IEEE-754 float64
+    op sequence — bit-equal scores, ~100× the arithmetic rate:
+
+      1. the ≤~k-row codebook is collected (bounded: k ≤ ``k_max``
+         4096, ~2 MB — same class as the existing count/min scalar
+         action) and the coarse sub-sample + fine→coarse pick-1 are
+         computed driver-side, then broadcast;
+      2. ``mapInPandas`` assigns each vector: coarse-probe all m
+         (top-``cprobe`` by cos DESC NULLS LAST, id ASC — a stable
+         argsort over id-sorted candidates, equal to the oracle's
+         window), then rank ONLY the probed cells' fines for the
+         top-``nprobe`` cells. Zero shuffle; vectors sharing a probed
+         coarse set are scored as one numpy block. Vectors with a
+         non-positive/NULL norm are dropped here — every pair they
+         could form has NULL similarity under the CASE guard, so the
+         emitted pair set is unchanged;
+      3. one Exchange on the cell id feeds ``applyInPandas`` pair
+         scoring: within each cell, equal-length pairs get the exact
+         quantized dot + 1e9-grid similarity (mismatched lengths are
+         NULL-dot pairs on both engines — dropped), thresholded
+         before anything leaves the worker;
+      4. ``distinct()`` folds pairs surfaced via >1 shared cell.
+
+    The oracle is byte-unchanged — it mirrors the same two-level
+    derivation in SQL, and every numpy op is the identical correctly-
+    rounded float64 operation (see ``vecnp`` module docstring), so
+    rankings and similarities stay bit-reproducible cross-engine.
 
     Cost: candidate volume Θ(n · target_cell · nprobe²) — linear in
-    n; assignment Θ(n · √k · dim) — linear in n with k capped.
-    Recall is defined by the blocking (hierarchy adds a second
-    approximation level; measured vs the ``brute_force_neardup``
-    ground truth on the fixtures — see test_neardup_scalable's floor);
-    precision stays 1.0 (exact cosine on every emitted pair).
-
-    NOTE: the assignment frame is ``persist()``-ed (it feeds both
-    sides of the pair self-join; the map-only form has no Exchange
-    for ReuseExchange to dedupe). The cache is session-scoped —
-    bench tooling clears it between blocks; library consumers that
-    rebuild this plan repeatedly should ``spark.catalog.clearCache()``
-    (ADVICE r9)."""
+    n; assignment Θ(n · √k · dim) — linear in n with k capped. The
+    within-cell pair stage is the operator's real quadratic-per-cell
+    work and dominates; expected cell size is the constant knob.
+    Recall is defined by the blocking (measured vs the
+    ``brute_force_neardup`` ground truth — see test_neardup_scalable's
+    floor); precision stays 1.0 (exact cosine on every emitted pair).
+    r9's ``persist()`` (and its ADVICE-flagged cache leak) is gone:
+    pairs form inside the per-cell group, so there is no self-join to
+    recompute the assignment for."""
+    import hashlib
     import math
 
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .withColumn("nrm", F.expr(dot_q_expr("embedding", "embedding")))
-        .select("vec_id", "embedding", "nrm")
-    )
-    n, mn = e.agg(F.count(F.lit(1)), F.min("vec_id")).first()
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import vecnp
+
+    e0 = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n, mn = e0.agg(F.count(F.lit(1)), F.min("vec_id")).first()
     k = min(max(1, -(-n // target_cell)), k_max)  # capped codebook size
     stride = max(2, n // k)
     # coarse-quantizer derivation — floor(sqrt(double)) exactly as the
@@ -380,135 +453,190 @@ def embedding_neardup_ivf(
     m = max(1, int(math.floor(math.sqrt(float(k)))))
     cstride = max(2, k // m)
 
+    # fine codebook: JVM hash-mod filter (one md5 per row — the scan
+    # stays distributed), bounded collect of ≈k ≤ 4096 rows
     hs = hex_prefix_int(md5_str(F.col("vec_id").cast("string")), 15)
     sel = hs % F.lit(stride) == 0
     if mn is not None:
         sel = sel | (F.col("vec_id") == F.lit(mn))
-    cents = e.filter(sel).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent"),
-        F.col("nrm").alias("cent_nrm"),
+    cent_rows = e0.filter(sel).collect()
+    fine_ids = [r["vec_id"] for r in cent_rows]
+    fine_embs = [
+        None if r["embedding"] is None else np.asarray(r["embedding"], dtype=np.float64)
+        for r in cent_rows
+    ]
+    fines = _nd_cand_set(fine_ids, fine_embs)
+
+    # coarse sub-sample: ':c'-salted md5 (hashlib == JVM md5 == DuckDB
+    # md5 on the same decimal-string bytes), min-cent_id fallback
+    def _csel(cid: int) -> bool:
+        h = int(hashlib.md5(f"{cid}:c".encode()).hexdigest()[:15], 16)
+        return h % cstride == 0 or (mn is not None and cid == mn)
+
+    cmask = [bool(_csel(int(c))) for c in fines["ids"]]
+    coarse = _nd_cand_set(
+        [int(c) for c, s in zip(fines["ids"], cmask) if s],
+        [v for v, s in zip(fines["embs"], cmask) if s],
     )
 
-    # Coarse sub-sample of the fine codebook: ':c'-salted hash so the
-    # selection is independent of the fine stride grid (the unsalted
-    # hash is ≡ 0 mod stride for every fine centroid — a second mod on
-    # it would be badly non-uniform). mn is always a fine centroid, so
-    # it doubles as the coarse non-emptiness fallback.
-    hs2 = hex_prefix_int(
-        md5_str(F.concat(F.col("cent_id").cast("string"), F.lit(":c"))), 15
+    # fine → nearest coarse (pick-1, cos DESC NULLS LAST, ccid ASC),
+    # then the fines of each coarse cell as id-ascending index arrays
+    fines_by_ccid: dict = {}
+    if coarse["ids"].size:
+        f2c = np.empty(fines["ids"].size, dtype=np.int64)
+        for L in set(fines["lens"].tolist()):
+            idx = np.nonzero(fines["lens"] == L)[0]
+            if L < 0:
+                sc = np.full((idx.size, coarse["ids"].size), -np.inf)
+            else:
+                X = (
+                    np.stack([fines["embs"][i] for i in idx])
+                    if idx.size
+                    else np.empty((0, max(L, 0)))
+                )
+                sc = _nd_scores(X, L, coarse)
+            f2c[idx] = vecnp.top_ids_stable(sc, coarse["ids"], 1)[:, 0]
+        for ccid in np.unique(f2c):
+            fines_by_ccid[int(ccid)] = np.nonzero(f2c == ccid)[0]
+
+    bc = spark.sparkContext.broadcast(
+        {"coarse": coarse, "fines": fines, "by_ccid": fines_by_ccid}
     )
-    csel = hs2 % F.lit(cstride) == 0
-    if mn is not None:
-        csel = csel | (F.col("cent_id") == F.lit(mn))
-    coarse_row = cents.filter(csel).agg(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "cent", "cent_nrm"))
-        ).alias("cc")
+    cprobe_i, nprobe_i, thr = int(cprobe), int(nprobe), int(sim_threshold)
+
+    def _assign(batches):
+        cb = bc.value
+        co, fi, by_ccid = cb["coarse"], cb["fines"], cb["by_ccid"]
+        if not co["ids"].size:
+            return
+        gcache: dict = {}
+        for pdf in batches:
+            vids = pdf["vec_id"].to_numpy()
+            embs = [
+                None if v is None else np.asarray(v, dtype=np.float64)
+                for v in pdf["embedding"]
+            ]
+            lens = np.array(
+                [-1 if v is None else v.size for v in embs], dtype=np.int64
+            )
+            out_v, out_e, out_n, out_c = [], [], [], []
+            for L in set(lens.tolist()):
+                if L < 0:
+                    continue  # NULL embedding → NULL norm → NULL pairs
+                ridx = np.nonzero(lens == L)[0]
+                X = np.stack([embs[i] for i in ridx])
+                nr = vecnp.nrm_q(X)
+                keep = nr > 0
+                if not keep.any():
+                    continue  # zero-norm vectors form only NULL pairs
+                ridx, X, nr = ridx[keep], X[keep], nr[keep]
+                pids = vecnp.top_ids_stable(
+                    _nd_scores(X, L, co), co["ids"], cprobe_i
+                )
+                # candidates depend on the probed SET — sort so rows
+                # sharing it score as one block
+                pids = np.sort(pids, axis=1)
+                uniq, inv = np.unique(pids, axis=0, return_inverse=True)
+                inv = inv.ravel()  # shape differs across numpy versions
+                for g in range(uniq.shape[0]):
+                    rows = np.nonzero(inv == g)[0]
+                    key = tuple(int(p) for p in uniq[g])
+                    if key not in gcache:
+                        if len(gcache) > 256:
+                            gcache.clear()
+                        cand = [by_ccid.get(p) for p in key]
+                        cand = [c for c in cand if c is not None]
+                        cidx = (
+                            np.sort(np.concatenate(cand))
+                            if cand
+                            else np.empty(0, dtype=np.int64)
+                        )
+                        gcache[key] = (
+                            cidx,
+                            _nd_cand_set(
+                                fi["ids"][cidx],
+                                [fi["embs"][i] for i in cidx],
+                            )
+                            if cidx.size
+                            else None,
+                        )
+                    cidx, cset = gcache[key]
+                    if cset is None:
+                        continue  # every probed coarse cell is empty
+                    picks = vecnp.top_ids_stable(
+                        _nd_scores(X[rows], L, cset), cset["ids"], nprobe_i
+                    )
+                    w = picks.shape[1]
+                    if not w:
+                        continue
+                    rr = ridx[np.repeat(rows, w)]
+                    out_v.append(vids[rr])
+                    out_e.extend(pdf["embedding"].iloc[rr])
+                    out_n.append(np.repeat(nr[rows], w))
+                    out_c.append(picks.ravel())
+            if out_v:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(out_v),
+                        "embedding": pd.Series(out_e, dtype=object),
+                        "nrm": np.concatenate(out_n),
+                        "cell": np.concatenate(out_c),
+                    }
+                )
+
+    assigned = e0.mapInPandas(
+        _assign, "vec_id bigint, embedding array<float>, nrm bigint, cell bigint"
     )
 
-    # Shared comparator: cos DESC NULLS LAST, cent_id ASC — a total
-    # order (cent_id unique), mirroring the oracle's window ORDER BY.
-    _by_id = (
-        "CASE WHEN l.cent_id < r.cent_id THEN -1 "
-        "WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END"
-    )
-    cmp = f"""(l, r) -> CASE
-      WHEN l.cos_c IS NULL AND r.cos_c IS NULL THEN {_by_id}
-      WHEN l.cos_c IS NULL THEN 1
-      WHEN r.cos_c IS NULL THEN -1
-      WHEN l.cos_c > r.cos_c THEN -1
-      WHEN l.cos_c < r.cos_c THEN 1
-      ELSE {_by_id} END"""
-
-    def _cos(vec: str, cent: str, cnrm: str) -> str:
-        return (
-            f"CASE WHEN {cnrm} > 0 THEN "
-            f"CAST({dot_q_expr(vec, cent)} AS DOUBLE)"
-            f" / sqrt(CAST({cnrm} AS DOUBLE)) END"
+    def _pairs(pdf):
+        vids = pdf["vec_id"].to_numpy()
+        nrs = pdf["nrm"].to_numpy()
+        embs = [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        lens = np.array([v.size for v in embs], dtype=np.int64)
+        out_a, out_b, out_s = [], [], []
+        for L in set(lens.tolist()):
+            idx = np.nonzero(lens == L)[0]
+            if idx.size < 2:
+                continue
+            # vec_a < vec_b orientation via id-ascending row order
+            idx = idx[np.argsort(vids[idx], kind="stable")]
+            X = np.stack([embs[i] for i in idx])
+            nr, vv = nrs[idx], vids[idx]
+            B = X.shape[0]
+            step = max(1, 4_000_000 // B)
+            for i0 in range(0, B - 1, step):
+                i1 = min(i0 + step, B - 1)
+                # columns start past the block head: j > i for every
+                # row in the block is enforced by the mask below
+                dots = vecnp.dots_q(X[i0:i1], X[i0 + 1 :])
+                sims = vecnp.sim_q9(
+                    dots, nr[i0:i1, None], nr[None, i0 + 1 :]
+                )
+                jj = np.arange(i0 + 1, B)[None, :]
+                mask = (jj > np.arange(i0, i1)[:, None]) & (sims >= thr)
+                ai, bj = np.nonzero(mask)
+                out_a.append(vv[i0 + ai])
+                out_b.append(vv[i0 + 1 + bj])
+                out_s.append(sims[ai, bj])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.empty(0, dtype=np.int64),
+                    "vec_b": np.empty(0, dtype=np.int64),
+                    "sim_q9": np.empty(0, dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "sim_q9": np.concatenate(out_s),
+            }
         )
 
-    # fine → nearest coarse (pick-1 argmax): k rows × m coarse — tiny,
-    # and `cc` is an attribute here (computed once on the 1-row build
-    # side of the broadcast), never re-evaluated per lambda element.
-    f2c_pick = (
-        f"element_at(array_sort(transform(cc, c -> struct("
-        f"{_cos('cent', 'c.cent', 'c.cent_nrm')} AS cos_c, "
-        f"c.cent_id AS cent_id)), {cmp}), 1).cent_id"
-    )
-    f_assigned = cents.crossJoin(F.broadcast(coarse_row)).withColumn(
-        "ccid", F.expr(f2c_pick)
-    )
-    # ONE combined codebook row: annotated fines + the coarse array
-    # carried through the aggregate via first() (cc is the identical
-    # broadcast value on every input row, so first() is deterministic;
-    # re-joining coarse_row here instead would duplicate its whole
-    # subtree in the plan — pre-AQE ReuseExchange does not dedupe it).
-    cb2 = f_assigned.agg(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "cent", "cent_nrm", "ccid"))
-        ).alias("fsa"),
-        F.first("cc").alias("cc"),
-    )
-
-    # Per-vector two-level pick as ONE aggregate fold. The zero
-    # expression — the m·dim coarse probe — is evaluated once per row;
-    # the merge touches every fine but does dim-work only on the ones
-    # inside a probed coarse cell, keeping the running top-nprobe via
-    # sort+slice of ≤ nprobe+1 structs (equivalent to a global
-    # row_number ≤ nprobe because the comparator is total).
-    probed = (
-        f"transform(slice(array_sort(transform(cc, c -> struct("
-        f"{_cos('embedding', 'c.cent', 'c.cent_nrm')} AS cos_c, "
-        f"c.cent_id AS cent_id)), {cmp}), 1, {int(cprobe)}), s -> s.cent_id)"
-    )
-    fold = f"""aggregate(fsa,
-      struct({probed} AS pids,
-             CAST(array() AS array<struct<cos_c:double,cent_id:bigint>>) AS best),
-      (st, f) -> CASE WHEN array_contains(st.pids, f.ccid) THEN
-          struct(st.pids AS pids,
-                 slice(array_sort(concat(st.best, array(struct(
-                   {_cos('embedding', 'f.cent', 'f.cent_nrm')} AS cos_c,
-                   f.cent_id AS cent_id))), {cmp}), 1, {int(nprobe)}) AS best)
-        ELSE st END,
-      st -> transform(st.best, s -> s.cent_id))"""
-    assigned = (
-        e.crossJoin(F.broadcast(cb2))
-        .select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            F.explode(F.expr(fold)).alias("cell"),
-        )
-    )
-    # The assignment feeds BOTH sides of the pair self-join; the
-    # map-only form has no exchange for ReuseExchange to dedupe, so
-    # without persist the n·√k codebook scoring would execute twice
-    # (the q17/q54/q78 pattern). n·nprobe rows — bounded,
-    # embedding-width. See the docstring NOTE on cache lifetime.
-    assigned = assigned.persist()
-
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-        F.col("cell").alias("cell_b"),
-    )
     return (
-        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("dot", F.expr(dot_q_expr("ea", "eb")))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.expr(cosine_q_expr("dot", "na", "nb")).alias("sim_q9"),
-        )
-        .filter(F.col("sim_q9") >= sim_threshold)
+        assigned.groupBy("cell")
+        .applyInPandas(_pairs, "vec_a bigint, vec_b bigint, sim_q9 bigint")
         .distinct()  # multi-probe can surface a pair in >1 shared cell
     )
 

@@ -75,12 +75,12 @@ BUDGETS = {
     "q19_dedup_ngram_jaccard": (3, 0),
     "q20_knn_bruteforce": (1, 0),
     "q21_ann_lsh": (1, 0),
-    # r10 two-level assignment adds one bounded codebook aggregation
-    # (coarse + annotated-fine collect_lists, each a SinglePartition
-    # exchange of ≤k_max=4096 codebook rows — never data-sized); the
-    # persisted assignment's build plan prints under both pair-join
-    # sides, so each counts twice: 2·2 + join 2 + distinct 1 = 7.
-    "q22_embedding_neardup": (7, 0),
+    # r10 vectorized two-level form: the bounded ≤k_max=4096-row
+    # codebook is a driver-side collect (never in this plan), the
+    # mapInPandas assignment is map-only, and the only exchanges are
+    # the groupBy(cell) feeding applyInPandas pair scoring + the
+    # final distinct = 2. Python stages: exactly the two Arrow ones.
+    "q22_embedding_neardup": (2, 2),
     "q23_text_stats": (1, 0),
     "q24_langid": (3, 0),
     "q25_token_counts": (1, 0),
@@ -161,7 +161,6 @@ BNLJ_OK = {
     "q103_mixture_rebalance",
     "q111_ivf_recall",
     "q20_knn_bruteforce",
-    "q22_embedding_neardup",
     "q73_hll_distinct",
     "q74_bloom_semijoin",
     "q79_source_mixture",

@@ -77,22 +77,19 @@ def test_no_python_udfs_in_core_corpus(spark, sf_dir):
 
 
 def test_neardup_ivf_blocking_plan(spark, sf_dir):
-    """q22 (IVF-blocked, registered r6): centroid assignment is a
-    BROADCAST of the ≤k_max codebook (the BNLJ here is constant
-    fan-out k, never data×data), and the pair join is an equi-join
-    keyed on the cell id — no CartesianProduct anywhere."""
+    """q22 (IVF-blocked, registered r6; vectorized r10): the two-level
+    assignment is an Arrow-batched map over the scan (codebook shipped
+    via a task broadcast, never a join side), pairs form inside one
+    hash-partition-by-cell Arrow group stage, and nothing else touches
+    the data — no joins, no CartesianProduct, exactly the two Python
+    stages, and ONE data shuffle (the distinct's exchange is on the
+    already-thresholded pair output)."""
     plan = plan_of(spark, sf_dir, "q22_embedding_neardup", mode="simple")
-    assert "BroadcastNestedLoopJoin" in plan  # codebook broadcast assign
+    assert "MapInPandas" in plan  # vectorized two-level assignment
+    assert "FlatMapGroupsInPandas" in plan  # within-cell pair scoring
     assert "CartesianProduct" not in plan
-    # within-cell pairing is an equi-join on the cell key; the property
-    # pinned is "equi-join, no cartesian" — Spark may legitimately pick
-    # ANY hash/merge strategy for it depending on stats/AQE (ADVICE r6:
-    # a small fixture can make the whole cell side broadcastable)
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or "BroadcastHashJoin" in plan
-    ), plan
+    assert "Join" not in plan  # the codebook is a broadcast, not a side
+    assert "BatchEvalPython" not in plan  # Arrow only, no row-at-a-time
 
 
 @pytest.mark.parametrize("name", ["q20_knn_bruteforce", "q21_ann_lsh"])
