@@ -356,17 +356,20 @@ def _nd_scores(X, L, cs):
     return sc
 
 
-def embedding_neardup_ivf(
+def _nd_assigned(
     spark: SparkSession,
     sf_dir: str,
     target_cell: int = _ND_TARGET_CELL,
-    sim_threshold: int = NEARDUP_SIM_Q,
     nprobe: int = _ND_NPROBE,
     k_max: int = _ND_K_MAX,
     cprobe: int = _ND_CPROBE,
 ) -> DataFrame:
-    """Near-duplicate pairs (cosine ≥ threshold on the 1e9 grid)
-    blocked by IVF cell, with the cell count scaling in n.
+    """q22's ASSIGNMENT stage alone — (vec_id, embedding, nrm, cell),
+    one row per (vector, probed fine cell). Split out of
+    :func:`embedding_neardup_ivf` so the scale anatomy can time the
+    linear assignment separately from the within-cell pair stage
+    (`SCALE1000_r10_q22_anatomy.json`); the composed plan is
+    byte-identical to building it inline.
 
     Centroids are a deterministic hash-mod sample: the vectors whose
     portable md5 hash (same ``hex_prefix_int ∘ md5`` chain the dedup
@@ -502,7 +505,7 @@ def embedding_neardup_ivf(
     bc = spark.sparkContext.broadcast(
         {"coarse": coarse, "fines": fines, "by_ccid": fines_by_ccid}
     )
-    cprobe_i, nprobe_i, thr = int(cprobe), int(nprobe), int(sim_threshold)
+    cprobe_i, nprobe_i = int(cprobe), int(nprobe)
 
     def _assign(batches):
         cb = bc.value
@@ -584,9 +587,37 @@ def embedding_neardup_ivf(
                     }
                 )
 
-    assigned = e0.mapInPandas(
+    return e0.mapInPandas(
         _assign, "vec_id bigint, embedding array<float>, nrm bigint, cell bigint"
     )
+
+
+def embedding_neardup_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    target_cell: int = _ND_TARGET_CELL,
+    sim_threshold: int = NEARDUP_SIM_Q,
+    nprobe: int = _ND_NPROBE,
+    k_max: int = _ND_K_MAX,
+    cprobe: int = _ND_CPROBE,
+) -> DataFrame:
+    """Within-cell pair scoring over :func:`_nd_assigned` — see that
+    docstring for the full two-level vectorized design story, recall
+    contract, and scale anatomy."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import vecnp
+
+    assigned = _nd_assigned(
+        spark,
+        sf_dir,
+        target_cell=target_cell,
+        nprobe=nprobe,
+        k_max=k_max,
+        cprobe=cprobe,
+    )
+    thr = int(sim_threshold)
 
     def _pairs(pdf):
         vids = pdf["vec_id"].to_numpy()
