@@ -211,10 +211,21 @@ def q21_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall 0.85 and precision 1.0 while staged.
 _ND_TARGET_CELL = 256  # expected vectors per IVF cell — the linearity knob
 _ND_NPROBE = 2  # fine cells each vector joins (multi-probe recall lever)
-_ND_K_MAX = 4096  # codebook cap: assignment stays bounded, never n²
 _ND_CPROBE = 3  # coarse cells each vector descends into (recall lever —
 # at 3 the fixture recall equals the flat form's exactly; per-vector
-# work stays ≈(m + 3·k/m)·dim ≈ 4·√k·dim, ~16× under flat at the cap)
+# work stays ≈(m + 3·k/m)·dim ≈ 4·√k·dim)
+# r11 (VERDICT r10 #1): the r6–r10 forms capped the codebook at
+# k ≤ 4096, which made expected cell size grow as n/k_max past
+# n ≈ 1.05 M vectors — pair volume n²·nprobe²/(2·k_max), measured as
+# 81% of the 547 s 1000× wall (`SCALE1000_r10_q22_anatomy.json`).
+# Quadratic-with-a-big-divisor is still quadratic; the cap is GONE.
+# k = ⌈n/256⌉ at every n (the q49/q61 stored-codebook discipline), so
+# expected cell size is the constant knob and pair volume is
+# n·target_cell·nprobe²/2 — linear — at every corpus size. The
+# two-level assignment keeps per-vector work ≈ 4·√k·dim, which now
+# grows as √n per vector (n^1.5 total with a tiny constant) — the
+# standard IVF trade; at real scale the codebook comes from a stored
+# index build (q49/q66) sized the same way.
 
 
 def _sql_neardup_ivf() -> str:
@@ -242,8 +253,7 @@ def _sql_neardup_ivf() -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding, {_SQL_NORM} AS nrm FROM embeddings),
 p AS (
-  SELECT LEAST(GREATEST(1, CAST(ceil(count(*) / {_ND_TARGET_CELL}.0) AS BIGINT)),
-               {_ND_K_MAX}) AS k,
+  SELECT GREATEST(1, CAST(ceil(count(*) / {_ND_TARGET_CELL}.0) AS BIGINT)) AS k,
          count(*) AS n, min(vec_id) AS mn
   FROM e
 ),
@@ -308,9 +318,14 @@ def _nd_cand_set(ids, embs):
     """Candidate-set structure for the two-level pick: ids (int64,
     ASCENDING — the tie-break order), float64 embeddings (or None for
     a NULL embedding), exact norms, and per-length stacked matrices
-    restricted to members with a positive norm (the only members whose
-    cosine against an equal-length vector is non-NULL — ``cnrm > 0``
-    CASE guard + the NULL-on-length-mismatch dot rule)."""
+    restricted to members with a positive norm AND no NULL elements
+    (the only members whose cosine against an equal-length vector is
+    non-NULL — ``cnrm > 0`` CASE guard + the NULL-on-length-mismatch
+    dot rule + the NULL-element-propagates rule: a NULL inside the
+    array arrives as NaN after the Arrow/numpy conversion, and the
+    JVM/DuckDB chain makes any dot against it NULL, so such rows are
+    masked BEFORE ``nrm_q`` — floor/int64-cast on NaN is
+    platform-defined and could otherwise fabricate a positive norm)."""
     import numpy as np
 
     from ..functions import vecnp
@@ -332,9 +347,12 @@ def _nd_cand_set(ids, embs):
             if idx.size
             else np.empty((0, max(L, 0)))
         )
-        nr = vecnp.nrm_q(M)
+        fin = ~np.isnan(M).any(axis=1)
+        nr = np.zeros(idx.size, dtype=np.int64)
+        if fin.any():
+            nr[fin] = vecnp.nrm_q(M[fin])
         nrms[idx] = nr
-        pos = nr > 0
+        pos = fin & (nr > 0)
         if pos.any():
             by_len[L] = (idx[pos], M[pos], nr[pos])
     return {"ids": ids, "embs": embs, "lens": lens, "nrms": nrms, "by_len": by_len}
@@ -361,7 +379,6 @@ def _nd_assigned(
     sf_dir: str,
     target_cell: int = _ND_TARGET_CELL,
     nprobe: int = _ND_NPROBE,
-    k_max: int = _ND_K_MAX,
     cprobe: int = _ND_CPROBE,
 ) -> DataFrame:
     """q22's ASSIGNMENT stage alone — (vec_id, embedding, nrm, cell),
@@ -383,15 +400,17 @@ def _nd_assigned(
     stays self-contained and deterministic.
 
     Assignment is TWO-LEVEL (r10, VERDICT r9 #1): the flat broadcast
-    argmax was n·k·dim with k growing to the ``k_max`` cap — the
-    committed anatomy predicted ≈6,500 s/run at 1000×. A coarse
-    quantizer of m = ⌊√k⌋ centroids (a ``':c'``-salted hash-mod
-    sub-sample of the fine codebook — the unsalted hash is ≡0 mod
-    stride on every fine, so a second mod on it would be badly
-    non-uniform; min-cent_id fallback keeps it non-empty) cuts
-    per-vector work to m·dim + ~cprobe·(k/m)·dim ≈ 4·√k·dim,
-    constant once k hits the cap, so assignment is strictly linear
-    in n.
+    argmax was n·k·dim — the committed anatomy predicted ≈6,500 s/run
+    at 1000×. A coarse quantizer of m = ⌊√k⌋ centroids (a
+    ``':c'``-salted hash-mod sub-sample of the fine codebook — the
+    unsalted hash is ≡0 mod stride on every fine, so a second mod on
+    it would be badly non-uniform; min-cent_id fallback keeps it
+    non-empty) cuts per-vector work to m·dim + ~cprobe·(k/m)·dim ≈
+    4·√k·dim. With the r11 UNCAPPED k = ⌈n/256⌉ that is Θ(√n) per
+    vector — Θ(n^1.5·dim/16) total with a numpy-rate constant — in
+    exchange for pair volume staying linear at every n (the cap made
+    pairs n²·nprobe²/(2·k_max) past n ≈ 1.05 M — 81% of the 1000×
+    wall, `SCALE1000_r10_q22_anatomy.json`).
 
     Execution is VECTORIZED (r10): three JVM expression encodings of
     the quantized-cosine chain — windowed argmax (r8), aggregate fold
@@ -403,10 +422,12 @@ def _nd_assigned(
     sanctioned pattern), which performs the IDENTICAL IEEE-754 float64
     op sequence — bit-equal scores, ~100× the arithmetic rate:
 
-      1. the ≤~k-row codebook is collected (bounded: k ≤ ``k_max``
-         4096, ~2 MB — same class as the existing count/min scalar
-         action) and the coarse sub-sample + fine→coarse pick-1 are
-         computed driver-side, then broadcast;
+      1. the ≈k-row codebook (k = ⌈n/256⌉ — 1/256th of the corpus,
+         embeddings only) is collected and the coarse sub-sample +
+         fine→coarse pick-1 are computed driver-side, then broadcast —
+         the q49/q66 stored-codebook discipline; at true 100 TB scale
+         the build step materializes it once to parquet instead of
+         re-collecting per query;
       2. ``mapInPandas`` assigns each vector: coarse-probe all m
          (top-``cprobe`` by cos DESC NULLS LAST, id ASC — a stable
          argsort over id-sorted candidates, equal to the oracle's
@@ -429,9 +450,18 @@ def _nd_assigned(
     rankings and similarities stay bit-reproducible cross-engine.
 
     Cost: candidate volume Θ(n · target_cell · nprobe²) — linear in
-    n; assignment Θ(n · √k · dim) — linear in n with k capped. The
-    within-cell pair stage is the operator's real quadratic-per-cell
-    work and dominates; expected cell size is the constant knob.
+    n at EVERY n (uncapped k keeps expected cell size at the constant
+    knob); assignment Θ(n · √k · dim) = Θ(n^1.5 · dim / √target_cell).
+    The within-cell pair stage is the operator's real quadratic-per-
+    cell work; expected cell size is the constant knob. Worker memory
+    bound: ``applyInPandas`` materializes one cell per Python worker —
+    expected cell ≈ target_cell·nprobe rows (≈0.5 MB at dim 128); a
+    pathological corpus (≫target_cell near-identical vectors
+    collapsing into one cell) is bounded by the corpus's duplicate
+    multiplicity, and the pair kernel itself chunks its scratch to
+    ≤32 MB — if a real deployment hits a hot cell, salt-split it at a
+    size threshold and accept the cross-salt recall loss, or stream
+    the cell via Arrow record batches.
     Recall is defined by the blocking (measured vs the
     ``brute_force_neardup`` ground truth — see test_neardup_scalable's
     floor); precision stays 1.0 (exact cosine on every emitted pair).
@@ -448,16 +478,20 @@ def _nd_assigned(
 
     e0 = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n, mn = e0.agg(F.count(F.lit(1)), F.min("vec_id")).first()
-    k = min(max(1, -(-n // target_cell)), k_max)  # capped codebook size
+    k = max(1, -(-n // target_cell))  # corpus-sized codebook, UNCAPPED (r11)
     stride = max(2, n // k)
     # coarse-quantizer derivation — floor(sqrt(double)) exactly as the
-    # oracle computes it (k ≤ 4096 is exactly representable, so both
-    # engines floor the identical IEEE sqrt)
+    # oracle computes it (any k ≪ 2^53 is exactly representable, so
+    # both engines floor the identical correctly-rounded IEEE sqrt)
     m = max(1, int(math.floor(math.sqrt(float(k)))))
     cstride = max(2, k // m)
 
     # fine codebook: JVM hash-mod filter (one md5 per row — the scan
-    # stays distributed), bounded collect of ≈k ≤ 4096 rows
+    # stays distributed), collect of ≈k = ⌈n/target_cell⌉ rows — the
+    # stored-codebook discipline (q49/q66): the codebook is 1/256th of
+    # the corpus (embeddings only, no payload), so it fits the driver
+    # and the broadcast wherever the corpus itself is tractable; a
+    # production deployment materializes it once via an index build
     hs = hex_prefix_int(md5_str(F.col("vec_id").cast("string")), 15)
     sel = hs % F.lit(stride) == 0
     if mn is not None:
@@ -497,7 +531,14 @@ def _nd_assigned(
                     if idx.size
                     else np.empty((0, max(L, 0)))
                 )
-                sc = _nd_scores(X, L, coarse)
+                # NULL-element (NaN) fines never reach the kernels —
+                # all-NULL scores → deterministic lowest-coarse-id pick
+                # (irrelevant to output: such fines are masked out of
+                # every candidate set)
+                sc = np.full((idx.size, coarse["ids"].size), -np.inf)
+                fin = ~np.isnan(X).any(axis=1)
+                if fin.any():
+                    sc[fin] = _nd_scores(X[fin], L, coarse)
             f2c[idx] = vecnp.top_ids_stable(sc, coarse["ids"], 1)[:, 0]
         for ccid in np.unique(f2c):
             fines_by_ccid[int(ccid)] = np.nonzero(f2c == ccid)[0]
@@ -528,10 +569,17 @@ def _nd_assigned(
                     continue  # NULL embedding → NULL norm → NULL pairs
                 ridx = np.nonzero(lens == L)[0]
                 X = np.stack([embs[i] for i in ridx])
-                nr = vecnp.nrm_q(X)
-                keep = nr > 0
+                # NULL elements arrive as NaN (Arrow list<float> with a
+                # null slot) — the JVM/DuckDB dot against such a vector
+                # is NULL, and floor/int64 on NaN is platform-defined,
+                # so mask BEFORE nrm_q exactly like zero-norm rows
+                fin = ~np.isnan(X).any(axis=1)
+                nr = np.zeros(X.shape[0], dtype=np.int64)
+                if fin.any():
+                    nr[fin] = vecnp.nrm_q(X[fin])
+                keep = fin & (nr > 0)
                 if not keep.any():
-                    continue  # zero-norm vectors form only NULL pairs
+                    continue  # zero-norm/NULL-element vectors form only NULL pairs
                 ridx, X, nr = ridx[keep], X[keep], nr[keep]
                 pids = vecnp.top_ids_stable(
                     _nd_scores(X, L, co), co["ids"], cprobe_i
@@ -598,7 +646,6 @@ def embedding_neardup_ivf(
     target_cell: int = _ND_TARGET_CELL,
     sim_threshold: int = NEARDUP_SIM_Q,
     nprobe: int = _ND_NPROBE,
-    k_max: int = _ND_K_MAX,
     cprobe: int = _ND_CPROBE,
 ) -> DataFrame:
     """Within-cell pair scoring over :func:`_nd_assigned` — see that
@@ -614,7 +661,6 @@ def embedding_neardup_ivf(
         sf_dir,
         target_cell=target_cell,
         nprobe=nprobe,
-        k_max=k_max,
         cprobe=cprobe,
     )
     thr = int(sim_threshold)

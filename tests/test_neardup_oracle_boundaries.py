@@ -96,13 +96,25 @@ def test_q22_oracle_matches_on_degenerate_corpus(spark, tmp_path):
     Spark's unsliced zip_with spans the full length — and the old
     DuckDB clamp summed only 64 terms, a silent non-NULL value
     divergence this differential now catches; over×full stays NULL on
-    both engines (mismatched lengths)."""
+    both engines (mismatched lengths).
+
+    r11 (ADVICE r10): the corpus also injects ELEMENT-level NULLs
+    (full-length arrays with one NULL slot). On the JVM/DuckDB chain
+    every dot touching such a vector is NULL; on the numpy path the
+    NULL arrives as NaN, where floor/int64 is platform-defined and an
+    int64 term sum can wrap to a bogus positive norm — the _assign /
+    _nd_cand_set isnan masks exist exactly so these rows pair with
+    nothing on BOTH engines, which this differential now proves."""
     import pyspark.sql.functions as F
 
     out = str(tmp_path / "degen")
     over = F.concat(
         "embedding",
         F.array(*[F.lit(0.5 + 0.1 * i).cast("float") for i in range(6)]),
+    )
+    null_elem = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == F.lit(1), F.lit(None).cast("float")).otherwise(x),
     )
     (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -111,6 +123,7 @@ def test_q22_oracle_matches_on_degenerate_corpus(spark, tmp_path):
             F.when(F.col("vec_id") % 7 == 0, F.array().cast("array<float>"))
             .when(F.col("vec_id") % 7 == 1, F.slice("embedding", 1, 3))
             .when(F.col("vec_id") % 7 == 2, over)
+            .when(F.col("vec_id") % 7 == 3, null_elem)
             .otherwise(F.col("embedding")),
         )
         .coalesce(1)

@@ -93,9 +93,14 @@ def test_centroid_set_never_empty(spark, tmp_path):
 
 
 def test_q22_handles_degenerate_embeddings(spark, tmp_path):
-    """Zero-norm and truncated vectors must not crash the registered
-    q22 (the round-5 vecops guards apply to the IVF form too)."""
+    """Zero-norm, truncated, and element-NULL vectors must not crash
+    the registered q22 (the round-5 vecops guards + the r11 NaN masks
+    apply to the IVF form too)."""
     out = str(tmp_path / "emb")
+    null_elem = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == F.lit(0), F.lit(None).cast("float")).otherwise(x),
+    )
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
@@ -106,6 +111,7 @@ def test_q22_handles_degenerate_embeddings(spark, tmp_path):
                 "embedding",
                 F.when(F.col("vec_id") % 7 == 0, F.array().cast("array<float>"))
                 .when(F.col("vec_id") % 7 == 1, F.slice("embedding", 1, 3))
+                .when(F.col("vec_id") % 7 == 2, null_elem)
                 .otherwise(F.col("embedding")),
             )
         df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")

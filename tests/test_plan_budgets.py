@@ -75,11 +75,12 @@ BUDGETS = {
     "q19_dedup_ngram_jaccard": (3, 0),
     "q20_knn_bruteforce": (1, 0),
     "q21_ann_lsh": (1, 0),
-    # r10 vectorized two-level form: the bounded ≤k_max=4096-row
-    # codebook is a driver-side collect (never in this plan), the
-    # mapInPandas assignment is map-only, and the only exchanges are
-    # the groupBy(cell) feeding applyInPandas pair scoring + the
-    # final distinct = 2. Python stages: exactly the two Arrow ones.
+    # r10 vectorized two-level form (r11: codebook UNCAPPED at
+    # k = ⌈n/256⌉): the ≈k-row codebook is a driver-side collect
+    # (never in this plan), the mapInPandas assignment is map-only,
+    # and the only exchanges are the groupBy(cell) feeding
+    # applyInPandas pair scoring + the final distinct = 2. Python
+    # stages: exactly the two Arrow ones.
     "q22_embedding_neardup": (2, 2),
     "q23_text_stats": (1, 0),
     "q24_langid": (3, 0),

@@ -66,14 +66,41 @@ def test_agg_is_partial_then_final(spark, sf_dir):
     assert "Exchange" in plan
 
 
+# Arrow-vectorized Python plan nodes are sanctioned ONLY where JVM
+# expressions measurably cannot do the work at rate: the multimodal
+# codec family, stateful streaming ops, and q22's quantized-cosine
+# kernels (r10 — Spark HOF lambdas are interpreted at ~1e8
+# mult-adds/s; functions.vecnp is bit-equal at ~100× that, pinned by
+# test_vecnp_cross_engine). Anything else that grows one of these
+# nodes has silently fallen off the JVM fast path (ADVICE r10).
+_PYTHON_SANCTIONED = {"q22_embedding_neardup"}
+_PYTHON_NODES = (
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInArrow",
+    "ApplyInPandasWithState",
+)
+
+
 def test_no_python_udfs_in_core_corpus(spark, sf_dir):
-    """Everything except the multimodal mapInPandas queries must stay
-    JVM-side (BatchEvalPython / ArrowEvalPython absent from plans)."""
+    """Everything except the multimodal/streaming families and the
+    explicitly sanctioned q22 must stay JVM-side — row-at-a-time
+    (BatchEvalPython/ArrowEvalPython) banned everywhere, and the
+    Arrow map/group nodes banned outside the sanction list."""
     for name, spec in sorted(SPECS.items()):
         if "multimodal" in spec.tags or "streaming" in spec.tags:
             continue
         plan = plan_of(spark, sf_dir, name, mode="simple")
         assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+        if name in _PYTHON_SANCTIONED:
+            continue
+        for node in _PYTHON_NODES:
+            assert node not in plan, (
+                f"{name} fell off the JVM fast path ({node}) — if this is "
+                "a measured, bit-equal vectorization, add it to "
+                "_PYTHON_SANCTIONED with the evidence"
+            )
 
 
 def test_neardup_ivf_blocking_plan(spark, sf_dir):

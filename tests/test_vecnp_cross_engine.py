@@ -49,17 +49,27 @@ def _vectors() -> list[tuple[int, list[float]]]:
     vecs.append([0.5] * (DIM + 6))  # 13: over-length, 70 defined terms
     vecs.append([2**-149] * DIM)  # 14: float32 subnormal — zero norm
     vecs.append([0.1] * DIM)  # 15: repeating-fraction rounding
+    # 16: NULL ELEMENT inside a full-length array (ADVICE r10): the
+    # JVM/DuckDB chain makes every dot against it NULL; numpy sees it
+    # as NaN and the similarity callers must mask it out BEFORE the
+    # kernels (floor/int64 on NaN is platform-defined)
+    vecs.append([1.0, None] + [0.25] * (DIM - 2))
     return list(enumerate(vecs))
 
 
 def _np_vec(v: list[float]) -> np.ndarray:
     # mirror the production data path: parquet float32 → float64 widen
-    return np.asarray(v, dtype=np.float32).astype(np.float64)
+    # (a NULL element arrives as NaN, exactly as Arrow delivers it)
+    return np.asarray(
+        [np.nan if x is None else x for x in v], dtype=np.float32
+    ).astype(np.float64)
 
 
 @pytest.fixture(scope="module")
 def jvm_rows(spark):
-    rows = [(i, [float(x) for x in v]) for i, v in _vectors()]
+    rows = [
+        (i, [None if x is None else float(x) for x in v]) for i, v in _vectors()
+    ]
     df = spark.createDataFrame(rows, "vid INT, embedding ARRAY<FLOAT>")
     df.createOrReplaceTempView("xvecnp")
     out = spark.sql(
@@ -81,22 +91,41 @@ def jvm_rows(spark):
 
 def test_dots_and_norms_match_jvm_exactly(jvm_rows):
     vecs = dict(_vectors())
-    checked = 0
+    checked = nulls = 0
     for (va, vb), (dot, _) in sorted(jvm_rows.items()):
         A = _np_vec(vecs[va])[None, :]
         B = _np_vec(vecs[vb])[None, :]
+        if dot is None:
+            # the JVM chain NULLs every dot touching a NULL element —
+            # numpy sees NaN there, and the kernel contract is that
+            # callers mask such rows BEFORE dots_q/nrm_q
+            assert np.isnan(A).any() or np.isnan(B).any(), (va, vb)
+            nulls += 1
+            continue
         got = int(vecnp.dots_q(A, B)[0, 0])
         assert got == int(dot), (va, vb, got, dot)
         if va == vb:
             assert int(vecnp.nrm_q(A)[0]) == int(dot), (va, got, dot)
         checked += 1
     # every equal-length pair of the battery, including empty×empty
+    # and the NULL-element vector's pairs (all NULL dots)
     assert checked > 60 and (9, 9) in jvm_rows and (13, 13) in jvm_rows
+    assert nulls >= 12 and (16, 16) in jvm_rows
 
 
 def test_sim_q9_matches_jvm_on_positive_norms(jvm_rows):
     vecs = dict(_vectors())
-    nrm = {i: int(vecnp.nrm_q(_np_vec(v)[None, :])[0]) for i, v in _vectors() if v is not None}
+    # caller-style masking: a NULL-element (NaN) vector gets norm 0,
+    # never reaching nrm_q — mirrors _nd_cand_set / _assign
+    nrm = {
+        i: (
+            0
+            if np.isnan(_np_vec(v)).any()
+            else int(vecnp.nrm_q(_np_vec(v)[None, :])[0])
+        )
+        for i, v in _vectors()
+        if v is not None
+    }
     checked = 0
     for (va, vb), (dot, sim) in sorted(jvm_rows.items()):
         if nrm[va] <= 0 or nrm[vb] <= 0:

@@ -72,3 +72,22 @@ def test_sim_q9_broadcasts_pair_block():
     # (dot == nrm, floor(nrm/sqrt(nrm*nrm)*1e9 + 0.5) == 1e9)
     assert np.array_equal(np.diag(sims), np.full(4, 1_000_000_000))
     assert np.array_equal(sims, sims.T)  # symmetric inputs, exact grid
+
+
+def test_cand_set_masks_null_element_vectors():
+    """ADVICE r10: a NULL element inside an embedding arrives at the
+    numpy layer as NaN, where floor/astype(int64) is platform-defined
+    and the int64 term sum can wrap to a bogus positive norm. q22's
+    candidate builder must treat such rows exactly like zero-norm
+    ones: norm 0, excluded from every per-length score matrix, so
+    they can never be picked as a cell or emit a pair."""
+    from spark_sql_pubsub_connector_spark.plans.similarity import _nd_cand_set
+
+    good = np.array([1.0, 2.0, 3.0])
+    bad = np.array([1.0, np.nan, 3.0])  # NULL slot → NaN
+    cs = _nd_cand_set([5, 9], [bad, good])
+    pos5 = cs["ids"].tolist().index(5)
+    assert cs["nrms"][pos5] == 0  # never reached nrm_q
+    idx, M, nr = cs["by_len"][3]
+    assert cs["ids"][idx].tolist() == [9]  # only the clean row scores
+    assert (nr > 0).all() and not np.isnan(M).any()

@@ -5,15 +5,18 @@ the linear assignment and the within-cell pair stage.
 Why this exists (r10): `SCALE1000_r10_q22.json` measured the full
 vectorized q22 at 547 s warm for 1000× — far below the flat form's
 predicted ≈6,500 s, but 27.6× over the 100× point for 10× the data.
-The hypothesis (this tool verifies it) is that the assignment is now
-strictly linear and the growth comes from the operator's SEMANTICS:
-the frozen k ≤ 4096 codebook cap makes expected cell size grow as
-n/k_max once n > k_max·target_cell ≈ 1.05 M vectors, so within-cell
-pair volume grows as n²·nprobe²/(2k_max) — quadratic PAST THE CAP by
-definition (both engines, oracle included). A production deployment
-sizes k with the corpus (the uncapped k = ⌈n/256⌉ keeps pair volume
-linear at n·target_cell·nprobe²/2); the registered probe keeps the cap
-so the driver-scale oracle derivation stays bounded.
+This tool verified the mechanism: the assignment was strictly linear
+and the growth came from the then-frozen k ≤ 4096 codebook cap, which
+made expected cell size grow as n/k_max once n > k_max·target_cell ≈
+1.05 M vectors — within-cell pair volume n²·nprobe²/(2k_max),
+quadratic past the cap by definition (81% of the 547 s wall,
+`SCALE1000_r10_q22_anatomy.json`).
+
+r11 (VERDICT r10 #1): the cap is GONE — k = ⌈n/256⌉ at every n, both
+engines — so expected cell size is the constant knob and pair volume
+is n·target_cell·nprobe²/2, linear. This probe now verifies THAT:
+`avg_cell` should stay ≈ target_cell·nprobe regardless of R, and
+`pair_dots` should grow linearly with R.
 
 Usage:
     python tools/q22_anatomy_probe.py [R] [--out FILE]
@@ -131,10 +134,12 @@ def main() -> None:
             "assignment_warm_s": round(assign_s, 3),
             "full_warm_s": round(full_s, 3),
             "pair_stage_share": round(1 - assign_s / full_s, 3),
-            "pair_dots": int(cells["pair_dots"]),
-            "n_cells": int(cells["n_cells"]),
-            "max_cell": int(cells["max_cell"]),
-            "avg_cell": round(float(cells["avg_cell"]), 1),
+            # coalesce: SUM/MAX/AVG over zero assignment rows are NULL
+            # (ADVICE r10) — report a zero-pair anatomy, don't crash
+            "pair_dots": int(cells["pair_dots"] or 0),
+            "n_cells": int(cells["n_cells"] or 0),
+            "max_cell": int(cells["max_cell"] or 0),
+            "avg_cell": round(float(cells["avg_cell"] or 0.0), 1),
         }
         print(json.dumps(result))
         if out_file:
