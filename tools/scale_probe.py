@@ -52,6 +52,7 @@ later. Queries present in only one artifact are reported, not failed
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -67,7 +68,7 @@ GATE_GROWTH = 2.0  # --compare fails when ratio_new > GATE_GROWTH * ratio_old
 # removes the fixed codegen cost and systematically shrinks sub-second
 # walls — comparing artifacts produced under different disciplines
 # crosses methodologies, so --compare warns when the stamps differ.
-DISCIPLINE = {"n_runs": 2, "timing": "min-of-2-warm"}
+DISCIPLINE = {"n_runs": 2, "timing": "min-of-2-warm", "inter_query_gc": True}
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
@@ -435,6 +436,21 @@ def main() -> None:
             # session's lifetime (ADVICE r6) and later queries measure
             # under someone else's storage pressure.
             spark.catalog.clearCache()
+            # Inter-query full GC (r11): two same-day 100x breadth
+            # sweeps each produced exactly ONE blown-up late query —
+            # DIFFERENT ones (q99 91.8 s then 14.9 s; q91 38.8 s then
+            # 170.2 s), both healthy when probed solo (q99 10.9 s).
+            # Whichever query runs while the old gen is full of dead
+            # broadcast/AQE-stage state from its predecessors pays
+            # sustained GC thrash across BOTH its runs, then the full
+            # collection lands and the next query reads near-solo.
+            # Forcing the collection between queries (outside the
+            # timed region; the ContextCleaner also reclaims shuffle
+            # files and broadcasts on driver GC) makes each query
+            # measure its own cost, not its predecessors' garbage —
+            # the same mechanism the aging probe's E2 leg isolates.
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
         results[r_total] = timings
         print(
