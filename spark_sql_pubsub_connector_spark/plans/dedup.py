@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.textops import (
     hex_prefix_int,
+    md5_str,
     shingles,
     sql_hex_prefix_int,
     sql_shingles,
@@ -979,7 +980,9 @@ allc AS (
          CASE WHEN s2.doc_a IS NOT NULL THEN 1 ELSE 0 END AS from_sh
   FROM mc m FULL JOIN sc s2 ON m.doc_a = s2.doc_a AND m.doc_b = s2.doc_b
 ),
-sets AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+sets AS (SELECT doc_id,
+         list_distinct(list_transform(sh, g -> {sql_hex_prefix_int('md5(g)', 12)}))
+           AS sd FROM s),
 scored AS (
   SELECT from_mh, from_sh,
          CASE WHEN CAST(floor(CAST(len(list_intersect(x.sd, y.sd)) AS DOUBLE)
@@ -1014,11 +1017,24 @@ def q91_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships.
 
     Scale: both candidate generators are bucket self-joins (never
-    O(n²)); the expensive exact-Jaccard verification runs ONCE per
-    distinct candidate pair — the two schemes' sets are aligned with a
+    O(n²)); the expensive Jaccard verification runs ONCE per distinct
+    candidate pair — the two schemes' sets are aligned with a
     pair-keyed full outer join, so a pair proposed by both is verified
     once and attributed to both. The final rollup is two global sums
-    over flag columns (one partial-agg shuffle to a 2-row result)."""
+    over flag columns (one partial-agg shuffle to a 2-row result).
+
+    The simhash scheme's band space is FIXED at 2^16, so its candidate
+    count is the scheme's intrinsic quadratic n²/2^17 (measured: 11.0M
+    pairs over 500k docs at 100x, max band 821) — that growth is the
+    ANSWER this query reports, not a plan defect. What the plan must
+    not do is amplify it: verifying on raw string 3-gram arrays
+    dragged ~2 KB per pair (two ~52-string arrays) through the verify
+    joins — ~22 GB of shuffle payload at 100x, a spill cliff that made
+    the wall swing 38.8-170.2 s across sessions. The verify sets are
+    therefore 48-bit md5-hashed gram keys (q44/q99's fixed-width key
+    discipline, collision rate ~52²/2^49 per doc, hashed identically
+    in the DuckDB oracle), cutting per-pair payload ~4x and keeping
+    the verify stage a plain linear-in-pairs shuffle."""
     mh = q17_dedup_minhash_lsh(spark, sf_dir).withColumn("from_mh", F.lit(1))
     shb = q18_dedup_simhash(spark, sf_dir).select("doc_id", "sh_band")
     a = shb.select(F.col("doc_id").alias("doc_a"), F.col("sh_band").alias("sb"))
@@ -1040,7 +1056,12 @@ def q91_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
-    sets = t.select("doc_id", F.array_distinct(shingles("w", 3)).alias("sd"))
+    sets = t.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles("w", 3), lambda g: hex_prefix_int(md5_str(g), 12))
+        ).alias("sd"),
+    )
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
     inter = F.size(F.array_intersect("sda", "sdb"))
