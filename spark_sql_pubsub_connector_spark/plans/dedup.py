@@ -1009,7 +1009,11 @@ FROM (
 )
 def q91_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-scheme bake-off: what fraction of each scheme's
-    candidate pairs are REAL near-dups (exact 3-gram Jaccard >= 0.2)?
+    candidate pairs are REAL near-dups — Jaccard >= 0.2 over 48-bit
+    md5-hashed 3-gram keys (collision-tolerant at ~52²/2^49 per doc;
+    q19/q95/q101 verify on raw-string shingle sets, this query hashes
+    because its verify payload rides a pair-keyed shuffle — see the
+    last paragraph)?
     MinHash band-buckets (q17) versus the SimHash high-16-bit band
     (q18's blocking key) — the measurement that decides which blocking
     key a production dedup pipeline joins on, and the evaluation
@@ -1342,10 +1346,9 @@ _CT_W = 16  # chunk width, matching q88
 WITH w AS (SELECT doc_id, {sql_tokens('text')} AS w FROM documents),
 f AS (
   SELECT doc_id,
-         md5(array_to_string(list_slice(w, 1, {_CT_W}), ' ')) AS fp0,
+         {sql_hex_prefix_int(f"md5(array_to_string(list_slice(w, 1, {_CT_W}), ' '))", 12)} AS fp0,
          list_transform(range(0, (len(w) + {_CT_W - 1}) // {_CT_W}),
-           i -> md5(array_to_string(
-                list_slice(w, i * {_CT_W} + 1, i * {_CT_W} + {_CT_W}), ' ')))
+           i -> {sql_hex_prefix_int(f"md5(array_to_string(list_slice(w, i * {_CT_W} + 1, i * {_CT_W} + {_CT_W}), ' '))", 12)})
            AS fps
   FROM w
 )
@@ -1374,6 +1377,15 @@ def q109_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection on chunk-count-sized arrays (≈ tokens/{_CT_W}),
     all codegen.
 
+    Payload discipline (r12, the q91 fix generalized): fingerprints
+    are 48-bit md5 prefixes (BIGINT), not 32-char md5 hex strings —
+    the fp0 self-join drags both docs' full ``fps`` arrays through
+    the verify shuffle, and at q91's 100× scale the equivalent
+    string-array payload was a ~22 GB spill cliff. 48-bit keys cut
+    per-chunk payload 4× (8 vs ~48 bytes an element) at a collision
+    rate of ~(chunks/doc)²/2^49 per pair, hashed identically in the
+    DuckDB oracle so results stay value-equal.
+
     Defensive cap: a shared boilerplate first-chunk (license headers)
     can put millions of docs behind one fp0 at 100 TB, turning the
     self-join quadratic. As in q17, exact dedup (q16/q88) is the
@@ -1392,13 +1404,21 @@ def q109_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the cap never bites at oracle-checked scales."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", tokens("text").alias("w"))
-    # fp0 spelled as a direct first-chunk md5 (identical value to
+    # fp0 spelled as a direct first-chunk hash (identical value to
     # element_at(fps, 1)) so the bucket-count branch prunes the full
-    # per-chunk fingerprint array out of its scan
-    fp0_expr = f"md5(encode(concat_ws(' ', slice(w, 1, {_CT_W})), 'UTF-8'))"
+    # per-chunk fingerprint array out of its scan; both are 48-bit
+    # md5 prefixes (see docstring payload discipline)
+    def _fp48(inner: str) -> str:
+        return (
+            f"CAST(conv(substring(md5(encode({inner}, 'UTF-8')), 1, 12), "
+            f"16, 10) AS BIGINT)"
+        )
+
+    fp0_expr = _fp48(f"concat_ws(' ', slice(w, 1, {_CT_W}))")
+    chunk_i = f"concat_ws(' ', slice(w, i * {_CT_W} + 1, {_CT_W}))"
     fps_expr = (
         f"transform(sequence(0, CAST((size(w) + {_CT_W - 1}) / {_CT_W} AS INT) - 1), "
-        f"i -> md5(encode(concat_ws(' ', slice(w, i * {_CT_W} + 1, {_CT_W})), 'UTF-8')))"
+        f"i -> {_fp48(chunk_i)})"
     )
     f = w.select(
         "doc_id",

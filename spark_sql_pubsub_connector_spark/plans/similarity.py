@@ -458,10 +458,11 @@ def _nd_assigned(
     expected cell ≈ target_cell·nprobe rows (≈0.5 MB at dim 128); a
     pathological corpus (≫target_cell near-identical vectors
     collapsing into one cell) is bounded by the corpus's duplicate
-    multiplicity, and the pair kernel itself chunks its scratch to
-    ≤32 MB — if a real deployment hits a hot cell, salt-split it at a
-    size threshold and accept the cross-salt recall loss, or stream
-    the cell via Arrow record batches.
+    multiplicity, the pair kernel chunks its scratch to ≤32 MB, and
+    past ``_ND_CELL_SPLIT`` rows the kernel salt-splits the cell with
+    a loud stderr warning (r12 — see :func:`_nd_pairs_kernel`),
+    bounding the quadratic at ~n·salt_block dots for the documented
+    cross-salt recall trade.
     Recall is defined by the blocking (measured vs the
     ``brute_force_neardup`` ground truth — see test_neardup_scalable's
     floor); precision stays 1.0 (exact cosine on every emitted pair).
@@ -532,9 +533,12 @@ def _nd_assigned(
                     else np.empty((0, max(L, 0)))
                 )
                 # NULL-element (NaN) fines never reach the kernels —
-                # all-NULL scores → deterministic lowest-coarse-id pick
-                # (irrelevant to output: such fines are masked out of
-                # every candidate set)
+                # all-NULL scores → deterministic lowest-coarse-id pick.
+                # Their ids stay in the candidate arrays at -inf, so
+                # they rank LAST (id-ascending among ties) exactly like
+                # the oracle's NULLS LAST window — still pickable as
+                # cells when a probed coarse set has fewer than nprobe
+                # scoreable fines, identically on both engines.
                 sc = np.full((idx.size, coarse["ids"].size), -np.inf)
                 fin = ~np.isnan(X).any(axis=1)
                 if fin.any():
@@ -640,6 +644,129 @@ def _nd_assigned(
     )
 
 
+# Hot-cell guard knobs (VERDICT r11 #7 / ADVICE r11): a cell past
+# _ND_CELL_SPLIT rows is salt-split INSIDE the pair kernel into blocks
+# of ~_ND_SALT_BLOCK, pairs forming only within a salt block. The
+# split threshold sits 32× above the expected cell (target_cell·nprobe
+# = 512) and >4× above the largest cell any measurement has produced
+# (max_cell 3714 at 1000×, SCALE1000_r11_q22_anatomy.json), so every
+# oracle-checked and probe-measured run is byte-identical to the
+# unsplit kernel; only a pathological duplicate-heavy corpus engages
+# it, trading cross-salt recall for bounded quadratic compute — the
+# trade the design doc prescribes for SemDeDup-style dedup, where a
+# giant near-identical cluster needs membership, not all O(D²) edges.
+_ND_CELL_SPLIT = 16384
+_ND_SALT_BLOCK = 8192
+
+
+def _nd_block_pairs(vids, nrs, embs, lens, thr, out_a, out_b, out_s):
+    """Exact within-block pair scoring (the pre-r12 kernel body):
+    equal-length rows, id-ascending orientation, ≤32 MB scratch."""
+    import numpy as np
+
+    from ..functions import vecnp
+
+    for L in set(lens.tolist()):
+        idx = np.nonzero(lens == L)[0]
+        if idx.size < 2:
+            continue
+        # vec_a < vec_b orientation via id-ascending row order
+        idx = idx[np.argsort(vids[idx], kind="stable")]
+        X = np.stack([embs[i] for i in idx])
+        nr, vv = nrs[idx], vids[idx]
+        B = X.shape[0]
+        step = max(1, 4_000_000 // B)
+        for i0 in range(0, B - 1, step):
+            i1 = min(i0 + step, B - 1)
+            # columns start past the block head: j > i for every
+            # row in the block is enforced by the mask below
+            dots = vecnp.dots_q(X[i0:i1], X[i0 + 1 :])
+            sims = vecnp.sim_q9(dots, nr[i0:i1, None], nr[None, i0 + 1 :])
+            jj = np.arange(i0 + 1, B)[None, :]
+            mask = (jj > np.arange(i0, i1)[:, None]) & (sims >= thr)
+            ai, bj = np.nonzero(mask)
+            out_a.append(vv[i0 + ai])
+            out_b.append(vv[i0 + 1 + bj])
+            out_s.append(sims[ai, bj])
+
+
+def _nd_pairs_kernel(pdf, thr, split_cap=_ND_CELL_SPLIT, salt_block=_ND_SALT_BLOCK):
+    """One IVF cell → thresholded pairs. Module-level so the
+    pathological-cell test can drive it without a SparkSession.
+
+    Cells within ``split_cap`` rows run the exact kernel unchanged.
+    A pathological cell (≫ expected 512 near-identical vectors
+    collapsing into one cell) is salt-split on a stable portable hash
+    (md5 of the decimal vec_id — session-independent, replay-stable):
+    nsalt = ⌈n/salt_block⌉ blocks, pairs only within a block. This
+    bounds the per-cell quadratic at ~n·salt_block dots and the
+    scratch at the existing 32 MB chunking, accepts the documented
+    cross-salt recall loss, and WARNS LOUDLY on the executor's stderr
+    (ADVICE r11: an opaque worker OOM is the wrong failure mode) —
+    the input materialization itself is the applyInPandas API floor,
+    bounded by the corpus's duplicate multiplicity."""
+    import hashlib
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    vids = pdf["vec_id"].to_numpy()
+    nrs = pdf["nrm"].to_numpy()
+    embs = [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    lens = np.array([v.size for v in embs], dtype=np.int64)
+    out_a, out_b, out_s = [], [], []
+    n = len(pdf)
+    if n <= split_cap:
+        _nd_block_pairs(vids, nrs, embs, lens, thr, out_a, out_b, out_s)
+    else:
+        nsalt = -(-n // salt_block)
+        sys.stderr.write(
+            f"[q22 hot-cell guard] cell of {n} rows > split cap "
+            f"{split_cap}: salt-splitting into {nsalt} blocks of "
+            f"~{salt_block}; cross-salt near-dup pairs in this cell "
+            "are NOT emitted (documented recall trade; raise the cap "
+            "or pre-dedup exact duplicates upstream)\n"
+        )
+        salts = np.array(
+            [
+                int(hashlib.md5(str(int(v)).encode()).hexdigest()[:15], 16)
+                % nsalt
+                for v in vids
+            ],
+            dtype=np.int64,
+        )
+        for s in range(nsalt):
+            bi = np.nonzero(salts == s)[0]
+            if bi.size < 2:
+                continue
+            _nd_block_pairs(
+                vids[bi],
+                nrs[bi],
+                [embs[i] for i in bi],
+                lens[bi],
+                thr,
+                out_a,
+                out_b,
+                out_s,
+            )
+    if not out_a:
+        return pd.DataFrame(
+            {
+                "vec_a": np.empty(0, dtype=np.int64),
+                "vec_b": np.empty(0, dtype=np.int64),
+                "sim_q9": np.empty(0, dtype=np.int64),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "sim_q9": np.concatenate(out_s),
+        }
+    )
+
+
 def embedding_neardup_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -650,12 +777,8 @@ def embedding_neardup_ivf(
 ) -> DataFrame:
     """Within-cell pair scoring over :func:`_nd_assigned` — see that
     docstring for the full two-level vectorized design story, recall
-    contract, and scale anatomy."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions import vecnp
-
+    contract, and scale anatomy; :func:`_nd_pairs_kernel` for the
+    r12 hot-cell salt-split guard."""
     assigned = _nd_assigned(
         spark,
         sf_dir,
@@ -666,50 +789,7 @@ def embedding_neardup_ivf(
     thr = int(sim_threshold)
 
     def _pairs(pdf):
-        vids = pdf["vec_id"].to_numpy()
-        nrs = pdf["nrm"].to_numpy()
-        embs = [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-        lens = np.array([v.size for v in embs], dtype=np.int64)
-        out_a, out_b, out_s = [], [], []
-        for L in set(lens.tolist()):
-            idx = np.nonzero(lens == L)[0]
-            if idx.size < 2:
-                continue
-            # vec_a < vec_b orientation via id-ascending row order
-            idx = idx[np.argsort(vids[idx], kind="stable")]
-            X = np.stack([embs[i] for i in idx])
-            nr, vv = nrs[idx], vids[idx]
-            B = X.shape[0]
-            step = max(1, 4_000_000 // B)
-            for i0 in range(0, B - 1, step):
-                i1 = min(i0 + step, B - 1)
-                # columns start past the block head: j > i for every
-                # row in the block is enforced by the mask below
-                dots = vecnp.dots_q(X[i0:i1], X[i0 + 1 :])
-                sims = vecnp.sim_q9(
-                    dots, nr[i0:i1, None], nr[None, i0 + 1 :]
-                )
-                jj = np.arange(i0 + 1, B)[None, :]
-                mask = (jj > np.arange(i0, i1)[:, None]) & (sims >= thr)
-                ai, bj = np.nonzero(mask)
-                out_a.append(vv[i0 + ai])
-                out_b.append(vv[i0 + 1 + bj])
-                out_s.append(sims[ai, bj])
-        if not out_a:
-            return pd.DataFrame(
-                {
-                    "vec_a": np.empty(0, dtype=np.int64),
-                    "vec_b": np.empty(0, dtype=np.int64),
-                    "sim_q9": np.empty(0, dtype=np.int64),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "vec_a": np.concatenate(out_a),
-                "vec_b": np.concatenate(out_b),
-                "sim_q9": np.concatenate(out_s),
-            }
-        )
+        return _nd_pairs_kernel(pdf, thr)
 
     return (
         assigned.groupBy("cell")

@@ -92,6 +92,103 @@ def test_centroid_set_never_empty(spark, tmp_path):
     assert _pairs(got) <= _pairs(truth)
 
 
+def _hot_cell_pdf(n: int, dim: int = 16, seed: int = 7):
+    """A pathological IVF cell: ``n`` near-identical vectors (pairwise
+    cosine ≈ 1, all above the pair threshold) as the kernel's input
+    frame — the many-duplicates corpus shape the salt-split guard
+    exists for. Deterministic (hash-derived perturbations, no RNG)."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_sql_pubsub_connector_spark.functions import vecnp
+
+    base = np.arange(1, dim + 1, dtype=np.float64)
+    X = np.stack(
+        [
+            base + 1e-6 * ((i * 2654435761 + seed) % 97) / 97.0
+            for i in range(n)
+        ]
+    )
+    nrm = vecnp.nrm_q(X)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype("float32") for row in X],
+            "nrm": nrm,
+        }
+    )
+
+
+def test_hot_cell_guard_splits_pathological_cell(capfd):
+    """Past the split cap the kernel salt-splits: emitted pairs are a
+    subset of the exact unsplit output, every pair stays within one
+    salt block (the bounded-quadratic contract), and the guard warns
+    loudly instead of silently absorbing the O(n²) cell."""
+    import hashlib
+
+    from spark_sql_pubsub_connector_spark.plans.similarity import (
+        _nd_pairs_kernel,
+    )
+
+    pdf = _hot_cell_pdf(600)
+    exact = _nd_pairs_kernel(pdf, thr=350_000_000, split_cap=10**9)
+    # exact kernel on n near-identical vectors: all n(n-1)/2 pairs
+    assert len(exact) == 600 * 599 // 2
+    split = _nd_pairs_kernel(pdf, thr=350_000_000, split_cap=500, salt_block=128)
+    err = capfd.readouterr().err
+    assert "hot-cell guard" in err and "salt-splitting" in err
+    exact_set = set(zip(exact["vec_a"], exact["vec_b"], exact["sim_q9"]))
+    split_set = set(zip(split["vec_a"], split["vec_b"], split["sim_q9"]))
+    assert split_set and split_set < exact_set  # subset, recall traded
+    nsalt = -(-600 // 128)
+
+    def salt(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % nsalt
+
+    assert all(salt(a) == salt(b) for a, b, _ in split_set)
+
+
+def test_hot_cell_guard_bounds_block_size(monkeypatch):
+    """The salt blocks the split kernel hands to the exact pair stage
+    stay near ``salt_block`` rows — the per-worker scratch bound the
+    guard exists to enforce (the ≤32 MB chunking then applies per
+    block, so a pathological cell can no longer grow a worker's pair
+    scratch without bound)."""
+    from spark_sql_pubsub_connector_spark.plans import similarity as sim
+
+    seen: list[int] = []
+    real = sim._nd_block_pairs
+
+    def spy(vids, nrs, embs, lens, thr, out_a, out_b, out_s):
+        seen.append(len(vids))
+        return real(vids, nrs, embs, lens, thr, out_a, out_b, out_s)
+
+    monkeypatch.setattr(sim, "_nd_block_pairs", spy)
+    pdf = _hot_cell_pdf(3000)
+    sim._nd_pairs_kernel(pdf, thr=350_000_000, split_cap=1000, salt_block=256)
+    nsalt = -(-3000 // 256)  # 12 blocks, ~250 rows expected each
+    assert len(seen) == nsalt
+    # md5 salting is ~uniform: no block materializes more than 2× the
+    # expected size (a 3000-row cell must never reach one block whole)
+    assert max(seen) <= 2 * 256, seen
+
+
+def test_hot_cell_guard_below_cap_is_byte_identical():
+    """Below the split cap the kernel is the pre-r12 code path —
+    byte-identical output (the reason every oracle-checked scale and
+    every recorded measurement is unaffected by the guard)."""
+    from spark_sql_pubsub_connector_spark.plans.similarity import (
+        _ND_CELL_SPLIT,
+        _nd_pairs_kernel,
+    )
+
+    pdf = _hot_cell_pdf(300)
+    assert 300 < _ND_CELL_SPLIT
+    a = _nd_pairs_kernel(pdf, thr=350_000_000)
+    b = _nd_pairs_kernel(pdf, thr=350_000_000, split_cap=10**9)
+    assert a.equals(b)
+
+
 def test_q22_handles_degenerate_embeddings(spark, tmp_path):
     """Zero-norm, truncated, and element-NULL vectors must not crash
     the registered q22 (the round-5 vecops guards + the r11 NaN masks

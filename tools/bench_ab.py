@@ -29,6 +29,12 @@ Run it once per heap size (the heap must be set before JVM launch):
     python tools/bench_ab.py --mem 8g  --out Q08AB_8g.json
     python tools/bench_ab.py --mem 13g --out Q08AB_13g.json
 
+Round 12 generalized the subject list (``--subjects a,b,c``): the
+alone-before / alone-after blocks run for EVERY named subject, so one
+session adjudicates all of a round's above-band warm deltas (r11
+flagged q20/q01/q08) under the same interleaved protocol. The default
+subject set stays q08+q22 so the r8/r9 artifacts remain comparable.
+
 Interpretation guide (written before the data, so the call is not
 post-hoc): q08-alone ≈ q08-after-headline ≈ r7's 0.786 s at BOTH
 heaps → r8's 1.122 s was host noise. q08-after-headline elevated vs
@@ -54,7 +60,7 @@ if REPO not in sys.path:
 SUBJECTS = ("q08_join_shuffle_agg", "q22_embedding_neardup")
 
 
-def run_protocol(out_file: str | None) -> dict:
+def run_protocol(out_file: str | None, subjects: tuple[str, ...] = SUBJECTS) -> dict:
     from spark_sql_pubsub_connector_spark.plans import all_specs
     from spark_sql_pubsub_connector_spark.session import get_spark
 
@@ -103,8 +109,8 @@ def run_protocol(out_file: str | None) -> dict:
         ).save()
         return time.perf_counter() - t0
 
-    def q08_block() -> dict:
-        spec = specs["q08_join_shuffle_agg"]
+    def alone_block(subject: str) -> dict:
+        spec = specs[subject]
         runs = [round(run_once(spec), 4) for _ in range(n_alone + 1)]
         spark.catalog.clearCache()
         warm_runs = runs[1:]  # discard the block's cold first run
@@ -115,14 +121,23 @@ def run_protocol(out_file: str | None) -> dict:
             "warm_min_s": round(min(warm_runs), 4),
         }
 
+    missing = [s for s in subjects if s not in specs]
+    if missing:
+        raise SystemExit(f"--subjects: not bench-tagged specs: {missing}")
     result: dict = {
         "driver_memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "sf_dir": sf_dir,
+        "subjects": list(subjects),
         "n_alone_warm_runs": n_alone,
         "n_headline_runs": n_headline,
         "calibration_start": calibrate(),
-        "q08_alone_before": q08_block(),
+        "alone_before": {s: alone_block(s) for s in subjects},
     }
+    # legacy key so the r8/r9 Q08AB artifacts stay diffable
+    if "q08_join_shuffle_agg" in subjects:
+        result["q08_alone_before"] = result["alone_before"][
+            "q08_join_shuffle_agg"
+        ]
 
     headline: dict[str, dict] = {}
     for name, spec in specs.items():
@@ -136,9 +151,13 @@ def run_protocol(out_file: str | None) -> dict:
         }
         spark.catalog.clearCache()
     result["headline_pass"] = headline
-    result["q08_alone_after"] = q08_block()
+    result["alone_after"] = {s: alone_block(s) for s in subjects}
+    if "q08_join_shuffle_agg" in subjects:
+        result["q08_alone_after"] = result["alone_after"][
+            "q08_join_shuffle_agg"
+        ]
     result["calibration_end"] = calibrate()
-    # the inversion subject, extracted for the note
+    # the r8 inversion subject, extracted for the note
     q22 = headline.get("q22_embedding_neardup", {})
     result["q22_inversion"] = {
         "cold_s": q22.get("cold_s"),
@@ -159,9 +178,14 @@ def run_protocol(out_file: str | None) -> dict:
 
 def main() -> None:
     args = sys.argv[1:]
+    subjects = SUBJECTS
+    if "--subjects" in args:
+        i = args.index("--subjects")
+        subjects = tuple(args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
     if "--child" in args:
         i = args.index("--out") if "--out" in args else None
-        run_protocol(args[i + 1] if i is not None else None)
+        run_protocol(args[i + 1] if i is not None else None, subjects)
         return
     # parent: re-exec with the requested heap so get_spark launches the
     # JVM under it (driver memory is launch-time-only in local mode)
@@ -173,7 +197,14 @@ def main() -> None:
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem)
     sys.exit(
         subprocess.call(
-            [sys.executable, os.path.abspath(__file__), "--child", *args],
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--child",
+                "--subjects",
+                ",".join(subjects),
+                *args,
+            ],
             env=env,
         )
     )

@@ -9,10 +9,18 @@ they say?" Regenerate and re-paste into PARITY when coverage moves:
 
     python tools/scale_index.py            # markdown table on stdout
 
-Rows prefer the highest scale; at equal scale, the newest artifact
-(lexicographic r-number order matches rounds). Queries present in the
-current full sweep but in no higher-scale artifact show their 25x
-evidence — every query has at least that since the --all sweeps began.
+Rows prefer the highest scale; at equal scale, the artifact with the
+newer ``recorded_utc`` stamp wins (stampless pre-r12 artifacts rank
+oldest, then lexicographic filename as the final fallback — ADVICE
+r11: filename order does not encode recency for same-round suffixed
+artifacts, so SCALE100_r11_q91_q99_solo outranked ..._q91_fixed).
+
+SUPERSEDED pins the body-staleness exclusions (VERDICT r11 #2): a
+(artifact, query) pair listed there measured a body that was fixed in
+a later commit, so indexing it would report the defect the fix
+removed. Entries are added when a fix round re-measures the query;
+they are never auto-derived (the ledger in PARITY.md records the
+body-change rounds the entries cite).
 """
 
 from __future__ import annotations
@@ -20,14 +28,45 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Body-staleness exclusions, two forms (kept in sync with the PARITY
+# ledger's last-body-change column):
+#
+# - SUPERSEDED_BEFORE_ROUND[query] = R: every artifact whose filename
+#   round number (the _rNN_ token all probe artifacts carry) is < R
+#   measured a body older than the query's last fix and is skipped.
+# - SUPERSEDED exact (artifact, query) pairs: the same-round case a
+#   round number cannot express (a fix landing mid-round after an
+#   earlier same-round measurement).
+SUPERSEDED_BEFORE_ROUND: dict[str, int] = {
+    # q22 codebook uncap landed as r11's first body commit (45f89d5):
+    # every pre-r11 artifact measured the k<=4096 cap whose pair
+    # volume bent superlinear.
+    "q22_embedding_neardup": 11,
+    # q91 verify payload moved to 48-bit gram keys in r11 (8370cbb).
+    "q91_blocking_eval": 11,
+}
+SUPERSEDED: set[tuple[str, str]] = {
+    # r11 artifact, but recorded BEFORE the same round's q91 fix:
+    # it measured the pre-fix string-gram spill cliff.
+    ("SCALE100_r11_q91_q99_solo.json", "q91_blocking_eval"),
+}
+
+
+def artifact_round(basename: str) -> int | None:
+    """Round number from the _rNN[_.] token probe artifacts carry."""
+    m = re.search(r"_r(\d+)[_.]", basename)
+    return int(m.group(1)) if m else None
+
 
 def collect() -> dict[str, tuple[int, float, float | None, str]]:
     """query -> (max_scale, ratio, wall_s, artifact)."""
-    best: dict[str, tuple[int, float, float | None, str]] = {}
+    # query -> (scale, recorded_utc, filename, ratio, wall)
+    best: dict[str, tuple[int, str, str, float, float | None]] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "SCALE*.json"))):
         try:
             d = json.load(open(f))
@@ -35,17 +74,27 @@ def collect() -> dict[str, tuple[int, float, float | None, str]]:
             continue
         ratios = d.get("time_ratios_vs_x1", {})
         walls = d.get("queries_warm_s", {})
+        stamp = d.get("recorded_utc", "")  # stampless ranks oldest
+        base = os.path.basename(f)
+        rnd = artifact_round(base)
         for scale, qs in ratios.items():
             if not isinstance(qs, dict):
                 continue
             s = int(scale)
             for q, r in qs.items():
+                if (base, q) in SUPERSEDED:
+                    continue
+                fix_round = SUPERSEDED_BEFORE_ROUND.get(q)
+                if fix_round is not None and rnd is not None and rnd < fix_round:
+                    continue
                 wall = walls.get(scale, {}).get(q)
                 prev = best.get(q)
-                # prefer higher scale; at equal scale, later artifact
-                if prev is None or s >= prev[0]:
-                    best[q] = (s, r, wall, os.path.basename(f))
-    return best
+                # prefer higher scale; at equal scale newer stamp;
+                # then later filename (globs come pre-sorted, so >=
+                # keeps the lexicographic fallback)
+                if prev is None or (s, stamp, base) >= prev[:3]:
+                    best[q] = (s, stamp, base, r, wall)
+    return {q: (v[0], v[3], v[4], v[2]) for q, v in best.items()}
 
 
 def main() -> None:

@@ -486,6 +486,15 @@ def main() -> None:
                 {
                     "base_dir": base,
                     "scales": scales,
+                    # recency stamp (ADVICE r11): scale_index.py used to
+                    # tie-break equal-scale artifacts by filename sort,
+                    # which let a superseded same-round artifact outrank
+                    # a newer fix (q91_q99_solo > q91_fixed). The index
+                    # now prefers the newer recorded_utc; stampless
+                    # (pre-r12) artifacts rank oldest.
+                    "recorded_utc": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
                     # methodology stamps (ADVICE r7): --compare warns
                     # when two artifacts' stamps differ
                     "discipline": DISCIPLINE,
