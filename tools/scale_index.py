@@ -63,11 +63,11 @@ def artifact_round(basename: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def collect() -> dict[str, tuple[int, float, float | None, str]]:
+def collect(root: str = REPO) -> dict[str, tuple[int, float, float | None, str]]:
     """query -> (max_scale, ratio, wall_s, artifact)."""
     # query -> (scale, recorded_utc, filename, ratio, wall)
     best: dict[str, tuple[int, str, str, float, float | None]] = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "SCALE*.json"))):
+    for f in sorted(glob.glob(os.path.join(root, "SCALE*.json"))):
         try:
             d = json.load(open(f))
         except (json.JSONDecodeError, OSError):
