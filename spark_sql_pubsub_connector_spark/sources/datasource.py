@@ -112,7 +112,7 @@ def _sanitize(name: str) -> str:
     return name.replace("/", "__")
 
 
-def _read_cache_dir(opts: PubsubReadOptions) -> str:
+def _read_cache_dir(opts: PubsubReadOptions, replica: int = 0) -> str:
     """Per-subscription replay-cache root; each stream scopes its batch
     dirs one level deeper under its stream_id. Scoping by consumer
     identity keeps commit()'s ack sweep from ever acking a crashed
@@ -120,14 +120,38 @@ def _read_cache_dir(opts: PubsubReadOptions) -> str:
     the new query, so acking them would drop them from every committed
     batch (at-least-once break). Stale foreign dirs are purged —
     unacked — at registration; the broker's lease expiry redelivers
-    their messages."""
-    return os.path.join(
-        opts.broker_dir, ".read_cache", _sanitize(opts.subscription)
+    their messages.
+
+    ``replica > 0`` addresses a sibling root (``.read_cache_rep{r}``):
+    the analog of the reference's 2× executor replication of the pulled
+    batch (``MEMORY_AND_DISK_SER_2``, PubsubPartitionReader.scala:57).
+    On this single-node harness replicas live under the same broker
+    dir; on a real cluster each root maps to an independent failure
+    domain (a second executor's local disk, or a DFS path)."""
+    base = ".read_cache" if replica == 0 else f".read_cache_rep{replica}"
+    return os.path.join(opts.broker_dir, base, _sanitize(opts.subscription))
+
+
+def _replica_root_dirs(broker_dir: str) -> list[str]:
+    """Replica cache roots present on disk (any ``.read_cache_rep*``),
+    regardless of the currently-configured replica count — eviction and
+    foreign-dir purging must cover copies written under an older
+    configuration."""
+    try:
+        names = os.listdir(broker_dir)
+    except OSError:
+        return []
+    return sorted(
+        os.path.join(broker_dir, n)
+        for n in names
+        if n.startswith(".read_cache_rep")
     )
 
 
-def _stream_cache_dir(opts: PubsubReadOptions, stream_id: str) -> str:
-    return os.path.join(_read_cache_dir(opts), _sanitize(stream_id))
+def _stream_cache_dir(
+    opts: PubsubReadOptions, stream_id: str, replica: int = 0
+) -> str:
+    return os.path.join(_read_cache_dir(opts, replica), _sanitize(stream_id))
 
 
 def _offset_state_path(opts: PubsubReadOptions) -> str:
@@ -152,6 +176,9 @@ class _PartitionPayload:
     max_messages: int
     cache_file: str
     region: str | None
+    # Extra copies of the partition cache file (replay_cache_replicas
+    # > 1): written on pull, read as fallback when the primary is lost.
+    replica_files: tuple = ()
 
 
 def _records_to_arrow(payload: _PartitionPayload, records: list[dict]):
@@ -194,14 +221,52 @@ def _records_to_arrow(payload: _PartitionPayload, records: list[dict]):
     )
 
 
+def _write_cache_atomic(path: str, records: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        for rec in records:
+            fh.write(json.dumps(rec) + "\n")
+    os.replace(tmp, path)
+
+
+def _load_cache(path: str) -> list[dict] | None:
+    """Cached records, or None when the file is absent/unreadable (a
+    lost or corrupted copy — the caller falls back to a replica)."""
+    try:
+        with open(path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+    except (OSError, ValueError):
+        return None
+
+
 def _pull_or_replay(payload: _PartitionPayload):
     """Executor-side body of read(): replay from the partition cache if
-    present, else pull once and persist atomically (S7 + S9)."""
+    present, else pull once and persist atomically (S7 + S9).
+
+    With ``replay_cache_replicas > 1`` each pull is persisted to every
+    replica path before the primary (the primary's existence is the
+    commit point), and a replay that finds the primary missing or
+    corrupted serves from the first healthy replica — re-healing the
+    primary — instead of re-pulling. This mirrors the reference's 2×
+    replicated persist of the pulled batch
+    (PubsubPartitionReader.scala:57, MEMORY_AND_DISK_SER_2): losing one
+    copy between pull and commit never changes what the batch replays."""
     import base64
 
-    if os.path.exists(payload.cache_file):
-        with open(payload.cache_file) as fh:
-            records = [json.loads(line) for line in fh if line.strip()]
+    records = (
+        _load_cache(payload.cache_file)
+        if os.path.exists(payload.cache_file)
+        else None
+    )
+    if records is None:
+        for rep in payload.replica_files:
+            if os.path.exists(rep):
+                records = _load_cache(rep)
+                if records is not None:
+                    _write_cache_atomic(payload.cache_file, records)
+                    break
+    if records is not None:
         if records:
             yield _records_to_arrow(payload, records)
         return
@@ -224,12 +289,9 @@ def _pull_or_replay(payload: _PartitionPayload):
         }
         for ack_id, rec in received
     ]
-    os.makedirs(os.path.dirname(payload.cache_file), exist_ok=True)
-    tmp = payload.cache_file + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        for rec in records:
-            fh.write(json.dumps(rec) + "\n")
-    os.replace(tmp, payload.cache_file)
+    for rep in payload.replica_files:
+        _write_cache_atomic(rep, records)
+    _write_cache_atomic(payload.cache_file, records)
     if records:
         yield _records_to_arrow(payload, records)
 
@@ -276,14 +338,19 @@ class PubsubStreamReader(DataSourceStreamReader):
         foreign dir belongs to a dead query; its messages must be
         redelivered by lease expiry, never acked by us (ADVICE r2:
         acking a predecessor's cached ack_ids drops messages this query
-        skipped as leased)."""
-        root = _read_cache_dir(self.opts)
-        if not os.path.isdir(root):
-            return
+        skipped as leased). Replica roots are swept the same way."""
         own = _sanitize(self.stream_id)
-        for d in os.listdir(root):
-            if d != own:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        sub = _sanitize(self.opts.subscription)
+        roots = [_read_cache_dir(self.opts)] + [
+            os.path.join(rep, sub)
+            for rep in _replica_root_dirs(self.opts.broker_dir)
+        ]
+        for root in roots:
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                if d != own:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     # -- offsets (S4/S5) ---------------------------------------------------
     def _restore_state(self) -> dict:
@@ -364,6 +431,12 @@ class PubsubStreamReader(DataSourceStreamReader):
         cache_dir = os.path.join(
             _stream_cache_dir(self.opts, self.stream_id), batch_key
         )
+        replica_dirs = [
+            os.path.join(
+                _stream_cache_dir(self.opts, self.stream_id, r), batch_key
+            )
+            for r in range(1, self.opts.replay_cache_replicas)
+        ]
 
         plan: list[tuple[int, str | None]] = []  # (index, region)
         if self.monitor is not None:
@@ -396,6 +469,10 @@ class PubsubStreamReader(DataSourceStreamReader):
                     max_messages=self.opts.max_messages_per_partition,
                     cache_file=os.path.join(cache_dir, f"part-{i:05d}.jsonl"),
                     region=region,
+                    replica_files=tuple(
+                        os.path.join(d, f"part-{i:05d}.jsonl")
+                        for d in replica_dirs
+                    ),
                 )
             )
             for i, region in plan
@@ -409,27 +486,41 @@ class PubsubStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         self._advance_to(end["batch_id"], committed=True)
         # sweep is scoped to THIS stream's cache dirs: foreign dirs are
-        # purged unacked at registration, never acknowledged here
-        root = _stream_cache_dir(self.opts, self.stream_id)
-        if not os.path.isdir(root):
-            return
+        # purged unacked at registration, never acknowledged here. The
+        # sweep spans the primary root and every replica root on disk,
+        # so the ack set survives the loss of any single copy and
+        # eviction removes all of them.
+        sub = _sanitize(self.opts.subscription)
+        roots = [_stream_cache_dir(self.opts, self.stream_id)] + [
+            os.path.join(rep, sub, _sanitize(self.stream_id))
+            for rep in _replica_root_dirs(self.opts.broker_dir)
+        ]
         end_id = end["batch_id"]
-        for batch_key in os.listdir(root):
-            try:
-                hi = int(batch_key.split("-")[-1])
-            except ValueError:
+        # batch_key -> every copy of that batch's dir across roots
+        batch_dirs: dict[str, list[str]] = {}
+        for root in roots:
+            if not os.path.isdir(root):
                 continue
-            if hi > end_id:
-                continue
-            batch_dir = os.path.join(root, batch_key)
-            ack_ids: list[str] = []
-            for f in os.listdir(batch_dir):
-                if not f.endswith(".jsonl"):
+            for batch_key in os.listdir(root):
+                try:
+                    hi = int(batch_key.split("-")[-1])
+                except ValueError:
                     continue
-                with open(os.path.join(batch_dir, f)) as fh:
-                    for line in fh:
-                        if line.strip():
-                            ack_ids.append(json.loads(line)["ack_id"])
+                if hi > end_id:
+                    continue
+                batch_dirs.setdefault(batch_key, []).append(
+                    os.path.join(root, batch_key)
+                )
+        for dirs in batch_dirs.values():
+            ack_ids: list[str] = []
+            for batch_dir in dirs:
+                for f in sorted(os.listdir(batch_dir)):
+                    if not f.endswith(".jsonl"):
+                        continue
+                    with open(os.path.join(batch_dir, f)) as fh:
+                        for line in fh:
+                            if line.strip():
+                                ack_ids.append(json.loads(line)["ack_id"])
             ack_ids = list(dict.fromkeys(ack_ids))  # distinct, keep order
             if ack_ids:
                 chunks = [
@@ -445,7 +536,8 @@ class PubsubStreamReader(DataSourceStreamReader):
                             chunks,
                         )
                     )
-            shutil.rmtree(batch_dir, ignore_errors=True)  # block eviction analog
+            for batch_dir in dirs:  # block eviction analog, every copy
+                shutil.rmtree(batch_dir, ignore_errors=True)
         self.registry.heartbeat(self.opts.subscription, self.stream_id)
 
     def stop(self) -> None:

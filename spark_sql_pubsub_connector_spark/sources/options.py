@@ -29,6 +29,7 @@ REGION_SPLIT_THRESHOLD = "region_split_threshold"
 PUBLISH_BATCH_SIZE = "publish_batch_size"
 STREAM_ID = "stream_id"  # stable consumer identity (crash recovery)
 SINK_ID = "sink_id"  # stable writer identity (cross-restart idempotence)
+REPLAY_CACHE_REPLICAS = "replay_cache_replicas"  # replay-block copies (S9)
 
 DEFAULT_NUM_PARTITIONS = 4  # package.scala:36
 DEFAULT_MAX_MESSAGES_PER_PARTITION = 1000  # package.scala:33
@@ -37,6 +38,13 @@ DEFAULT_MAX_DYNAMIC_PARTITIONS = 256  # PubsubSubscriptionMonitor.scala:26-31
 DEFAULT_REGION_SPLIT_THRESHOLD = 0.7  # package.scala:118
 DEFAULT_ACK_DEADLINE_SECONDS = 60.0
 DEFAULT_PUBLISH_BATCH_SIZE = 100
+# The reference persists each pulled batch at MEMORY_AND_DISK_SER_2 —
+# two copies on distinct executors (PubsubPartitionReader.scala:57) —
+# so an executor loss between pull and commit replays from the replica
+# instead of re-pulling. The file-cache analog defaults to one copy
+# (this harness is single-node); set 2 to mirror the reference.
+DEFAULT_REPLAY_CACHE_REPLICAS = 1
+MAX_REPLAY_CACHE_REPLICAS = 4
 
 DEFAULT_ENDPOINT = "pubsub.googleapis.com:443"
 
@@ -59,7 +67,13 @@ def _require(options: dict, key: str) -> str:
     return str(v)
 
 
-def _pos_int(options: dict, key: str, default: int, minimum: int = 1) -> int:
+def _pos_int(
+    options: dict,
+    key: str,
+    default: int,
+    minimum: int = 1,
+    maximum: int | None = None,
+) -> int:
     raw = options.get(key)
     if raw is None:
         return default
@@ -69,6 +83,8 @@ def _pos_int(options: dict, key: str, default: int, minimum: int = 1) -> int:
         raise ValueError(f"Option '{key}' must be an integer, got {raw!r}") from None
     if v < minimum:
         raise ValueError(f"Option '{key}' must be >= {minimum}, got {v}")
+    if maximum is not None and v > maximum:
+        raise ValueError(f"Option '{key}' must be <= {maximum}, got {v}")
     return v
 
 
@@ -97,6 +113,9 @@ class PubsubReadOptions:
     # stream_id (e.g. its checkpoint path) re-claims the subscription
     # immediately instead of waiting out the registry's crash TTL.
     stream_id: str | None = None
+    # Replay-cache copies per partition file (reference: 2× executor
+    # replication via MEMORY_AND_DISK_SER_2, PubsubPartitionReader.scala:57).
+    replay_cache_replicas: int = DEFAULT_REPLAY_CACHE_REPLICAS
 
     @property
     def subscription_path(self) -> str:
@@ -160,6 +179,13 @@ def validate_read_options(options: dict) -> PubsubReadOptions:
             str(options[STREAM_ID])
             if options.get(STREAM_ID) not in (None, "")
             else None
+        ),
+        replay_cache_replicas=_pos_int(
+            options,
+            REPLAY_CACHE_REPLICAS,
+            DEFAULT_REPLAY_CACHE_REPLICAS,
+            minimum=1,
+            maximum=MAX_REPLAY_CACHE_REPLICAS,
         ),
     )
 

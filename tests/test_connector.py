@@ -11,6 +11,7 @@ file-backed fake broker:
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -993,3 +994,113 @@ def test_adversarial_payloads_roundtrip_exactly(spark, broker, broker_dir, tmp_p
         echoed = by_data[sent.data]
         assert echoed.attributes == sent.attributes
         assert echoed.ordering_key == sent.ordering_key
+
+
+def test_replay_survives_primary_cache_loss(spark, broker, broker_dir):
+    """S9 replication analog (PubsubPartitionReader.scala:57,
+    MEMORY_AND_DISK_SER_2): with replay_cache_replicas=2, losing the
+    whole primary cache between pull and replay serves the identical
+    batch from the replica — no re-pull (the broker still holds the
+    lease, so a re-pull would return nothing)."""
+    import shutil as _shutil
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    _publish_canonical(broker, 30)
+    reader = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "3",
+            "max_messages_per_partition": "10",
+            "replay_cache_replicas": "2",
+        }
+    )
+    try:
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        first = [
+            sorted(tuple(map(str, r)) for r in _read_rows(reader, p))
+            for p in parts
+        ]
+        assert sum(len(x) for x in first) == 30
+        # replica copies exist alongside the primary
+        rep_root = os.path.join(broker_dir, ".read_cache_rep1")
+        assert os.path.isdir(rep_root)
+        # kill the ENTIRE primary cache tree
+        _shutil.rmtree(os.path.join(broker_dir, ".read_cache"))
+        second = [
+            sorted(tuple(map(str, r)) for r in _read_rows(reader, p))
+            for p in parts
+        ]
+        assert first == second  # replica served, byte-identical replay
+        # the replica read healed the primary copies
+        assert os.path.isdir(os.path.join(broker_dir, ".read_cache"))
+        # commit still acks everything and evicts BOTH roots' batch dirs
+        reader.commit(end)
+        assert broker.backlog("s") == 0
+        for root in (".read_cache", ".read_cache_rep1"):
+            sub_root = os.path.join(broker_dir, root, "s")
+            if os.path.isdir(sub_root):
+                for stream_d in os.listdir(sub_root):
+                    assert os.listdir(os.path.join(sub_root, stream_d)) == []
+    finally:
+        reader.stop()
+
+
+def test_replay_replicas_ack_survives_primary_loss(spark, broker, broker_dir):
+    """Commit's ack sweep reads from replica roots too: even if the
+    primary is lost and never re-read before commit, the acks land."""
+    import shutil as _shutil
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    _publish_canonical(broker, 20)
+    reader = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "2",
+            "max_messages_per_partition": "10",
+            "replay_cache_replicas": "2",
+        }
+    )
+    try:
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        n = sum(len(_read_rows(reader, p)) for p in parts)
+        assert n == 20
+        _shutil.rmtree(os.path.join(broker_dir, ".read_cache"))
+        reader.commit(end)  # ack_ids recovered from the replica root
+        assert broker.backlog("s") == 0
+    finally:
+        reader.stop()
+
+
+def test_replay_cache_replicas_option_validation(broker_dir):
+    """Range check mirrors the other option validators (package.scala
+    validateAndInitReadOptions style): >=1, <=4, default 1."""
+    from spark_sql_pubsub_connector_spark.sources.options import (
+        validate_read_options,
+    )
+
+    base = {"project_id": "p", "subscription": "s", "broker_dir": broker_dir}
+    assert validate_read_options(dict(base)).replay_cache_replicas == 1
+    assert (
+        validate_read_options(
+            dict(base, replay_cache_replicas="2")
+        ).replay_cache_replicas
+        == 2
+    )
+    with pytest.raises(ValueError):
+        validate_read_options(dict(base, replay_cache_replicas="0"))
+    with pytest.raises(ValueError):
+        validate_read_options(dict(base, replay_cache_replicas="5"))
