@@ -1539,14 +1539,20 @@ _SKEW_TOPK = 10
 
 
 def _sql_skew_profile(col: str) -> str:
+    # HUGEINT intermediates: Σc² and total² are quadratic in per-key
+    # counts and blow past int64 around 100× this corpus (the Spark
+    # side uses DECIMAL(38,0) for the same reason — both floor-divide
+    # positives, so the grids stay value-identical).
     return f"""
 SELECT '{col}' AS key_name,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(c) AS BIGINT) AS total_rows,
-       CAST(sum(c * c) * {_SKEW_SCALE} // (sum(c) * sum(c)) AS BIGINT) AS hhi_q6,
-       CAST(max(c) * {_SKEW_SCALE} // sum(c) AS BIGINT) AS top1_share_q6,
-       CAST((SELECT sum(c) FROM (SELECT c FROM cnt_{col}
-             ORDER BY c DESC, k ASC LIMIT {_SKEW_TOPK}))
+       CAST(sum(CAST(c AS HUGEINT) * c) * {_SKEW_SCALE}
+            // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS hhi_q6,
+       CAST(CAST(max(c) AS HUGEINT) * {_SKEW_SCALE} // sum(c) AS BIGINT)
+         AS top1_share_q6,
+       CAST(CAST((SELECT sum(c) FROM (SELECT c FROM cnt_{col}
+             ORDER BY c DESC, k ASC LIMIT {_SKEW_TOPK})) AS HUGEINT)
             * {_SKEW_SCALE} // sum(c) AS BIGINT) AS top10_share_q6
 FROM cnt_{col}"""
 
@@ -1579,8 +1585,12 @@ def q98_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one hash aggregate per profiled key (map-side partials —
     the profile never sees raw rows after the first agg); the top-k
     share is a TakeOrdered over the count table, and every ratio is
-    integer arithmetic on BIGINT sums (HHI at the 1e-6 grid keeps
-    Σc² · scale inside int64 far past this corpus)."""
+    exact integer floor division. The HHI intermediates (Σc², total²,
+    and their ×1e6 scaling) are quadratic in per-key counts and
+    overflow int64 near 100× this corpus — caught live by the r12
+    100× probe — so they are computed in DECIMAL(38,0) (DuckDB:
+    HUGEINT), which holds to ~1e38: safe past any conceivable corpus;
+    the final shares still land on the same BIGINT 1e-6 grid."""
     ev = load_table(spark, sf_dir, "events")
 
     def profile(col: str) -> DataFrame:
@@ -1597,7 +1607,7 @@ def q98_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.agg(
                 F.count(F.lit(1)).cast("long").alias("n_keys"),
                 F.sum("c").cast("long").alias("total_rows"),
-                F.sum(F.expr("c * c")).cast("long").alias("ss"),
+                F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("ss"),
                 F.max("c").cast("long").alias("cmax"),
             )
             .crossJoin(F.broadcast(top))
@@ -1606,13 +1616,16 @@ def q98_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_keys",
                 "total_rows",
                 F.expr(
-                    f"CAST(ss * {_SKEW_SCALE} DIV (total_rows * total_rows) AS BIGINT)"
+                    f"CAST(ss * {_SKEW_SCALE} DIV "
+                    f"(CAST(total_rows AS DECIMAL(38,0)) * total_rows) AS BIGINT)"
                 ).alias("hhi_q6"),
                 F.expr(
-                    f"CAST(cmax * {_SKEW_SCALE} DIV total_rows AS BIGINT)"
+                    f"CAST(CAST(cmax AS DECIMAL(38,0)) * {_SKEW_SCALE} "
+                    f"DIV total_rows AS BIGINT)"
                 ).alias("top1_share_q6"),
                 F.expr(
-                    f"CAST(topk * {_SKEW_SCALE} DIV total_rows AS BIGINT)"
+                    f"CAST(CAST(topk AS DECIMAL(38,0)) * {_SKEW_SCALE} "
+                    f"DIV total_rows AS BIGINT)"
                 ).alias("top10_share_q6"),
             )
         )

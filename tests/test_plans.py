@@ -526,3 +526,29 @@ def test_context_windows_map_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q114_context_windows", mode="simple")
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_skew_profile_hhi_survives_int64_overflow_counts(spark):
+    """q98's HHI intermediates (Σc², total², ×1e6) are quadratic in
+    per-key counts and overflowed BIGINT at the r12 100× probe. The
+    DECIMAL(38,0) path must produce the exact 1e-6-grid value for
+    counts where int64 arithmetic would throw ARITHMETIC_OVERFLOW:
+    c = 4e9 → Σc²·1e6 ≈ 3.2e25 ≫ 2^63."""
+    from pyspark.sql import functions as F
+
+    big = 4_000_000_000  # single key owning 4e9 rows
+    cnt = spark.createDataFrame(
+        [("a", big), ("b", big)], "k string, c long"
+    )
+    ss = cnt.agg(
+        F.sum("c").cast("long").alias("total_rows"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("ss"),
+    ).select(
+        F.expr(
+            "CAST(ss * 1000000 DIV "
+            "(CAST(total_rows AS DECIMAL(38,0)) * total_rows) AS BIGINT)"
+        ).alias("hhi_q6")
+    )
+    [row] = ss.collect()
+    # two equal keys: HHI = 2 * (1/2)^2 = 0.5 exactly
+    assert row["hhi_q6"] == 500_000
