@@ -10,14 +10,30 @@ in ...25 at 4 decimals).
 
 Recipe: snap each term to an integer at its exact decimal scale
 (``round(x * 10^s)`` — float noise is ~1e-6 of the grid, so the snap is
-unambiguous), sum as BIGINT (exact, order-independent), then divide
-back to double. Every engine performs the identical IEEE-754 division
-on the identical integer, so results are bit-equal with NO tolerance.
+unambiguous; per-row scaled values are ≤~1e10, well inside the
+double's exact-integer range), sum exactly and order-independently,
+then divide back to double. Every engine performs the identical
+IEEE-754 division on the identical integer, so results are bit-equal
+with NO tolerance.
 
-Overflow headroom: BIGINT holds ~9.2e18; at scale=4 that is ~9.2e14 in
-data units per aggregate group — far beyond the 100 TB target's
-per-group sums for money-typed columns (and Spark raises on overflow
-under ANSI rather than corrupting).
+Overflow headroom — measured, two tiers:
+
+- ``esum``/``eavg`` accumulate in BIGINT (~9.2e18): at scale=4 that is
+  ~9.2e14 data units per aggregate group — 255× above the deepest
+  scale this repo measures (1000× ≈ sf100: a q01-class group sums to
+  ~3.6e16 scaled units), but a true-100 TB q01-class group
+  (~1e11 lineitem rows × ~3.8e4 avg price × 1e4 scale ≈ 3.8e19)
+  CROSSES it. Spark raises loudly under ANSI rather than corrupting.
+- ``esum_wide``/``eavg_wide`` (and ``sql_*_wide``) accumulate in
+  DECIMAL(38,0) / DuckDB HUGEINT — exact to ~1e38, and bit-identical
+  to the narrow path below 2^63 (both engines' integer→double casts
+  are correctly rounded; pinned cross-engine past 2^63 by
+  ``test_exact_aggs_survive_past_int64``). The wide accumulator was
+  MEASURED at +141% warm wall on q01's agg (Spark's >18-digit decimal
+  sum buffer leaves the compact-long fast path), so the narrow form
+  stays the default at bench scales; switch call sites to the wide
+  form when deploying past ~sf25,000 per group (the r12 PARITY note
+  records the measurement).
 
 The SQL-text twins (`sql_esum`/`sql_eavg`) keep the DuckDB oracle
 expression structurally identical to the Spark plan.
@@ -29,9 +45,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 
-def _scaled(expr: Column | str, scale: int) -> Column:
+def _scaled(expr: Column | str, scale: int, acc: str = "long") -> Column:
     col = F.col(expr) if isinstance(expr, str) else expr
-    return F.round(col * (10**scale), 0).cast("long")
+    return F.round(col * (10**scale), 0).cast(acc)
 
 
 def esum(expr: Column | str, scale: int = 2) -> Column:
@@ -46,6 +62,21 @@ def eavg(expr: Column | str, scale: int = 2) -> Column:
     ) / F.count(F.lit(1)).cast("double")
 
 
+def esum_wide(expr: Column | str, scale: int = 2) -> Column:
+    """``esum`` with a DECIMAL(38,0) accumulator: bit-identical below
+    2^63, exact to ~1e38 — the true-100 TB escalation (see module
+    docstring for the measured cost)."""
+    acc = _scaled(expr, scale, acc="decimal(38,0)")
+    return F.sum(acc).cast("double") / F.lit(10**scale)
+
+
+def eavg_wide(expr: Column | str, scale: int = 2) -> Column:
+    acc = _scaled(expr, scale, acc="decimal(38,0)")
+    return (F.sum(acc).cast("double") / F.lit(10**scale)) / F.count(
+        F.lit(1)
+    ).cast("double")
+
+
 def sql_esum(expr: str, scale: int = 2, alias: str | None = None) -> str:
     s = 10**scale
     sql = f"CAST(sum(CAST(round(({expr}) * {s}, 0) AS BIGINT)) AS DOUBLE) / {s}"
@@ -56,6 +87,21 @@ def sql_eavg(expr: str, scale: int = 2, alias: str | None = None) -> str:
     s = 10**scale
     sql = (
         f"(CAST(sum(CAST(round(({expr}) * {s}, 0) AS BIGINT)) AS DOUBLE) / {s})"
+        f" / CAST(count(*) AS DOUBLE)"
+    )
+    return f"{sql} AS {alias}" if alias else sql
+
+
+def sql_esum_wide(expr: str, scale: int = 2, alias: str | None = None) -> str:
+    s = 10**scale
+    sql = f"CAST(sum(CAST(round(({expr}) * {s}, 0) AS HUGEINT)) AS DOUBLE) / {s}"
+    return f"{sql} AS {alias}" if alias else sql
+
+
+def sql_eavg_wide(expr: str, scale: int = 2, alias: str | None = None) -> str:
+    s = 10**scale
+    sql = (
+        f"(CAST(sum(CAST(round(({expr}) * {s}, 0) AS HUGEINT)) AS DOUBLE) / {s})"
         f" / CAST(count(*) AS DOUBLE)"
     )
     return f"{sql} AS {alias}" if alias else sql

@@ -85,3 +85,67 @@ def test_exact_aggs_match_integer_ground_truth(spark_vals):
         true_s = (sums[g] / 100.0)
         assert s == true_s, (g, s, true_s)
         assert a == true_s / counts[g], (g, a)
+
+
+def test_exact_aggs_survive_past_int64(spark):
+    """The WIDE variants accumulate in DECIMAL(38,0)/HUGEINT: a group
+    whose scaled sum crosses 2^63 — the true-100 TB q01-class case the
+    r12 probe caught as ARITHMETIC_OVERFLOW in q98's int64 arithmetic —
+    must aggregate without error and bit-match DuckDB's HUGEINT path.
+    Each term is 9e14 (exact in a double); 20,000 of them sum to
+    1.8e19 scaled units at scale 2 > 2^63 ≈ 9.2e18 (the narrow BIGINT
+    form raises here under ANSI — loud, never corrupt)."""
+    from spark_sql_pubsub_connector_spark.functions.exact import (
+        eavg_wide,
+        esum_wide,
+        sql_eavg_wide,
+        sql_esum_wide,
+    )
+
+    big = 9_000_000_000_000.00  # *100 → 9e14 per row, exact in double
+    n = 20_000
+    df = spark.createDataFrame([(0, big)] * n, "g INT, v DOUBLE").repartition(8)
+    [r] = (
+        df.groupBy("g")
+        .agg(esum_wide("v").alias("s"), eavg_wide("v").alias("a"))
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g INT, v DOUBLE)")
+    con.execute(f"INSERT INTO t SELECT 0, {big!r} FROM range({n})")
+    [(s_d, a_d)] = con.execute(
+        f"SELECT {sql_esum_wide('v', alias='s')}, "
+        f"{sql_eavg_wide('v', alias='a')} FROM t"
+    ).fetchall()
+    assert repr(r["s"]) == repr(s_d), (r["s"], s_d)
+    assert repr(r["a"]) == repr(a_d), (r["a"], a_d)
+    # the double division of the exact 128-bit integer is the contract
+    assert r["s"] == float(n * 9_000_000_000_000_00) / 100.0
+
+
+def test_wide_and_narrow_bit_identical_under_int64(spark):
+    """Below 2^63 the wide accumulator must be bit-identical to the
+    narrow default — the guarantee that lets a deployment switch to
+    the wide form without changing any historical result."""
+    from spark_sql_pubsub_connector_spark.functions.exact import (
+        eavg_wide,
+        esum_wide,
+    )
+
+    df = spark.createDataFrame(_rows(), "g INT, v DOUBLE").repartition(8)
+    narrow = {
+        r["g"]: (r["s"], r["a"])
+        for r in df.groupBy("g")
+        .agg(esum("v").alias("s"), eavg("v").alias("a"))
+        .collect()
+    }
+    wide = {
+        r["g"]: (r["s"], r["a"])
+        for r in df.groupBy("g")
+        .agg(esum_wide("v").alias("s"), eavg_wide("v").alias("a"))
+        .collect()
+    }
+    assert set(narrow) == set(wide)
+    for g in narrow:
+        assert repr(narrow[g]) == repr(wide[g]), (g, narrow[g], wide[g])
