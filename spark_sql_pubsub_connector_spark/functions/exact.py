@@ -37,12 +37,45 @@ Overflow headroom — measured, two tiers:
 
 The SQL-text twins (`sql_esum`/`sql_eavg`) keep the DuckDB oracle
 expression structurally identical to the Spark plan.
+
+Deployment knob: set ``SPARK_GRAFT_EXACT_ACC=wide`` (env, read at
+import; or call :func:`set_accumulator_mode`) and every ``esum``/
+``eavg`` call site AND its SQL oracle twin switch to the DECIMAL(38,0)/
+HUGEINT accumulator in lockstep — a true-100 TB deployment is a config
+change, not a per-query hand edit. Both modes are oracle-checked on
+q01 (``test_exact_agg_mode_knob``) and bit-identical below 2^63.
 """
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column
+
+_ACC_MODES = ("bigint", "wide")
+_ACC_MODE = os.environ.get("SPARK_GRAFT_EXACT_ACC", "bigint").strip().lower()
+if _ACC_MODE not in _ACC_MODES:
+    raise ValueError(
+        f"SPARK_GRAFT_EXACT_ACC must be one of {_ACC_MODES}, got {_ACC_MODE!r}"
+    )
+
+
+def accumulator_mode() -> str:
+    """Current accumulator mode: 'bigint' (default) or 'wide'."""
+    return _ACC_MODE
+
+
+def set_accumulator_mode(mode: str) -> str:
+    """Flip esum/eavg and their SQL twins between the BIGINT and
+    DECIMAL(38,0)/HUGEINT accumulators in lockstep; returns the
+    previous mode (so tests can restore it)."""
+    global _ACC_MODE
+    if mode not in _ACC_MODES:
+        raise ValueError(f"accumulator mode must be one of {_ACC_MODES}, got {mode!r}")
+    prev = _ACC_MODE
+    _ACC_MODE = mode
+    return prev
 
 
 def _scaled(expr: Column | str, scale: int, acc: str = "long") -> Column:
@@ -51,12 +84,18 @@ def _scaled(expr: Column | str, scale: int, acc: str = "long") -> Column:
 
 
 def esum(expr: Column | str, scale: int = 2) -> Column:
-    """Exact sum of a fixed-decimal double, returned as double."""
+    """Exact sum of a fixed-decimal double, returned as double.
+    Honors the module accumulator mode (see docstring)."""
+    if _ACC_MODE == "wide":
+        return esum_wide(expr, scale)
     return F.sum(_scaled(expr, scale)).cast("double") / F.lit(10**scale)
 
 
 def eavg(expr: Column | str, scale: int = 2) -> Column:
-    """Exact-sum-based average: (sum_scaled / 10^s) / n, all IEEE-deterministic."""
+    """Exact-sum-based average: (sum_scaled / 10^s) / n, all IEEE-deterministic.
+    Honors the module accumulator mode (see docstring)."""
+    if _ACC_MODE == "wide":
+        return eavg_wide(expr, scale)
     return (
         F.sum(_scaled(expr, scale)).cast("double") / F.lit(10**scale)
     ) / F.count(F.lit(1)).cast("double")
@@ -78,12 +117,16 @@ def eavg_wide(expr: Column | str, scale: int = 2) -> Column:
 
 
 def sql_esum(expr: str, scale: int = 2, alias: str | None = None) -> str:
+    if _ACC_MODE == "wide":
+        return sql_esum_wide(expr, scale, alias)
     s = 10**scale
     sql = f"CAST(sum(CAST(round(({expr}) * {s}, 0) AS BIGINT)) AS DOUBLE) / {s}"
     return f"{sql} AS {alias}" if alias else sql
 
 
 def sql_eavg(expr: str, scale: int = 2, alias: str | None = None) -> str:
+    if _ACC_MODE == "wide":
+        return sql_eavg_wide(expr, scale, alias)
     s = 10**scale
     sql = (
         f"(CAST(sum(CAST(round(({expr}) * {s}, 0) AS BIGINT)) AS DOUBLE) / {s})"

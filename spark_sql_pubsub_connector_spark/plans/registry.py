@@ -28,7 +28,7 @@ Contract notes (from /root/repo/__spark_entry__.py):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,7 +41,12 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 class QuerySpec:
     name: str
     build: Builder
-    oracle: str | None
+    # SQL text, or a zero-arg factory returning it. A factory re-composes
+    # at access time, so oracles that embed a mode-dependent fragment
+    # (the exact-agg accumulator knob, functions/exact.py) stay in
+    # lockstep with the Spark plan even when the mode flips after
+    # import; `all_specs()`/`oracle_sql()` always hand consumers str.
+    oracle: str | Callable[[], str] | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
@@ -70,8 +75,14 @@ def query(
     return deco
 
 
+def _resolved(spec: QuerySpec) -> QuerySpec:
+    if callable(spec.oracle):
+        return replace(spec, oracle=spec.oracle())
+    return spec
+
+
 def all_specs() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    return {n: _resolved(s) for n, s in _REGISTRY.items()}
 
 
 def queries() -> dict[str, Builder]:
@@ -79,7 +90,11 @@ def queries() -> dict[str, Builder]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+    return {
+        n: (s.oracle() if callable(s.oracle) else s.oracle)
+        for n, s in _REGISTRY.items()
+        if s.oracle is not None
+    }
 
 
 def observed_metrics(df) -> dict[str, dict]:

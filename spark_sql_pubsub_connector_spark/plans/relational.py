@@ -38,9 +38,12 @@ _CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
 # --------------------------------------------------------------------------
 # q01 — flagship: TPC-H Q1-style pricing summary (SURVEY.md §7 Phase 0)
 # --------------------------------------------------------------------------
-@query(
-    "q01_pricing_summary",
-    oracle=f"""
+def _q01_oracle() -> str:
+    # Factory, not a baked f-string: re-composes per access so the
+    # exact-agg accumulator knob (SPARK_GRAFT_EXACT_ACC /
+    # set_accumulator_mode, functions/exact.py) flips this oracle and
+    # the Spark plan in lockstep — pinned by test_exact_agg_mode_knob.
+    return f"""
 SELECT
   l_returnflag,
   l_linestatus,
@@ -55,7 +58,12 @@ SELECT
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
-""",
+"""
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=_q01_oracle,
     tags=("agg", "flagship"),
     bench=True,
 )

@@ -122,30 +122,41 @@ def _read_cache_dir(opts: PubsubReadOptions, replica: int = 0) -> str:
     unacked — at registration; the broker's lease expiry redelivers
     their messages.
 
-    ``replica > 0`` addresses a sibling root (``.read_cache_rep{r}``):
-    the analog of the reference's 2× executor replication of the pulled
-    batch (``MEMORY_AND_DISK_SER_2``, PubsubPartitionReader.scala:57).
-    On this single-node harness replicas live under the same broker
-    dir; on a real cluster each root maps to an independent failure
-    domain (a second executor's local disk, or a DFS path)."""
-    base = ".read_cache" if replica == 0 else f".read_cache_rep{replica}"
-    return os.path.join(opts.broker_dir, base, _sanitize(opts.subscription))
+    ``replica > 0`` addresses a sibling root: the analog of the
+    reference's 2× executor replication of the pulled batch
+    (``MEMORY_AND_DISK_SER_2``, PubsubPartitionReader.scala:57). By
+    default replicas live under derived ``.read_cache_rep{r}`` siblings
+    of the primary (same broker dir — one disk on this harness); the
+    ``replay_cache_replica_dirs`` option substitutes explicit absolute
+    roots so each copy maps to an independent failure domain (a second
+    executor's local disk, a second mount, or a DFS path) — the
+    deployment analog of MEMORY_AND_DISK_SER_2's distinct-executor
+    placement."""
+    if replica == 0:
+        base = os.path.join(opts.broker_dir, ".read_cache")
+    elif opts.replay_cache_replica_dirs:
+        base = opts.replay_cache_replica_dirs[replica - 1]
+    else:
+        base = os.path.join(opts.broker_dir, f".read_cache_rep{replica}")
+    return os.path.join(base, _sanitize(opts.subscription))
 
 
-def _replica_root_dirs(broker_dir: str) -> list[str]:
-    """Replica cache roots present on disk (any ``.read_cache_rep*``),
-    regardless of the currently-configured replica count — eviction and
-    foreign-dir purging must cover copies written under an older
-    configuration."""
+def _replica_root_dirs(opts: PubsubReadOptions) -> list[str]:
+    """Every replica cache root the ack sweep / foreign-dir purge must
+    cover: the explicitly-configured roots (if any) plus any derived
+    ``.read_cache_rep*`` siblings present on disk — copies written under
+    an older configuration still need eviction and purging."""
+    roots = list(opts.replay_cache_replica_dirs)
     try:
-        names = os.listdir(broker_dir)
+        names = os.listdir(opts.broker_dir)
     except OSError:
-        return []
-    return sorted(
-        os.path.join(broker_dir, n)
-        for n in names
+        names = []
+    roots += [
+        os.path.join(opts.broker_dir, n)
+        for n in sorted(names)
         if n.startswith(".read_cache_rep")
-    )
+    ]
+    return list(dict.fromkeys(roots))
 
 
 def _stream_cache_dir(
@@ -248,25 +259,45 @@ def _pull_or_replay(payload: _PartitionPayload):
     replica path before the primary (the primary's existence is the
     commit point), and a replay that finds the primary missing or
     corrupted serves from the first healthy replica — re-healing the
-    primary — instead of re-pulling. This mirrors the reference's 2×
-    replicated persist of the pulled batch
-    (PubsubPartitionReader.scala:57, MEMORY_AND_DISK_SER_2): losing one
-    copy between pull and commit never changes what the batch replays."""
+    primary AND any other lost copy, so redundancy never silently
+    degrades below the configured replica count — instead of
+    re-pulling. This mirrors the reference's 2× replicated persist of
+    the pulled batch (PubsubPartitionReader.scala:57,
+    MEMORY_AND_DISK_SER_2): losing one copy between pull and commit
+    never changes what the batch replays.
+
+    When a copy EXISTS but no existing copy parses, the task fails
+    loudly instead of re-pulling: a re-pull under a still-held broker
+    lease can return fewer (or zero) messages and overwrite the cache,
+    silently changing a planned batch's replay content (ADVICE r12).
+    Only the fully-absent case (no copy ever written) pulls."""
     import base64
 
-    records = (
-        _load_cache(payload.cache_file)
-        if os.path.exists(payload.cache_file)
-        else None
-    )
-    if records is None:
-        for rep in payload.replica_files:
-            if os.path.exists(rep):
-                records = _load_cache(rep)
-                if records is not None:
-                    _write_cache_atomic(payload.cache_file, records)
-                    break
+    all_copies = (payload.cache_file,) + tuple(payload.replica_files)
+    records = None
+    source = None
+    any_copy_present = False
+    for path in all_copies:
+        if os.path.exists(path):
+            any_copy_present = True
+            records = _load_cache(path)
+            if records is not None:
+                source = path
+                break
+    if records is None and any_copy_present:
+        raise RuntimeError(
+            f"pubsub replay cache for {payload.cache_file} exists but no "
+            f"copy is parseable ({len(all_copies)} roots checked); "
+            "refusing to re-pull — that would silently change the "
+            "planned batch's replay content"
+        )
     if records is not None:
+        if source != payload.cache_file:
+            # served from a replica: re-heal the primary and every other
+            # missing/corrupt copy
+            for path in all_copies:
+                if path != source and _load_cache(path) is None:
+                    _write_cache_atomic(path, records)
         if records:
             yield _records_to_arrow(payload, records)
         return
@@ -343,7 +374,7 @@ class PubsubStreamReader(DataSourceStreamReader):
         sub = _sanitize(self.opts.subscription)
         roots = [_read_cache_dir(self.opts)] + [
             os.path.join(rep, sub)
-            for rep in _replica_root_dirs(self.opts.broker_dir)
+            for rep in _replica_root_dirs(self.opts)
         ]
         for root in roots:
             if not os.path.isdir(root):
@@ -493,7 +524,7 @@ class PubsubStreamReader(DataSourceStreamReader):
         sub = _sanitize(self.opts.subscription)
         roots = [_stream_cache_dir(self.opts, self.stream_id)] + [
             os.path.join(rep, sub, _sanitize(self.stream_id))
-            for rep in _replica_root_dirs(self.opts.broker_dir)
+            for rep in _replica_root_dirs(self.opts)
         ]
         end_id = end["batch_id"]
         # batch_key -> every copy of that batch's dir across roots
@@ -512,15 +543,35 @@ class PubsubStreamReader(DataSourceStreamReader):
                     os.path.join(root, batch_key)
                 )
         for dirs in batch_dirs.values():
+            # Ack set per part file comes from the FIRST existing copy
+            # in root order (primary first — `roots` leads with the
+            # primary and batch_dirs preserves that order), never the
+            # union across copies: divergent copies (a zombie or
+            # speculative task attempt whose pull landed only in a
+            # replica while another attempt's pull became the primary)
+            # would otherwise ack messages that appear in no replayed
+            # batch — an at-least-once violation (ADVICE r12). Replica
+            # content counts only where the primary copy of that part
+            # file is absent.
+            part_names = sorted(
+                {
+                    f
+                    for d in dirs
+                    for f in os.listdir(d)
+                    if f.endswith(".jsonl")
+                }
+            )
             ack_ids: list[str] = []
-            for batch_dir in dirs:
-                for f in sorted(os.listdir(batch_dir)):
-                    if not f.endswith(".jsonl"):
+            for name in part_names:
+                for d in dirs:
+                    path = os.path.join(d, name)
+                    if not os.path.exists(path):
                         continue
-                    with open(os.path.join(batch_dir, f)) as fh:
+                    with open(path) as fh:
                         for line in fh:
                             if line.strip():
                                 ack_ids.append(json.loads(line)["ack_id"])
+                    break
             ack_ids = list(dict.fromkeys(ack_ids))  # distinct, keep order
             if ack_ids:
                 chunks = [

@@ -30,6 +30,13 @@ PUBLISH_BATCH_SIZE = "publish_batch_size"
 STREAM_ID = "stream_id"  # stable consumer identity (crash recovery)
 SINK_ID = "sink_id"  # stable writer identity (cross-restart idempotence)
 REPLAY_CACHE_REPLICAS = "replay_cache_replicas"  # replay-block copies (S9)
+# Explicit replica cache roots (comma-separated absolute paths), one per
+# replica beyond the primary. Replaces the derived
+# `broker_dir/.read_cache_rep{r}` siblings so each copy can live on a
+# genuinely independent failure domain (a second disk/mount or DFS path)
+# — the deployment analog of MEMORY_AND_DISK_SER_2's distinct-executor
+# placement (PubsubPartitionReader.scala:57).
+REPLAY_CACHE_REPLICA_DIRS = "replay_cache_replica_dirs"
 
 DEFAULT_NUM_PARTITIONS = 4  # package.scala:36
 DEFAULT_MAX_MESSAGES_PER_PARTITION = 1000  # package.scala:33
@@ -116,6 +123,9 @@ class PubsubReadOptions:
     # Replay-cache copies per partition file (reference: 2× executor
     # replication via MEMORY_AND_DISK_SER_2, PubsubPartitionReader.scala:57).
     replay_cache_replicas: int = DEFAULT_REPLAY_CACHE_REPLICAS
+    # Explicit replica roots, one per replica beyond the primary; empty
+    # means the derived `.read_cache_rep{r}` siblings under broker_dir.
+    replay_cache_replica_dirs: tuple = ()
 
     @property
     def subscription_path(self) -> str:
@@ -152,8 +162,42 @@ class PubsubWriteOptions:
         return f"projects/{self.project_id}/topics/{self.topic}"
 
 
+def _replica_dirs(options: dict, replicas: int) -> tuple:
+    """Parse + validate explicit replica roots: count must equal
+    ``replay_cache_replicas - 1`` (one root per copy beyond the
+    primary), every path absolute — so the option cannot silently map
+    two copies onto one failure domain or leave a copy unplaced."""
+    raw = options.get(REPLAY_CACHE_REPLICA_DIRS)
+    if raw is None or str(raw).strip() == "":
+        return ()
+    dirs = tuple(p.strip() for p in str(raw).split(",") if p.strip())
+    if len(dirs) != replicas - 1:
+        raise ValueError(
+            f"Option '{REPLAY_CACHE_REPLICA_DIRS}' must list exactly "
+            f"replay_cache_replicas-1 = {replicas - 1} paths, got {len(dirs)}"
+        )
+    for p in dirs:
+        if not p.startswith("/"):
+            raise ValueError(
+                f"Option '{REPLAY_CACHE_REPLICA_DIRS}' paths must be "
+                f"absolute, got {p!r}"
+            )
+    if len(set(dirs)) != len(dirs):
+        raise ValueError(
+            f"Option '{REPLAY_CACHE_REPLICA_DIRS}' paths must be distinct"
+        )
+    return dirs
+
+
 def validate_read_options(options: dict) -> PubsubReadOptions:
     """validateAndInitReadOptions (package.scala:138-155)."""
+    replicas = _pos_int(
+        options,
+        REPLAY_CACHE_REPLICAS,
+        DEFAULT_REPLAY_CACHE_REPLICAS,
+        minimum=1,
+        maximum=MAX_REPLAY_CACHE_REPLICAS,
+    )
     return PubsubReadOptions(
         project_id=_require(options, PROJECT_ID),
         subscription=_require(options, SUBSCRIPTION),
@@ -180,13 +224,8 @@ def validate_read_options(options: dict) -> PubsubReadOptions:
             if options.get(STREAM_ID) not in (None, "")
             else None
         ),
-        replay_cache_replicas=_pos_int(
-            options,
-            REPLAY_CACHE_REPLICAS,
-            DEFAULT_REPLAY_CACHE_REPLICAS,
-            minimum=1,
-            maximum=MAX_REPLAY_CACHE_REPLICAS,
-        ),
+        replay_cache_replicas=replicas,
+        replay_cache_replica_dirs=_replica_dirs(options, replicas),
     )
 
 

@@ -1139,3 +1139,232 @@ def test_source_e2e_with_replicated_cache(spark, broker, broker_dir, tmp_path):
                 out.add((stream_d, b))
         return out
     assert _remaining(rep_root) == _remaining(pri_root)
+
+
+def test_commit_acks_primary_copy_only_on_divergence(spark, broker, broker_dir):
+    """ADVICE r12 (at-least-once): when a batch's primary and replica
+    copies diverge (zombie/speculative-attempt interleave — one
+    attempt's pull lands only in a replica while another attempt's pull
+    becomes the primary), commit must ack ONLY what the primary copy
+    holds. Unioning would ack replica-only messages that appear in no
+    replayed/committed batch, silently dropping them."""
+    import json as _json
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    _publish_canonical(broker, 10)
+    reader = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "1",
+            "max_messages_per_partition": "10",
+            "replay_cache_replicas": "2",
+        }
+    )
+    try:
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        rows = [r for p in parts for r in _read_rows(reader, p)]
+        assert len(rows) == 10  # the committed batch
+        # 10 more messages arrive; a second (zombie) attempt pulls them
+        # and its records land only in the replica copy of the same
+        # part file
+        _publish_canonical(broker, 10)
+        zombie = broker.pull_raw("s", 10)
+        assert len(zombie) == 10
+        rep_file = parts[0].value.replica_files[0]
+        assert os.path.exists(rep_file)
+        with open(rep_file, "w") as fh:
+            for ack_id, rec in zombie:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "ack_id": ack_id,
+                            "message_id": rec["message_id"],
+                            "ordering_key": rec.get("ordering_key", ""),
+                            "data_b64": rec["data_b64"],
+                            "publish_ts_us": rec["publish_ts_us"],
+                            "attributes": rec.get("attributes") or {},
+                        }
+                    )
+                    + "\n"
+                )
+        reader.commit(end)
+        # nack the zombie leases: every one of its messages must come
+        # back (they were never part of a committed batch). A unioning
+        # commit would have acked them away permanently.
+        broker.modify_ack_deadline("s", [a for a, _ in zombie], 0)
+        redelivered = broker.pull("s", 100)
+        ids = {m.message.message_id for m in redelivered}
+        assert {rec["message_id"] for _, rec in zombie} == ids
+        assert len(redelivered) == 10  # every zombie message came back
+    finally:
+        reader.stop()
+
+
+def test_corrupt_all_copies_fails_loudly(spark, broker, broker_dir):
+    """ADVICE r12: a present-but-unparseable cache (every copy corrupt)
+    must fail the task, not silently re-pull — a re-pull under the
+    still-held lease returns nothing and would overwrite the planned
+    batch's replay content with an empty batch."""
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    _publish_canonical(broker, 10)
+    reader = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "1",
+            "max_messages_per_partition": "10",
+            "replay_cache_replicas": "2",
+        }
+    )
+    try:
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        assert len(_read_rows(reader, parts[0])) == 10
+        payload = parts[0].value
+        for path in (payload.cache_file,) + tuple(payload.replica_files):
+            with open(path, "w") as fh:
+                fh.write("{not json\n")
+        with pytest.raises(RuntimeError, match="no .*copy is parseable"):
+            _read_rows(reader, parts[0])
+        # the corrupt copies were not overwritten by a silent re-pull
+        with open(payload.cache_file) as fh:
+            assert fh.read() == "{not json\n"
+    finally:
+        reader.stop()
+
+
+def test_replica_serve_reheals_all_copies(spark, broker, broker_dir):
+    """ADVICE r12: serving from a replica re-heals the primary AND any
+    other lost copy, so redundancy never silently degrades below the
+    configured replay_cache_replicas."""
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    _publish_canonical(broker, 10)
+    reader = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "1",
+            "max_messages_per_partition": "10",
+            "replay_cache_replicas": "3",
+        }
+    )
+    try:
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        first = sorted(tuple(map(str, r)) for r in _read_rows(reader, parts[0]))
+        payload = parts[0].value
+        rep1, rep2 = payload.replica_files
+        with open(rep1) as fh:
+            healthy = fh.read()
+        # lose the primary AND the second replica; only rep1 survives
+        os.remove(payload.cache_file)
+        os.remove(rep2)
+        second = sorted(tuple(map(str, r)) for r in _read_rows(reader, parts[0]))
+        assert first == second
+        for path in (payload.cache_file, rep2):
+            with open(path) as fh:
+                assert fh.read() == healthy  # re-healed, byte-identical
+    finally:
+        reader.stop()
+
+
+def test_replay_cache_replica_dirs_option_validation(broker_dir, tmp_path):
+    """Explicit replica roots: exactly replicas-1 absolute, distinct
+    paths; anything else is an eager ValueError."""
+    from spark_sql_pubsub_connector_spark.sources.options import (
+        validate_read_options,
+    )
+
+    base = {"project_id": "p", "subscription": "s", "broker_dir": broker_dir}
+    m1, m2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    ok = validate_read_options(
+        dict(base, replay_cache_replicas="3", replay_cache_replica_dirs=f"{m1},{m2}")
+    )
+    assert ok.replay_cache_replica_dirs == (m1, m2)
+    assert validate_read_options(dict(base)).replay_cache_replica_dirs == ()
+    with pytest.raises(ValueError, match="exactly"):
+        validate_read_options(
+            dict(base, replay_cache_replicas="2", replay_cache_replica_dirs=f"{m1},{m2}")
+        )
+    with pytest.raises(ValueError, match="exactly"):
+        validate_read_options(dict(base, replay_cache_replica_dirs=m1))
+    with pytest.raises(ValueError, match="absolute"):
+        validate_read_options(
+            dict(base, replay_cache_replicas="2", replay_cache_replica_dirs="rel/path")
+        )
+    with pytest.raises(ValueError, match="distinct"):
+        validate_read_options(
+            dict(base, replay_cache_replicas="3", replay_cache_replica_dirs=f"{m1},{m1}")
+        )
+
+
+def test_explicit_replica_dirs_second_mount(spark, broker, broker_dir, tmp_path):
+    """VERDICT r12 #6: replay_cache_replica_dirs places replica copies
+    on an explicitly-named root (a second mount in a real deployment —
+    the distinct-executor placement of MEMORY_AND_DISK_SER_2,
+    PubsubPartitionReader.scala:57): copies land there instead of the
+    derived sibling, primary loss replays from it byte-identically, and
+    commit's ack sweep + eviction cover it."""
+    import shutil as _shutil
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    mount2 = str(tmp_path / "mount2")
+    _publish_canonical(broker, 20)
+    reader = PubsubStreamReader(
+        {
+            "project_id": "p",
+            "subscription": "s",
+            "broker_dir": broker_dir,
+            "num_partitions": "2",
+            "max_messages_per_partition": "10",
+            "replay_cache_replicas": "2",
+            "replay_cache_replica_dirs": mount2,
+        }
+    )
+    try:
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        first = [
+            sorted(tuple(map(str, r)) for r in _read_rows(reader, p))
+            for p in parts
+        ]
+        assert sum(len(x) for x in first) == 20
+        # copies live on the explicit mount, not the derived sibling
+        assert os.path.isdir(os.path.join(mount2, "s"))
+        assert not os.path.isdir(os.path.join(broker_dir, ".read_cache_rep1"))
+        # kill the whole primary tree: replay serves from mount2
+        _shutil.rmtree(os.path.join(broker_dir, ".read_cache"))
+        second = [
+            sorted(tuple(map(str, r)) for r in _read_rows(reader, p))
+            for p in parts
+        ]
+        assert first == second
+        reader.commit(end)
+        assert broker.backlog("s") == 0
+        # eviction swept the explicit root too
+        sub_root = os.path.join(mount2, "s")
+        for stream_d in os.listdir(sub_root):
+            assert os.listdir(os.path.join(sub_root, stream_d)) == []
+    finally:
+        reader.stop()

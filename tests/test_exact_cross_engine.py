@@ -149,3 +149,42 @@ def test_wide_and_narrow_bit_identical_under_int64(spark):
     assert set(narrow) == set(wide)
     for g in narrow:
         assert repr(narrow[g]) == repr(wide[g]), (g, narrow[g], wide[g])
+
+
+def test_exact_agg_mode_knob(spark, duck, sf_dir):
+    """VERDICT r12 #5: one knob (SPARK_GRAFT_EXACT_ACC env /
+    set_accumulator_mode) flips esum/eavg AND their SQL oracle twins to
+    the DECIMAL(38,0)/HUGEINT accumulator in lockstep — a true-100 TB
+    deployment is a config change, not a per-call-site hand edit.
+    Pinned here by running the registered q01 oracle-green under BOTH
+    modes (bit-identical below 2^63, so the hashes agree with history
+    either way)."""
+    from spark_sql_pubsub_connector_spark.functions import exact
+    from spark_sql_pubsub_connector_spark.plans import all_specs
+
+    from .oracle_util import assert_oracle_match
+
+    assert exact.accumulator_mode() == "bigint"
+    # dispatch sanity: the knob swaps the accumulator type in both the
+    # Spark expression and the SQL text
+    assert "DECIMAL" not in str(esum("v")).upper()
+    assert "AS BIGINT" in sql_esum("v") and "HUGEINT" not in sql_esum("v")
+    prev = exact.set_accumulator_mode("wide")
+    try:
+        assert prev == "bigint"
+        assert "decimal(38,0)" in str(esum("v")).lower()
+        assert "HUGEINT" in sql_esum("v") and "HUGEINT" in sql_eavg("v")
+        spec = all_specs()["q01_pricing_summary"]  # re-resolves the oracle
+        assert "HUGEINT" in spec.oracle and "BIGINT" not in spec.oracle
+        assert_oracle_match(
+            spec.build(spark, sf_dir), duck, spec.oracle, name="q01-wide"
+        )
+    finally:
+        exact.set_accumulator_mode("bigint")
+    # narrow restored: the default-mode oracle text is byte-identical
+    # to the pre-knob corpus (driver hash history unaffected)
+    spec = all_specs()["q01_pricing_summary"]
+    assert "HUGEINT" not in spec.oracle
+    assert_oracle_match(
+        spec.build(spark, sf_dir), duck, spec.oracle, name="q01-narrow"
+    )
