@@ -437,11 +437,13 @@ tot AS (
 SELECT w.source, w.n_docs, w.n_tokens, w.w_sqrt,
        CAST((w.w_sqrt * {_MIX_SCALE}) // t.sum_w AS BIGINT) AS share_q6,
        CAST(least({_MIX_SCALE},
-            ((w.w_sqrt * {_MIX_SCALE}) // t.sum_w * (t.sum_tok // 2))
+            (CAST((w.w_sqrt * {_MIX_SCALE}) // t.sum_w AS HUGEINT)
+             * (t.sum_tok // 2))
             // w.n_tokens) AS BIGINT) AS rate_q6,
-       CAST((least({_MIX_SCALE},
-            ((w.w_sqrt * {_MIX_SCALE}) // t.sum_w * (t.sum_tok // 2))
-            // w.n_tokens) * w.n_tokens) // {_MIX_SCALE} AS BIGINT)
+       CAST((CAST(least({_MIX_SCALE},
+            (CAST((w.w_sqrt * {_MIX_SCALE}) // t.sum_w AS HUGEINT)
+             * (t.sum_tok // 2))
+            // w.n_tokens) AS HUGEINT) * w.n_tokens) // {_MIX_SCALE} AS BIGINT)
          AS expect_tokens
 FROM wtd w, tot t
 """,
@@ -456,7 +458,12 @@ def q79_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     mT5/XLM-R) a training pipeline derives before drawing data. sqrt
     on a BIGINT < 2^52 is correctly rounded IEEE in both engines, so
     floor(sqrt(n)) is exact; every later step is integer arithmetic
-    on the 1e-6 grid.
+    on the 1e-6 grid. The share×token-budget and rate×n_tokens
+    products are the r12 q98 overflow class — share_q6 ≤ 1e6 times a
+    ~2e13-token 100 TB corpus crosses int64 at sum_tok ≈ 1.8e13 — so
+    they are computed in DECIMAL(38,0) (DuckDB: HUGEINT) in lockstep;
+    positives floor-divide identically, BIGINT outputs unchanged
+    below 2^63 (r13 audit).
 
     Scale: one partial-then-final aggregate keyed by source collapses
     the corpus to #sources rows; the normalization total is a
@@ -478,8 +485,9 @@ def q79_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     share = F.expr(f"(w_sqrt * {_MIX_SCALE}) DIV sum_w")
     rate = F.expr(
-        f"least(CAST({_MIX_SCALE} AS BIGINT), "
-        f"((w_sqrt * {_MIX_SCALE}) DIV sum_w * (sum_tok DIV 2)) DIV n_tokens)"
+        f"least(CAST({_MIX_SCALE} AS BIGINT), CAST("
+        f"(CAST((w_sqrt * {_MIX_SCALE}) DIV sum_w AS DECIMAL(38,0))"
+        f" * (sum_tok DIV 2)) DIV n_tokens AS BIGINT))"
     )
     return wtd.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -489,9 +497,10 @@ def q79_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.cast("long").alias("share_q6"),
         rate.cast("long").alias("rate_q6"),
         F.expr(
-            f"(least(CAST({_MIX_SCALE} AS BIGINT), "
-            f"((w_sqrt * {_MIX_SCALE}) DIV sum_w * (sum_tok DIV 2)) DIV n_tokens)"
-            f" * n_tokens) DIV {_MIX_SCALE}"
+            f"(CAST(least(CAST({_MIX_SCALE} AS BIGINT), CAST("
+            f"(CAST((w_sqrt * {_MIX_SCALE}) DIV sum_w AS DECIMAL(38,0))"
+            f" * (sum_tok DIV 2)) DIV n_tokens AS BIGINT))"
+            f" AS DECIMAL(38,0)) * n_tokens) DIV {_MIX_SCALE}"
         )
         .cast("long")
         .alias("expect_tokens"),

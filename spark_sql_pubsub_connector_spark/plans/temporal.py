@@ -310,22 +310,22 @@ stats AS (
   SELECT event_type, h, cnt,
          CAST(count(*) OVER w AS BIGINT) AS n,
          CAST(sum(cnt) OVER w AS BIGINT) AS s,
-         CAST(sum(cnt * cnt) OVER w AS BIGINT) AS ss
+         sum(CAST(cnt AS HUGEINT) * cnt) OVER w AS ss
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY h
                ROWS BETWEEN {_AN_LOOKBACK} PRECEDING AND 1 PRECEDING)
 ),
 scored AS (
   SELECT event_type, h, cnt, n, s,
-         n * ss - s * s AS var_num,
-         (n * cnt - s) * (n * cnt - s) AS dev_sq
+         n * ss - CAST(s AS HUGEINT) * s AS var_num,
+         CAST(n * cnt - s AS HUGEINT) * (n * cnt - s) AS dev_sq
   FROM stats
-  WHERE n = {_AN_LOOKBACK} AND n * ss - s * s > 0
+  WHERE n = {_AN_LOOKBACK} AND n * ss - CAST(s AS HUGEINT) * s > 0
 )
 SELECT event_type,
        CAST(h AS BIGINT) AS hour_idx,
        cnt,
-       CAST((s * 1000) // n AS BIGINT) AS mean_q3,
+       CAST((CAST(s AS HUGEINT) * 1000) // n AS BIGINT) AS mean_q3,
        CAST((dev_sq * 1000000) // (n * var_num) AS BIGINT) AS z2_q6
 FROM scored
 WHERE (dev_sq * 1000000) // (n * var_num) >= {_AN_Z2_Q6}
@@ -337,9 +337,15 @@ def q85_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-scored against the trailing {_AN_LOOKBACK}-hour window and hours
     with |z| >= 1 surface (threshold is a literal; production would gate at 2-3) — the streaming-ops anomaly monitor, here in
     its batch/backfill form. The squared z-score is computed entirely
-    in integers: z² = (n·x − Σ)² / (n·Σx² − Σ²) (numerator and
-    denominator are exact BIGINTs; one integer division on the 1e-6
-    grid), so no float variance ever crosses the engine boundary.
+    in integers: z² = (n·x − Σ)² / (n·Σx² − Σ²) (one integer floor
+    division on the 1e-6 grid), so no float variance ever crosses the
+    engine boundary. The quadratic intermediates (Σx², Σ², (n·x−Σ)²
+    and the ×1e6 scaling) are the r12 q98 overflow class — dev_sq·1e6
+    crosses int64 at ~1.3e5 events per hour-cell against a near-empty
+    window, and Σx² at ~6e8 — so they are computed in DECIMAL(38,0)
+    (DuckDB: HUGEINT) in lockstep, exact to ~1e38; both engines
+    floor-divide positives identically, so the BIGINT output grid is
+    value-identical below 2^63 (r13 audit of the q98 bug class).
 
     Scale: the raw stream collapses FIRST to (type, hour) counts via a
     partial-then-final aggregate; the trailing window then runs over
@@ -366,25 +372,28 @@ def q85_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.count(F.lit(1)).over(w).cast("long").alias("n"),
         F.sum("cnt").over(w).cast("long").alias("s"),
-        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("ss"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).over(w).alias("ss"),
     )
+    var_num = F.expr("n * ss - CAST(s AS DECIMAL(38,0)) * s")
     scored = stats.filter(
-        (F.col("n") == _AN_LOOKBACK) & (F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0)
+        (F.col("n") == _AN_LOOKBACK) & (var_num > 0)
     ).select(
         "event_type",
         "h",
         "cnt",
         "n",
         "s",
-        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias("var_num"),
-        ((F.col("n") * F.col("cnt") - F.col("s")) * (F.col("n") * F.col("cnt") - F.col("s"))).alias("dev_sq"),
+        var_num.alias("var_num"),
+        F.expr(
+            "CAST(n * cnt - s AS DECIMAL(38,0)) * (n * cnt - s)"
+        ).alias("dev_sq"),
     )
     return scored.select(
         "event_type",
         F.col("h").cast("long").alias("hour_idx"),
         "cnt",
-        F.expr("(s * 1000) DIV n").cast("long").alias("mean_q3"),
-        F.expr("(dev_sq * 1000000) DIV (n * var_num)").cast("long").alias("z2_q6"),
+        F.expr("CAST((CAST(s AS DECIMAL(38,0)) * 1000) DIV n AS BIGINT)").alias("mean_q3"),
+        F.expr("CAST((dev_sq * 1000000) DIV (n * var_num) AS BIGINT)").alias("z2_q6"),
     ).filter(F.col("z2_q6") >= _AN_Z2_Q6)
 
 
