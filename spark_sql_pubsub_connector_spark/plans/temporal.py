@@ -295,6 +295,17 @@ def q75_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AN_LOOKBACK = 24  # trailing hours
 _AN_Z2_Q6 = 1_000_000  # flag |z| >= 1 (z^2 >= 1 on the 1e-6 grid; synthetic
 #   traffic is near-uniform, so a production |z|>=3 gate would never fire here)
+# z² saturation ceiling on the 1e-6 grid (= z ≥ 1000σ, reported as
+# exactly 1e12). Why a cap exists at all: Spark's IntegralDivide on
+# DECIMAL operands returns BIGINT and silently WRAPS past 2^63 even
+# under ANSI (probed on 4.1.2: 1.04e24 DIV 1 → garbage), while
+# DuckDB's HUGEINT // only fails at the final BIGINT cast — so an
+# uncapped degenerate tail (near-constant history + a multi-million-σ
+# spike) would silently diverge across engines. The CASE compares
+# dev_sq against (n·var_num)·cap BEFORE dividing, all in
+# DECIMAL(38,0)/HUGEINT, so the ELSE quotient is provably < cap ≪
+# 2^63 and exact in both engines.
+_AN_Z2_CAP = 10**12
 
 
 @query(
@@ -326,9 +337,14 @@ SELECT event_type,
        CAST(h AS BIGINT) AS hour_idx,
        cnt,
        CAST((CAST(s AS HUGEINT) * 1000) // n AS BIGINT) AS mean_q3,
-       CAST((dev_sq * 1000000) // (n * var_num) AS BIGINT) AS z2_q6
+       CAST(CASE WHEN dev_sq >= n * var_num * {_AN_Z2_CAP // 1_000_000}
+                 THEN {_AN_Z2_CAP}
+                 ELSE (dev_sq * 1000000) // (n * var_num) END AS BIGINT)
+         AS z2_q6
 FROM scored
-WHERE (dev_sq * 1000000) // (n * var_num) >= {_AN_Z2_Q6}
+WHERE CASE WHEN dev_sq >= n * var_num * {_AN_Z2_CAP // 1_000_000}
+           THEN {_AN_Z2_CAP}
+           ELSE (dev_sq * 1000000) // (n * var_num) END >= {_AN_Z2_Q6}
 """,
     tags=("temporal", "anomaly", "window"),
 )
@@ -388,12 +404,17 @@ def q85_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n * cnt - s AS DECIMAL(38,0)) * (n * cnt - s)"
         ).alias("dev_sq"),
     )
+    z2 = (
+        f"CAST(CASE WHEN dev_sq >= n * var_num * {_AN_Z2_CAP // 1_000_000} "
+        f"THEN {_AN_Z2_CAP} "
+        f"ELSE (dev_sq * 1000000) DIV (n * var_num) END AS BIGINT)"
+    )
     return scored.select(
         "event_type",
         F.col("h").cast("long").alias("hour_idx"),
         "cnt",
         F.expr("CAST((CAST(s AS DECIMAL(38,0)) * 1000) DIV n AS BIGINT)").alias("mean_q3"),
-        F.expr("CAST((dev_sq * 1000000) DIV (n * var_num) AS BIGINT)").alias("z2_q6"),
+        F.expr(z2).alias("z2_q6"),
     ).filter(F.col("z2_q6") >= _AN_Z2_Q6)
 
 

@@ -552,3 +552,152 @@ def test_skew_profile_hhi_survives_int64_overflow_counts(spark):
     [row] = ss.collect()
     # two equal keys: HHI = 2 * (1/2)^2 = 0.5 exactly
     assert row["hhi_q6"] == 500_000
+
+
+def test_anomaly_z2_survives_int64_overflow_counts(spark):
+    """q85's quadratic intermediates (Σx², (n·x−Σ)²·1e6) cross int64
+    at ~6e8 events per hour-cell — the r13 audit of the r12 q98
+    overflow class. The DECIMAL(38,0) path must produce the exact
+    saturated-grid value where BIGINT arithmetic would throw. Two
+    regimes, both with Σx² ≈ 2.4e19 > 2^63 and dev_sq·1e6 > 2^63:
+
+      - quotient under the 1e12 cap → exact integer floor division;
+      - degenerate near-zero variance + 2e9 spike → quotient ~1e24,
+        where Spark's DECIMAL IntegralDivide silently WRAPS (probed:
+        no ANSI check) and DuckDB's BIGINT cast throws — the CASE
+        saturates BOTH engines to exactly the cap instead.
+
+    Cross-checked against DuckDB's HUGEINT twin AND python-int
+    ground truth."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from spark_sql_pubsub_connector_spark.plans.temporal import _AN_Z2_CAP
+
+    cap = _AN_Z2_CAP
+    cases = [
+        # realistic variance: arithmetic spread, spike 1.05e9
+        ([1_000_000_000 + i * 10_000 for i in range(24)], 1_050_000_000),
+        # degenerate: near-constant history, 2e9 spike → saturates
+        ([1_000_000_000] * 23 + [1_000_000_001], 2_000_000_000),
+    ]
+    for trailing, cur in cases:
+        n = len(trailing)
+        s = sum(trailing)
+        ss = sum(c * c for c in trailing)
+        assert ss > 2**63  # the intermediate BIGINT could not hold
+        var_num = n * ss - s * s
+        dev_sq = (n * cur - s) ** 2
+        assert dev_sq * 1_000_000 > 2**63
+        if dev_sq >= n * var_num * (cap // 1_000_000):
+            truth = cap
+        else:
+            truth = (dev_sq * 1_000_000) // (n * var_num)
+        sat = cases.index((trailing, cur)) == 1
+        assert (truth == cap) == sat  # one exact, one saturated
+
+        df = spark.createDataFrame([(c,) for c in trailing], "cnt long")
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cnt").cast("long").alias("s"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).alias("ss"),
+        )
+        [row] = (
+            agg.select(F.lit(cur).cast("long").alias("cnt"), "n", "s", "ss")
+            .select(
+                "n",
+                F.expr("n * ss - CAST(s AS DECIMAL(38,0)) * s").alias("var_num"),
+                F.expr(
+                    "CAST(n * cnt - s AS DECIMAL(38,0)) * (n * cnt - s)"
+                ).alias("dev_sq"),
+            )
+            .select(
+                F.expr(
+                    f"CAST(CASE WHEN dev_sq >= n * var_num * {cap // 1_000_000} "
+                    f"THEN {cap} "
+                    f"ELSE (dev_sq * 1000000) DIV (n * var_num) END AS BIGINT)"
+                ).alias("z2_q6")
+            )
+            .collect()
+        )
+        assert row["z2_q6"] == truth, (cur, row["z2_q6"], truth)
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(cnt BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(c,) for c in trailing])
+        [(duck,)] = con.execute(
+            f"""
+            WITH a AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cnt) AS BIGINT) AS s,
+                     sum(CAST(cnt AS HUGEINT) * cnt) AS ss
+              FROM t
+            ), b AS (
+              SELECT n,
+                     n * ss - CAST(s AS HUGEINT) * s AS var_num,
+                     CAST(n * {cur} - s AS HUGEINT) * (n * {cur} - s) AS dev_sq
+              FROM a
+            )
+            SELECT CAST(CASE WHEN dev_sq >= n * var_num * {cap // 1_000_000}
+                             THEN {cap}
+                             ELSE (dev_sq * 1000000) // (n * var_num)
+                        END AS BIGINT)
+            FROM b
+            """
+        ).fetchall()
+        assert duck == truth, (cur, duck, truth)
+
+
+def test_mixture_rate_survives_int64_overflow_tokens(spark):
+    """q79's share×token-budget product crosses int64 at
+    sum_tok ≈ 1.8e13 — the actual 100 TB text regime (r13 audit of
+    the q98 class). Single-source corpus with 2e13 tokens: share is
+    exactly 1e6, so share·(sum_tok/2) = 1e19 > 2^63; the DECIMAL
+    path must land the exact rate and expect_tokens."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    sum_tok = 20_000_000_000_000  # 2e13
+    w_sqrt = int(float(sum_tok) ** 0.5)
+    share = (w_sqrt * 1_000_000) // w_sqrt  # = 1e6 (single source)
+    assert share * (sum_tok // 2) > 2**63
+    rate = min(1_000_000, (share * (sum_tok // 2)) // sum_tok)
+    expect = (rate * sum_tok) // 1_000_000
+
+    df = spark.createDataFrame(
+        [(sum_tok, w_sqrt, w_sqrt, sum_tok)],
+        "n_tokens long, w_sqrt long, sum_w long, sum_tok long",
+    )
+    [row] = df.select(
+        F.expr(
+            "least(CAST(1000000 AS BIGINT), CAST("
+            "(CAST((w_sqrt * 1000000) DIV sum_w AS DECIMAL(38,0))"
+            " * (sum_tok DIV 2)) DIV n_tokens AS BIGINT))"
+        ).alias("rate_q6"),
+        F.expr(
+            "(CAST(least(CAST(1000000 AS BIGINT), CAST("
+            "(CAST((w_sqrt * 1000000) DIV sum_w AS DECIMAL(38,0))"
+            " * (sum_tok DIV 2)) DIV n_tokens AS BIGINT))"
+            " AS DECIMAL(38,0)) * n_tokens) DIV 1000000"
+        )
+        .cast("long")
+        .alias("expect_tokens"),
+    ).collect()
+    assert row["rate_q6"] == rate
+    assert row["expect_tokens"] == expect
+
+    con = duckdb.connect()
+    [(d_rate, d_expect)] = con.execute(
+        f"""
+        SELECT CAST(least(1000000,
+                 (CAST((CAST({w_sqrt} AS BIGINT) * 1000000) // {w_sqrt} AS HUGEINT)
+                  * ({sum_tok} // 2)) // {sum_tok}) AS BIGINT),
+               CAST((CAST(least(1000000,
+                 (CAST((CAST({w_sqrt} AS BIGINT) * 1000000) // {w_sqrt} AS HUGEINT)
+                  * ({sum_tok} // 2)) // {sum_tok}) AS HUGEINT)
+                  * {sum_tok}) // 1000000 AS BIGINT)
+        """
+    ).fetchall()
+    assert (d_rate, d_expect) == (rate, expect)
