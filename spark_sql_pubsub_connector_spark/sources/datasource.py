@@ -801,8 +801,22 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
                 if os.path.exists(f):
                     os.remove(f)
             return
+        # A staged file referenced by a commit message but absent on
+        # disk is LOST DATA for a batch that has not been committed:
+        # publishing the remainder and recording the batch committed
+        # would silently drop those messages (the sink twin of the
+        # source-side corrupt-cache rule, ADVICE r12). Fail the batch
+        # loudly so Spark retries it instead.
+        missing = [f for f in staged if not os.path.exists(f)]
+        if missing:
+            raise RuntimeError(
+                f"pubsub sink commit for batch {batchId}: "
+                f"{len(missing)}/{len(staged)} staged files are missing "
+                f"(first: {missing[0]}); refusing to publish a partial "
+                "batch"
+            )
         broker = FileBroker(self.opts.broker_dir)
-        broker.commit_staged(self.opts.topic, [f for f in staged if os.path.exists(f)])
+        broker.commit_staged(self.opts.topic, staged)
         self._record_committed(batchId)
         for f in staged:
             if os.path.exists(f):

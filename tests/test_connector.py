@@ -1368,3 +1368,49 @@ def test_explicit_replica_dirs_second_mount(spark, broker, broker_dir, tmp_path)
             assert os.listdir(os.path.join(sub_root, stream_d)) == []
     finally:
         reader.stop()
+
+
+def test_sink_commit_fails_loudly_on_missing_staged_file(
+    spark, broker, broker_dir
+):
+    """r13 self-review (the sink twin of the source-side corrupt-cache
+    rule): a commit message referencing a staged file that is absent
+    on disk is lost data for an uncommitted batch — commit() must
+    fail the batch loudly (Spark then retries it), never publish the
+    remainder and record the batch committed."""
+    import pyarrow as pa
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+    )
+
+    broker.create_topic("lost")
+    n = 25
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"m{i}".encode() for i in range(n)], type=pa.binary()),
+            pa.array([[("k", "v")]] * n, type=pa.map_(pa.string(), pa.string())),
+        ],
+        names=["data", "attributes"],
+    )
+    w = PubsubStreamWriter(
+        {
+            "project_id": "p",
+            "topic": "lost",
+            "broker_dir": broker_dir,
+            "publish_batch_size": "10",
+            "sink_id": "q1",
+        },
+        _sink_schema(),
+    )
+    msg = w.write(iter([batch]))
+    assert len(msg.staged_files) == 3
+    os.remove(msg.staged_files[1])  # lose the middle chunk
+    with pytest.raises(RuntimeError, match="staged files are missing"):
+        w.commit([msg], batchId=0)
+    # nothing was published and the batch is NOT recorded committed —
+    # a retry with re-staged files goes through cleanly
+    assert broker.topic_messages("lost") == []
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], batchId=0)
+    assert len(broker.topic_messages("lost")) == n
