@@ -42,8 +42,14 @@ Deployment knob: set ``SPARK_GRAFT_EXACT_ACC=wide`` (env, read at
 import; or call :func:`set_accumulator_mode`) and every ``esum``/
 ``eavg`` call site AND its SQL oracle twin switch to the DECIMAL(38,0)/
 HUGEINT accumulator in lockstep — a true-100 TB deployment is a config
-change, not a per-query hand edit. Both modes are oracle-checked on
-q01 (``test_exact_agg_mode_knob``) and bit-identical below 2^63.
+change, not a per-query hand edit. The lockstep holds at RUNTIME, not
+just env-at-import: every sql_esum/sql_eavg-bearing oracle in the
+registry is a zero-arg factory (``oracle=lambda: f"..."``) that
+re-composes per access, so a set_accumulator_mode() flip moves the
+Spark plan and the DuckDB oracle together (ADVICE r13 fix; pinned
+corpus-wide by ``test_mode_knob_flips_every_registered_oracle`` and
+oracle-green in both modes on q01 + q100 by ``test_exact_agg_mode_knob``
+/ ``test_mode_knob_q100_oracle_green_both_modes``).
 """
 
 from __future__ import annotations

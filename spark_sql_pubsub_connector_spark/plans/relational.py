@@ -165,7 +165,7 @@ def q03_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q04_union_streams",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT event_type, count(*) AS n, {sql_esum("value", 2, "sum_value")}
 FROM (
   SELECT event_type, value FROM events WHERE event_type = 'error'
@@ -246,7 +246,7 @@ def q06_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q07_join_broadcast",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT r_name, n_name,
        count(*) AS n_customers,
        {sql_eavg("c_acctbal", 2, "avg_acctbal")}
@@ -279,7 +279,7 @@ def q07_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q08_join_shuffle_agg",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT c_mktsegment, o_orderpriority,
        {sql_esum(_DISC_PRICE, 4, "revenue")},
        count(*) AS n_items
@@ -373,7 +373,7 @@ def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q11_rollup",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT coalesce(r_name, 'ALL') AS region_name,
        coalesce(n_name, 'ALL') AS nation_name,
        count(c_custkey)        AS n_customers,
@@ -452,7 +452,7 @@ def q12_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q13_from_json",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT
   CAST(json_extract_string(props, '$.k') AS INT) AS k,
   count(*) AS n,
@@ -481,7 +481,7 @@ def q13_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q14_window_tumbling",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT
   epoch_us(date_trunc('hour', ts)) AS window_start_us,
   event_type,
@@ -518,7 +518,7 @@ def q14_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q15_sessionize",
-    oracle=f"""
+    oracle=lambda: f"""
 WITH flagged AS (
   SELECT
     user_id,
@@ -620,7 +620,7 @@ def q34_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q35_cube",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT coalesce(c_mktsegment, 'ALL')    AS segment,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n_orders,
@@ -660,7 +660,7 @@ def q35_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q36_above_cust_avg",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
 FROM orders
 JOIN (
@@ -732,7 +732,7 @@ def q37_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q38_pivot_status",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT c_mktsegment,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
@@ -815,7 +815,7 @@ def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q40_skewed_agg_salted",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT event_type,
        count(*) AS n,
        {sql_esum("value", 2, "sum_value")},
@@ -980,7 +980,7 @@ _WIDTH_US = 3_600_000_000  # 1-hour window => every event in 2 windows
 
 @query(
     "q60_window_sliding",
-    oracle=f"""
+    oracle=lambda: f"""
 WITH ev AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
 x AS (
   SELECT event_type, value,
@@ -1029,7 +1029,7 @@ _JOIN_SALT = 8
 
 @query(
     "q65_skew_join_salted",
-    oracle=f"""
+    oracle=lambda: f"""
 WITH dim AS (
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS user_n_events,
@@ -1233,7 +1233,7 @@ def _sql_bloom_pos(j_expr: str, key_expr: str) -> str:
 
 @query(
     "q74_bloom_semijoin",
-    oracle=f"""
+    oracle=lambda: f"""
 WITH keys AS (
   SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
 ),
@@ -1414,7 +1414,7 @@ _SP_TOPK = 10
 
 @query(
     "q92_shipping_priority",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT l_orderkey,
        {sql_esum(_DISC_PRICE, 4, "revenue")},
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
@@ -1482,7 +1482,7 @@ _RR_HI = "1998-01-01 00:00:00"
 
 @query(
     "q93_regional_revenue",
-    oracle=f"""
+    oracle=lambda: f"""
 SELECT n_name,
        {sql_esum(_DISC_PRICE, 4, "revenue")},
        CAST(count(*) AS BIGINT) AS n_items
@@ -1649,12 +1649,11 @@ _LO_QTY = 250  # HAVING sum(l_quantity) threshold
 
 @query(
     "q100_large_orders",
-    oracle=f"""
+    oracle=lambda: f"""
 WITH big AS (
   SELECT l_orderkey, {sql_esum("l_quantity", 2, "sum_qty")}
   FROM lineitem GROUP BY 1
-  HAVING CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100
-         > {_LO_QTY}
+  HAVING {sql_esum("l_quantity", 2)} > {_LO_QTY}
 )
 SELECT c_custkey, c_name, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,

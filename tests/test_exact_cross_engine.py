@@ -188,3 +188,67 @@ def test_exact_agg_mode_knob(spark, duck, sf_dir):
     assert_oracle_match(
         spec.build(spark, sf_dir), duck, spec.oracle, name="q01-narrow"
     )
+
+
+# The narrow-accumulator fingerprint sql_esum/sql_eavg emit: a BIGINT
+# accumulator cast straight to DOUBLE. No hand-written oracle text may
+# contain it (they must compose via sql_esum/sql_eavg so the knob can
+# flip them), and no oracle may still carry it in wide mode.
+_NARROW_FP = "AS BIGINT)) AS DOUBLE"
+
+
+def test_mode_knob_flips_every_registered_oracle():
+    """ADVICE r13 (medium): set_accumulator_mode('wide') must flip EVERY
+    sql_esum/sql_eavg-bearing oracle, not just q01 — a baked f-string
+    oracle keeps the BIGINT text while the Spark plan moves to
+    DECIMAL(38,0), and the divergence appears exactly in the >2^63
+    regime wide mode targets. All esum-bearing oracles are now zero-arg
+    factories (lambdas), so the registry re-composes them per access;
+    this pins that corpus-wide and guards new queries against baking."""
+    from spark_sql_pubsub_connector_spark.functions import exact
+    from spark_sql_pubsub_connector_spark.plans.registry import oracle_sql
+
+    assert exact.accumulator_mode() == "bigint"
+    default = dict(oracle_sql())
+    bearing = sorted(n for n, s in default.items() if _NARROW_FP in s)
+    # the esum foundation underpins a large slice of the money-typed
+    # corpus; if this count drops unexpectedly, a query stopped
+    # composing via sql_esum/sql_eavg
+    assert len(bearing) >= 18, bearing
+    prev = exact.set_accumulator_mode("wide")
+    try:
+        assert prev == "bigint"
+        wide = oracle_sql()
+        stuck = [n for n in bearing if _NARROW_FP in wide[n]]
+        assert stuck == [], f"oracles still narrow in wide mode: {stuck}"
+        missing = [n for n in bearing if "HUGEINT" not in wide[n]]
+        assert missing == [], f"oracles without a HUGEINT acc in wide mode: {missing}"
+    finally:
+        exact.set_accumulator_mode("bigint")
+    # narrow restored byte-identically: the driver's oracle hash
+    # history is untouched by the knob machinery
+    assert dict(oracle_sql()) == default
+
+
+def test_mode_knob_q100_oracle_green_both_modes(spark, duck, sf_dir):
+    """q100's HAVING used to hand-write the narrow expression (the one
+    site the corpus-wide factory conversion had to rewrite, not just
+    re-wrap); run it oracle-green under both modes to pin the rewrite
+    AND a second, join-shaped query through the wide path (q01 covers
+    the pure-agg shape)."""
+    from spark_sql_pubsub_connector_spark.functions import exact
+    from spark_sql_pubsub_connector_spark.plans import all_specs
+
+    from .oracle_util import assert_oracle_match
+
+    for mode in ("bigint", "wide"):
+        prev = exact.set_accumulator_mode(mode)
+        try:
+            spec = all_specs()["q100_large_orders"]
+            assert (_NARROW_FP in spec.oracle) == (mode == "bigint")
+            assert ("HUGEINT" in spec.oracle) == (mode == "wide")
+            assert_oracle_match(
+                spec.build(spark, sf_dir), duck, spec.oracle, name=f"q100-{mode}"
+            )
+        finally:
+            exact.set_accumulator_mode(prev)
