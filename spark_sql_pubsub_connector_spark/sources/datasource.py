@@ -190,6 +190,13 @@ class _PartitionPayload:
     # Extra copies of the partition cache file (replay_cache_replicas
     # > 1): written on pull, read as fallback when the primary is lost.
     replica_files: tuple = ()
+    # Copies that may exist under RETIRED derived ``.read_cache_rep*``
+    # roots (written before the config switched to explicit
+    # ``replay_cache_replica_dirs``, or before the replica count
+    # shrank): probed read-side before concluding no copy was ever
+    # written, but never heal/write targets — healing restores the
+    # CONFIGURED redundancy only (ADVICE r13).
+    legacy_files: tuple = ()
 
 
 def _records_to_arrow(payload: _PartitionPayload, records: list[dict]):
@@ -270,10 +277,16 @@ def _pull_or_replay(payload: _PartitionPayload):
     loudly instead of re-pulling: a re-pull under a still-held broker
     lease can return fewer (or zero) messages and overwrite the cache,
     silently changing a planned batch's replay content (ADVICE r12).
-    Only the fully-absent case (no copy ever written) pulls."""
+    Only the fully-absent case (no copy ever written) pulls. The probe
+    set includes ``legacy_files`` — copies under retired derived
+    ``.read_cache_rep*`` roots (ADVICE r13): a batch pulled under an
+    older replica config whose surviving copy sits under an old root
+    must replay from it, not silently re-pull. Legacy copies are
+    read-only here; healing rewrites only the configured set."""
     import base64
 
-    all_copies = (payload.cache_file,) + tuple(payload.replica_files)
+    configured = (payload.cache_file,) + tuple(payload.replica_files)
+    all_copies = configured + tuple(payload.legacy_files)
     records = None
     source = None
     any_copy_present = False
@@ -293,9 +306,9 @@ def _pull_or_replay(payload: _PartitionPayload):
         )
     if records is not None:
         if source != payload.cache_file:
-            # served from a replica: re-heal the primary and every other
-            # missing/corrupt copy
-            for path in all_copies:
+            # served from a replica (or a legacy copy): re-heal the
+            # primary and every other missing/corrupt CONFIGURED copy
+            for path in configured:
                 if path != source and _load_cache(path) is None:
                     _write_cache_atomic(path, records)
         if records:
@@ -468,6 +481,35 @@ class PubsubStreamReader(DataSourceStreamReader):
             )
             for r in range(1, self.opts.replay_cache_replicas)
         ]
+        # Retired derived roots (ADVICE r13): after switching to
+        # explicit replay_cache_replica_dirs (or shrinking the replica
+        # count), a batch pulled under the OLD config may have its only
+        # surviving copy under a derived .read_cache_rep* sibling no
+        # longer in the configured set. Probe those as read-only
+        # fallbacks so the replay never silently re-pulls; one local
+        # listdir per micro-batch plan, driver-side.
+        configured_bases = {
+            os.path.join(self.opts.broker_dir, ".read_cache_rep" + str(r))
+            if not self.opts.replay_cache_replica_dirs
+            else self.opts.replay_cache_replica_dirs[r - 1]
+            for r in range(1, self.opts.replay_cache_replicas)
+        }
+        try:
+            _names = os.listdir(self.opts.broker_dir)
+        except OSError:
+            _names = []
+        legacy_dirs = [
+            os.path.join(
+                self.opts.broker_dir,
+                n,
+                _sanitize(self.opts.subscription),
+                _sanitize(self.stream_id),
+                batch_key,
+            )
+            for n in sorted(_names)
+            if n.startswith(".read_cache_rep")
+            and os.path.join(self.opts.broker_dir, n) not in configured_bases
+        ]
 
         plan: list[tuple[int, str | None]] = []  # (index, region)
         if self.monitor is not None:
@@ -503,6 +545,10 @@ class PubsubStreamReader(DataSourceStreamReader):
                     replica_files=tuple(
                         os.path.join(d, f"part-{i:05d}.jsonl")
                         for d in replica_dirs
+                    ),
+                    legacy_files=tuple(
+                        os.path.join(d, f"part-{i:05d}.jsonl")
+                        for d in legacy_dirs
                     ),
                 )
             )

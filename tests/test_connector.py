@@ -1370,6 +1370,81 @@ def test_explicit_replica_dirs_second_mount(spark, broker, broker_dir, tmp_path)
         reader.stop()
 
 
+def test_legacy_derived_replica_root_served_after_config_switch(
+    spark, broker, broker_dir, tmp_path
+):
+    """ADVICE r13 (low): a batch pulled under the DERIVED-replica
+    config whose primary is lost but whose copy survives under the old
+    ``.read_cache_rep1`` sibling must replay from that legacy root
+    after the config switches to explicit replay_cache_replica_dirs —
+    not hit the fully-absent branch and silently re-pull (the broker
+    still holds the lease, so a re-pull returns nothing: exactly the
+    planned-batch-content change the corrupt-cache RuntimeError exists
+    to prevent). The legacy copy is read-only: healing rewrites the
+    configured set (primary + explicit mount), never the retired root."""
+    import shutil as _shutil
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamReader,
+    )
+
+    _publish_canonical(broker, 20)
+    base = {
+        "project_id": "p",
+        "subscription": "s",
+        "broker_dir": broker_dir,
+        "num_partitions": "2",
+        "max_messages_per_partition": "10",
+        "replay_cache_replicas": "2",
+        "stream_id": "sid-cfgswitch",
+    }
+    old = PubsubStreamReader(dict(base))
+    try:
+        start = old.initialOffset()
+        end = old.latestOffset()
+        parts = old.partitions(start, end)
+        first = [
+            sorted(tuple(map(str, r)) for r in _read_rows(old, p))
+            for p in parts
+        ]
+        assert sum(len(x) for x in first) == 20
+        assert os.path.isdir(os.path.join(broker_dir, ".read_cache_rep1"))
+    finally:
+        old.stop()  # uncommitted: the restart replans this batch
+
+    # restart with the replica moved to an explicit second mount; same
+    # stream identity (the registry keeps same-sid dirs), same batch
+    mount2 = str(tmp_path / "mount2")
+    new = PubsubStreamReader(dict(base, replay_cache_replica_dirs=mount2))
+    try:
+        parts2 = new.partitions(start, end)
+        # primary lost; only the RETIRED derived root still has copies
+        _shutil.rmtree(os.path.join(broker_dir, ".read_cache"))
+        second = [
+            sorted(tuple(map(str, r)) for r in _read_rows(new, p))
+            for p in parts2
+        ]
+        assert first == second  # legacy copy served, byte-identical
+        # healing restored the CONFIGURED set: primary + explicit mount
+        assert os.path.isdir(os.path.join(broker_dir, ".read_cache"))
+        assert os.path.isdir(os.path.join(mount2, "s"))
+        # commit acks from whichever root and evicts every copy,
+        # including the retired derived sibling's
+        new.commit(end)
+        assert broker.backlog("s") == 0
+        for root in (
+            os.path.join(broker_dir, ".read_cache"),
+            os.path.join(broker_dir, ".read_cache_rep1"),
+            mount2,
+        ):
+            sub_root = os.path.join(root, "s")
+            if os.path.isdir(sub_root):
+                for stream_d in os.listdir(sub_root):
+                    assert os.listdir(os.path.join(sub_root, stream_d)) == []
+    finally:
+        new.stop()
+
+
 def test_sink_commit_fails_loudly_on_missing_staged_file(
     spark, broker, broker_dir
 ):
