@@ -691,6 +691,20 @@ def _stage_dir(opts: PubsubWriteOptions) -> str:
     return os.path.join(opts.broker_dir, ".sink_stage", _sanitize(opts.topic))
 
 
+def _sink_owner_token(opts: PubsubWriteOptions) -> str | None:
+    """Fixed-width ownership token staged filenames carry (VERDICT r13
+    #5): md5-hex16 of the sink_id, so commit's orphan sweep can tell
+    THIS query's files from a concurrent query's on the same topic
+    without any separator-parsing ambiguity (sink ids may contain
+    dashes). None without a sink_id — anonymous sinks cannot claim
+    ownership, so they are never swept (same opt-in as idempotence)."""
+    if opts.sink_id is None:
+        return None
+    import hashlib
+
+    return hashlib.md5(opts.sink_id.encode()).hexdigest()[:16]
+
+
 def _sink_state_path(opts: PubsubWriteOptions) -> str:
     """Committed-batch-id record, namespaced by (topic, sink_id): batch
     ids are per-query (they restart at 0 for every new checkpoint), so
@@ -750,11 +764,22 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         # be orphaned in .sink_stage/ outside a commit message (ADVICE
         # r2: the old per-chunk promotion leaked completed chunks of
         # failed tasks forever, since abort() only sees commit messages)
+        # Ownership in the filename (VERDICT r13 #5): a COMPLETED
+        # speculative attempt that loses the race promotes files no
+        # commit message references — pure orphans. The Python
+        # DataSource API exposes batchId only driver-side (commit/
+        # abort), so filenames carry the sink's owner token instead of
+        # a batch number; commit()'s sweep reconciles by reference set,
+        # which micro-batch sequencing makes safe (see _gc_orphans).
+        owner = _sink_owner_token(opts) or "anon"
+
         def _roll():
             nonlocal fh
             if fh is not None:
                 fh.close()
-            tmp = os.path.join(stage, f"stage-{uuid.uuid4().hex}.jsonl.tmp")
+            tmp = os.path.join(
+                stage, f"stage-{owner}-{uuid.uuid4().hex}.jsonl.tmp"
+            )
             tmps.append(tmp)
             fh = open(tmp, "w")
 
@@ -835,6 +860,42 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
             json.dump({"last_batch": batch_id}, fh)
         os.replace(tmp, path)
 
+    def _gc_orphans(self, referenced: set[str]) -> None:
+        """Sweep THIS sink's unreferenced stage files (VERDICT r13 #5).
+
+        Called at the end of commit(batch N). Safety argument: batches
+        of one query are strictly sequential, so at this point every
+        file in the stage dir carrying our owner token is either (a)
+        referenced by batch N's commit messages (excluded), (b) a
+        promoted file of a losing speculative batch-≤N attempt whose
+        commit message Spark discarded — never publishable, or (c) a
+        .tmp of an attempt that died without running its except-unlink
+        — equally dead (a still-running zombie of batch N may promote
+        AFTER this sweep; its file is unreferenced garbage by the same
+        argument and the NEXT commit removes it, bounding orphan life
+        to one batch). Files of other queries are untouched — their
+        owner token differs, and anonymous (no sink_id) files are
+        never swept because ownership can't be established."""
+        owner = _sink_owner_token(self.opts)
+        if owner is None:
+            return
+        stage = _stage_dir(self.opts)
+        prefix = f"stage-{owner}-"
+        try:
+            names = os.listdir(stage)
+        except OSError:
+            return
+        for n in names:
+            if not n.startswith(prefix):
+                continue
+            path = os.path.join(stage, n)
+            if path in referenced:
+                continue
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
     def commit(self, messages, batchId: int) -> None:
         staged = [f for m in messages if m is not None for f in m.staged_files]
         if batchId <= self._last_committed():
@@ -846,6 +907,7 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
             for f in staged:
                 if os.path.exists(f):
                     os.remove(f)
+            self._gc_orphans(set())
             return
         # A staged file referenced by a commit message but absent on
         # disk is LOST DATA for a batch that has not been committed:
@@ -867,6 +929,11 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         for f in staged:
             if os.path.exists(f):
                 os.remove(f)
+        # losing speculative attempts of batches ≤ batchId leave
+        # promoted-but-unreferenced files; sweep them now (the staged
+        # set was already removed above, so pass the empty reference
+        # set — anything of ours still present is an orphan)
+        self._gc_orphans(set())
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:

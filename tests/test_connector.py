@@ -1445,6 +1445,85 @@ def test_legacy_derived_replica_root_served_after_config_switch(
         new.stop()
 
 
+def test_sink_losing_attempt_leaves_zero_orphans(
+    spark, broker, broker_dir
+):
+    """VERDICT r13 #5 (stage-file GC): a COMPLETED speculative attempt
+    that loses the race promotes stage files no commit message ever
+    references — previously unbounded disk junk over a long-lived
+    topic. Staged filenames now carry the sink's owner token and
+    commit(batch N) sweeps every owned, unreferenced file (losing
+    attempts AND zombie .tmp files of killed tasks), while files of
+    OTHER owners — a concurrent query's, an anonymous sink's, or
+    pre-token legacy names — are untouched."""
+    import pyarrow as pa
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+        _sink_owner_token,
+        _stage_dir,
+    )
+
+    broker.create_topic("spec")
+    n = 25
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"m{i}".encode() for i in range(n)], type=pa.binary()),
+            pa.array(
+                [[("k", "v")]] * n, type=pa.map_(pa.string(), pa.string())
+            ),
+        ],
+        names=["data", "attributes"],
+    )
+    w = PubsubStreamWriter(
+        {
+            "project_id": "p",
+            "topic": "spec",
+            "broker_dir": broker_dir,
+            "publish_batch_size": "10",
+            "sink_id": "q-spec",
+        },
+        _sink_schema(),
+    )
+    winner = w.write(iter([batch]))
+    loser = w.write(iter([batch]))  # speculative duplicate, COMPLETED
+    assert len(loser.staged_files) == 3
+    stage = _stage_dir(w.opts)
+    owner = _sink_owner_token(w.opts)
+    # zombie .tmp of a hard-killed attempt (its except-unlink never ran)
+    zombie = os.path.join(stage, f"stage-{owner}-deadzombie.jsonl.tmp")
+    open(zombie, "w").write("{}\n")
+    # foreign files that must survive: another query's owner token, an
+    # anonymous sink's file, and a pre-token legacy name
+    foreign = [
+        os.path.join(stage, "stage-0123456789abcdef-feedface.jsonl"),
+        os.path.join(stage, "stage-anon-cafebabe.jsonl"),
+        os.path.join(stage, "stage-deadbeefdeadbeefdeadbeefdeadbeef.jsonl"),
+    ]
+    for f in foreign:
+        open(f, "w").write("{}\n")
+
+    # Spark delivers only the winner's commit message
+    w.commit([winner], batchId=0)
+    assert len(broker.topic_messages("spec")) == n  # published once
+    left = sorted(os.listdir(stage))
+    for f in loser.staged_files:
+        assert not os.path.exists(f), f  # losing attempt swept
+    assert not os.path.exists(zombie)  # zombie .tmp swept
+    for f in foreign:
+        assert os.path.exists(f), f  # other owners untouched
+    assert [n_ for n_ in left if f"stage-{owner}-" in n_] == []
+
+    # a LATE promotion (zombie finishing after commit 0) is bounded to
+    # one batch: the next commit sweeps it
+    straggler = os.path.join(stage, f"stage-{owner}-latepromote.jsonl")
+    open(straggler, "w").write("{}\n")
+    msg1 = w.write(iter([batch]))
+    w.commit([msg1], batchId=1)
+    assert not os.path.exists(straggler)
+    assert len(broker.topic_messages("spec")) == 2 * n
+
+
 def test_sink_commit_fails_loudly_on_missing_staged_file(
     spark, broker, broker_dir
 ):
