@@ -49,6 +49,11 @@ SUPERSEDED_BEFORE_ROUND: dict[str, int] = {
     "q22_embedding_neardup": 11,
     # q91 verify payload moved to 48-bit gram keys in r11 (8370cbb).
     "q91_blocking_eval": 11,
+    # q85/q79 int64-overflow fixes rewrote their arithmetic in
+    # DECIMAL(38,0)/HUGEINT lockstep in r13; pre-fix points measured
+    # the BIGINT bodies (q85 re-measured r13, q79 r14).
+    "q85_hourly_anomalies": 13,
+    "q79_source_mixture": 14,
 }
 SUPERSEDED: set[tuple[str, str]] = {
     # r11 artifact, but recorded BEFORE the same round's q91 fix:
