@@ -116,6 +116,69 @@ class FileBroker:
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
             os.makedirs(os.path.join(self.root, d), exist_ok=True)
 
+    # -- crash-safe sequence minting ---------------------------------------
+    def _next_seq(self, d: str) -> int:
+        """Next dense sequence number for a topic dir, crash-safe
+        (r14 self-review, the publish twin of the r13 sink find).
+
+        Both appenders write ``log.jsonl`` FIRST and the ``.seq``
+        counter AFTER, so a crash between the two leaves committed
+        lines the counter does not cover; minting from the stale
+        counter would assign DUPLICATE seq numbers to new messages —
+        silent log corruption (acks conflate distinct messages, the
+        dense-seq scan cursor under-delivers). Recovery, under the
+        broker lock, in two steps:
+
+        1. A torn tail line (a crashed append's partial final write —
+           no trailing newline) is TRUNCATED: its publish/commit never
+           returned success to the caller, so removing it is the clean
+           at-least-once outcome (the publisher retries; a sink batch
+           was never recorded committed and re-commits whole).
+        2. The next seq is ``max(counter, last_intact_line_seq + 1)``,
+           so the counter lagging the log can never re-mint a live seq.
+        """
+        with open(os.path.join(d, ".seq")) as fh:
+            seq = int(fh.read().strip() or "0")
+        path = os.path.join(d, "log.jsonl")
+        try:
+            with open(path, "rb+") as fh:
+                fh.seek(0, os.SEEK_END)
+                size = fh.tell()
+                if size == 0:
+                    return seq
+                back = min(size, 1 << 16)
+                fh.seek(size - back)
+                tail = fh.read()
+                if not tail.endswith(b"\n"):
+                    # torn tail: cut back to the last complete line
+                    cut = tail.rfind(b"\n")
+                    keep = size - back + (cut + 1 if cut >= 0 else 0)
+                    if cut < 0 and size > back:
+                        # torn line longer than the window: walk back
+                        # window by window until a newline appears
+                        pos = size - back
+                        while pos > 0:
+                            step = min(pos, 1 << 16)
+                            fh.seek(pos - step)
+                            chunk = fh.read(step)
+                            cut = chunk.rfind(b"\n")
+                            if cut >= 0:
+                                keep = pos - step + cut + 1
+                                break
+                            pos -= step
+                        else:
+                            keep = 0
+                    fh.truncate(keep)
+                    fh.seek(max(0, keep - (1 << 16)))
+                    tail = fh.read()
+                for raw in reversed(tail.splitlines()):
+                    if raw.strip():
+                        seq = max(seq, self._seq_of(raw) + 1)
+                        break
+        except FileNotFoundError:
+            pass
+        return seq
+
     # -- publish ----------------------------------------------------------
     def publish(
         self,
@@ -133,8 +196,7 @@ class FileBroker:
             publish_ts_us if publish_ts_us is not None else int(time.time() * 1e6)
         )
         with self._lock():
-            with open(os.path.join(d, ".seq")) as fh:
-                seq = int(fh.read().strip() or "0")
+            seq = self._next_seq(d)
             ids = []
             with open(os.path.join(d, "log.jsonl"), "a") as log:
                 for m in messages:
@@ -196,8 +258,7 @@ class FileBroker:
                     bodies.append(line[1:])
         n = 0
         with self._lock():
-            with open(os.path.join(d, ".seq")) as fh:
-                seq = int(fh.read().strip() or "0")
+            seq = self._next_seq(d)
             with open(os.path.join(d, "log.jsonl"), "a") as log:
                 for body in bodies:
                     sep = "" if body.lstrip().startswith("}") else " "

@@ -169,3 +169,69 @@ def test_commit_staged_malformed_line_leaves_log_untouched(broker, tmp_path):
     broker.publish("t", _msgs(1))
     msgs = broker.topic_messages("t")
     assert [m.message_id for m in msgs] == ["0", "1", "2"]
+
+
+def test_publish_seq_recovers_from_stale_counter(broker, tmp_path):
+    """r14 self-review (the publish twin of the r13 sink find): both
+    appenders write log.jsonl FIRST and .seq AFTER, so a crash between
+    the two leaves committed lines the counter doesn't cover. Minting
+    from the stale counter would duplicate live seq numbers — acks
+    conflate distinct messages, the dense-seq cursor under-delivers.
+    _next_seq recovers from the log tail: max(counter, last_seq + 1)."""
+    import os
+
+    broker.publish("t", _msgs(3))
+    seq_path = os.path.join(str(tmp_path), "topics", "t", ".seq")
+    with open(seq_path, "w") as fh:
+        fh.write("1")  # simulate the crash window: counter lags the log
+    ids = broker.publish("t", _msgs(2))
+    assert ids == ["3", "4"]  # NOT "1","2" — no re-minted live seqs
+    got = broker.pull("s", 10)
+    assert sorted(int(m.message.message_id) for m in got) == [0, 1, 2, 3, 4]
+    assert len({m.message.message_id for m in got}) == 5
+
+
+def test_commit_staged_seq_recovers_from_stale_counter(broker, tmp_path):
+    """Same crash window through the sink's commit_staged path."""
+    import json
+    import os
+
+    broker.publish("t", _msgs(4))
+    seq_path = os.path.join(str(tmp_path), "topics", "t", ".seq")
+    with open(seq_path, "w") as fh:
+        fh.write("0")
+    staged = tmp_path / "chunk.jsonl"
+    staged.write_text(
+        json.dumps(
+            {
+                "ordering_key": "",
+                "data_b64": "aGk=",
+                "attributes": {},
+                "publish_ts_us": 1,
+                "region": "global",
+            }
+        )
+        + "\n"
+    )
+    assert broker.commit_staged("t", [str(staged)]) == 1
+    seqs = [int(m.message_id) for m in broker.topic_messages("t")]
+    assert seqs == [0, 1, 2, 3, 4]  # dense, no duplicates
+
+
+def test_torn_tail_line_truncated_before_next_append(broker, tmp_path):
+    """A crashed append's partial final write (no trailing newline)
+    would poison every later consumer's json.loads; the next publish
+    truncates it — safe, because a torn line's publish/commit never
+    returned success, so the caller retries (at-least-once)."""
+    import os
+
+    broker.publish("t", _msgs(3))
+    log = os.path.join(str(tmp_path), "topics", "t", "log.jsonl")
+    with open(log, "ab") as fh:
+        fh.write(b'{"seq": 3, "message_id": "3", "orde')  # torn
+    ids = broker.publish("t", _msgs(1))
+    assert ids == ["3"]  # the torn line was cut; its seq re-minted
+    msgs = broker.topic_messages("t")  # full parse — no poison left
+    assert [int(m.message_id) for m in msgs] == [0, 1, 2, 3]
+    got = broker.pull("s", 10)
+    assert sorted(int(m.message.message_id) for m in got) == [0, 1, 2, 3]
