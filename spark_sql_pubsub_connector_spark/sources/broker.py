@@ -140,41 +140,38 @@ class FileBroker:
         with open(os.path.join(d, ".seq")) as fh:
             seq = int(fh.read().strip() or "0")
         path = os.path.join(d, "log.jsonl")
+
+        def read_back_to_newline(fh, end: int) -> bytes:
+            # bytes [start, end) where start is just past the last
+            # newline strictly before `end` (or 0): i.e. the final
+            # line of the region, COMPLETE even when it exceeds one
+            # window (a single message line can be megabytes)
+            buf = b""
+            pos = end
+            while pos > 0:
+                step = min(pos, 1 << 16)
+                fh.seek(pos - step)
+                buf = fh.read(step) + buf
+                pos -= step
+                cut = buf[: len(buf) - 1].rfind(b"\n") if buf else -1
+                if cut >= 0:
+                    return buf[cut + 1 :]
+            return buf
+
         try:
             with open(path, "rb+") as fh:
                 fh.seek(0, os.SEEK_END)
                 size = fh.tell()
                 if size == 0:
                     return seq
-                back = min(size, 1 << 16)
-                fh.seek(size - back)
-                tail = fh.read()
-                if not tail.endswith(b"\n"):
+                last = read_back_to_newline(fh, size)
+                if not last.endswith(b"\n"):
                     # torn tail: cut back to the last complete line
-                    cut = tail.rfind(b"\n")
-                    keep = size - back + (cut + 1 if cut >= 0 else 0)
-                    if cut < 0 and size > back:
-                        # torn line longer than the window: walk back
-                        # window by window until a newline appears
-                        pos = size - back
-                        while pos > 0:
-                            step = min(pos, 1 << 16)
-                            fh.seek(pos - step)
-                            chunk = fh.read(step)
-                            cut = chunk.rfind(b"\n")
-                            if cut >= 0:
-                                keep = pos - step + cut + 1
-                                break
-                            pos -= step
-                        else:
-                            keep = 0
-                    fh.truncate(keep)
-                    fh.seek(max(0, keep - (1 << 16)))
-                    tail = fh.read()
-                for raw in reversed(tail.splitlines()):
-                    if raw.strip():
-                        seq = max(seq, self._seq_of(raw) + 1)
-                        break
+                    fh.truncate(size - len(last))
+                    size -= len(last)
+                    last = read_back_to_newline(fh, size) if size else b""
+                if last.strip():
+                    seq = max(seq, self._seq_of(last) + 1)
         except FileNotFoundError:
             pass
         return seq

@@ -235,3 +235,31 @@ def test_torn_tail_line_truncated_before_next_append(broker, tmp_path):
     assert [int(m.message_id) for m in msgs] == [0, 1, 2, 3]
     got = broker.pull("s", 10)
     assert sorted(int(m.message.message_id) for m in got) == [0, 1, 2, 3]
+
+
+def test_seq_recovery_with_line_longer_than_scan_window(broker, tmp_path):
+    """A single log line is one message — real payloads can exceed the
+    64 KB back-scan window (Pub/Sub allows 10 MB). Recovery must walk
+    back until the FINAL line is complete, not parse a mid-line
+    fragment."""
+    import os
+
+    big = PubsubMessage(
+        data=b"x" * 200_000,  # ~267 KB base64 — several windows
+        attributes={},
+        publish_ts_us=1,
+        region="global",
+    )
+    broker.publish("t", _msgs(2))
+    broker.publish("t", [big])
+    seq_path = os.path.join(str(tmp_path), "topics", "t", ".seq")
+    with open(seq_path, "w") as fh:
+        fh.write("0")
+    ids = broker.publish("t", _msgs(1))
+    assert ids == ["3"]
+    assert [int(m.message_id) for m in broker.topic_messages("t")] == [
+        0,
+        1,
+        2,
+        3,
+    ]
