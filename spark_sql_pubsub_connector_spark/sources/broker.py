@@ -145,18 +145,31 @@ class FileBroker:
             # bytes [start, end) where start is just past the last
             # newline strictly before `end` (or 0): i.e. the final
             # line of the region, COMPLETE even when it exceeds one
-            # window (a single message line can be megabytes)
-            buf = b""
+            # window (a single message line can be megabytes). Each
+            # window is searched once as it is read — no re-scan or
+            # re-copy of the accumulated buffer, so the walk is O(L)
+            # for an L-byte final line (r14 review: the first version
+            # re-sliced the whole buffer per window, O(L²) under the
+            # global broker lock).
+            chunks: list[bytes] = []
             pos = end
+            first = True
             while pos > 0:
                 step = min(pos, 1 << 16)
                 fh.seek(pos - step)
-                buf = fh.read(step) + buf
+                chunk = fh.read(step)
                 pos -= step
-                cut = buf[: len(buf) - 1].rfind(b"\n") if buf else -1
+                # exclude the region's very last byte from the search
+                # so a trailing newline is part of the final line, not
+                # its separator
+                hi = len(chunk) - 1 if first else len(chunk)
+                first = False
+                cut = chunk.rfind(b"\n", 0, hi)
                 if cut >= 0:
-                    return buf[cut + 1 :]
-            return buf
+                    chunks.append(chunk[cut + 1 :])
+                    return b"".join(reversed(chunks))
+                chunks.append(chunk)
+            return b"".join(reversed(chunks))
 
         try:
             with open(path, "rb+") as fh:
@@ -323,6 +336,17 @@ class FileBroker:
             for raw in fh:
                 line_start = pos
                 pos += len(raw)
+                if not raw.endswith(b"\n"):
+                    # torn final line of a crashed append (r14 review:
+                    # _next_seq repairs it on the NEXT append, but a
+                    # drained producer may never append again). Its
+                    # publish/commit never returned success, so it must
+                    # be invisible to readers: never parsed, never
+                    # leased, and never advanced past — leaving every
+                    # cursor at its start keeps the repair (truncate +
+                    # rewritten line at this same byte) seamless.
+                    pos = line_start
+                    break
                 if not raw.strip():
                     continue
                 s = self._seq_of(raw)

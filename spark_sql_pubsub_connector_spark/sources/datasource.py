@@ -132,13 +132,33 @@ def _read_cache_dir(opts: PubsubReadOptions, replica: int = 0) -> str:
     executor's local disk, a second mount, or a DFS path) — the
     deployment analog of MEMORY_AND_DISK_SER_2's distinct-executor
     placement."""
+    return os.path.join(_replica_base(opts, replica), _sanitize(opts.subscription))
+
+
+def _replica_base(opts: PubsubReadOptions, replica: int) -> str:
+    """The root directory replica ``replica`` lives under — THE
+    definition of the derived-vs-explicit layout (everything that
+    needs a replica path derives from here, so a layout change cannot
+    desynchronize the planner's legacy probing — r14 review)."""
     if replica == 0:
-        base = os.path.join(opts.broker_dir, ".read_cache")
-    elif opts.replay_cache_replica_dirs:
-        base = opts.replay_cache_replica_dirs[replica - 1]
-    else:
-        base = os.path.join(opts.broker_dir, f".read_cache_rep{replica}")
-    return os.path.join(base, _sanitize(opts.subscription))
+        return os.path.join(opts.broker_dir, ".read_cache")
+    if opts.replay_cache_replica_dirs:
+        return opts.replay_cache_replica_dirs[replica - 1]
+    return os.path.join(opts.broker_dir, f".read_cache_rep{replica}")
+
+
+def _derived_replica_bases(opts: PubsubReadOptions) -> list[str]:
+    """Every derived ``.read_cache_rep*`` sibling present on disk —
+    including roots a RETIRED configuration wrote (one local listdir)."""
+    try:
+        names = os.listdir(opts.broker_dir)
+    except OSError:
+        names = []
+    return [
+        os.path.join(opts.broker_dir, n)
+        for n in sorted(names)
+        if n.startswith(".read_cache_rep")
+    ]
 
 
 def _replica_root_dirs(opts: PubsubReadOptions) -> list[str]:
@@ -146,16 +166,7 @@ def _replica_root_dirs(opts: PubsubReadOptions) -> list[str]:
     cover: the explicitly-configured roots (if any) plus any derived
     ``.read_cache_rep*`` siblings present on disk — copies written under
     an older configuration still need eviction and purging."""
-    roots = list(opts.replay_cache_replica_dirs)
-    try:
-        names = os.listdir(opts.broker_dir)
-    except OSError:
-        names = []
-    roots += [
-        os.path.join(opts.broker_dir, n)
-        for n in sorted(names)
-        if n.startswith(".read_cache_rep")
-    ]
+    roots = list(opts.replay_cache_replica_dirs) + _derived_replica_bases(opts)
     return list(dict.fromkeys(roots))
 
 
@@ -489,26 +500,18 @@ class PubsubStreamReader(DataSourceStreamReader):
         # fallbacks so the replay never silently re-pulls; one local
         # listdir per micro-batch plan, driver-side.
         configured_bases = {
-            os.path.join(self.opts.broker_dir, ".read_cache_rep" + str(r))
-            if not self.opts.replay_cache_replica_dirs
-            else self.opts.replay_cache_replica_dirs[r - 1]
+            _replica_base(self.opts, r)
             for r in range(1, self.opts.replay_cache_replicas)
         }
-        try:
-            _names = os.listdir(self.opts.broker_dir)
-        except OSError:
-            _names = []
         legacy_dirs = [
             os.path.join(
-                self.opts.broker_dir,
-                n,
+                base,
                 _sanitize(self.opts.subscription),
                 _sanitize(self.stream_id),
                 batch_key,
             )
-            for n in sorted(_names)
-            if n.startswith(".read_cache_rep")
-            and os.path.join(self.opts.broker_dir, n) not in configured_bases
+            for base in _derived_replica_bases(self.opts)
+            if base not in configured_bases
         ]
 
         plan: list[tuple[int, str | None]] = []  # (index, region)
@@ -860,22 +863,22 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
             json.dump({"last_batch": batch_id}, fh)
         os.replace(tmp, path)
 
-    def _gc_orphans(self, referenced: set[str]) -> None:
-        """Sweep THIS sink's unreferenced stage files (VERDICT r13 #5).
+    def _gc_orphans(self) -> None:
+        """Sweep THIS sink's leftover stage files (VERDICT r13 #5).
 
-        Called at the end of commit(batch N). Safety argument: batches
-        of one query are strictly sequential, so at this point every
-        file in the stage dir carrying our owner token is either (a)
-        referenced by batch N's commit messages (excluded), (b) a
+        Called at the end of commit(batch N), AFTER the batch's own
+        staged files have been published and removed — so every file
+        in the stage dir still carrying our owner token is either a
         promoted file of a losing speculative batch-≤N attempt whose
-        commit message Spark discarded — never publishable, or (c) a
+        commit message Spark discarded — never publishable — or a
         .tmp of an attempt that died without running its except-unlink
-        — equally dead (a still-running zombie of batch N may promote
+        — equally dead. (A still-running zombie of batch N may promote
         AFTER this sweep; its file is unreferenced garbage by the same
-        argument and the NEXT commit removes it, bounding orphan life
-        to one batch). Files of other queries are untouched — their
-        owner token differs, and anonymous (no sink_id) files are
-        never swept because ownership can't be established."""
+        sequencing argument and the NEXT commit removes it, bounding
+        orphan life to one batch.) Files of other queries are
+        untouched — their owner token differs — and anonymous
+        (no sink_id) files are never swept because ownership can't be
+        established."""
         owner = _sink_owner_token(self.opts)
         if owner is None:
             return
@@ -888,11 +891,8 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         for n in names:
             if not n.startswith(prefix):
                 continue
-            path = os.path.join(stage, n)
-            if path in referenced:
-                continue
             try:
-                os.remove(path)
+                os.remove(os.path.join(stage, n))
             except FileNotFoundError:
                 pass
 
@@ -907,7 +907,7 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
             for f in staged:
                 if os.path.exists(f):
                     os.remove(f)
-            self._gc_orphans(set())
+            self._gc_orphans()
             return
         # A staged file referenced by a commit message but absent on
         # disk is LOST DATA for a batch that has not been committed:
@@ -930,10 +930,10 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
             if os.path.exists(f):
                 os.remove(f)
         # losing speculative attempts of batches ≤ batchId leave
-        # promoted-but-unreferenced files; sweep them now (the staged
-        # set was already removed above, so pass the empty reference
-        # set — anything of ours still present is an orphan)
-        self._gc_orphans(set())
+        # promoted-but-unreferenced files; sweep them now (this
+        # batch's staged set was already removed above, so anything
+        # of ours still present is an orphan)
+        self._gc_orphans()
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:

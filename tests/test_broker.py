@@ -263,3 +263,33 @@ def test_seq_recovery_with_line_longer_than_scan_window(broker, tmp_path):
         2,
         3,
     ]
+
+
+def test_torn_tail_invisible_to_readers_without_an_append(broker, tmp_path):
+    """r14 review: _next_seq repairs a torn tail only on the NEXT
+    append — but a drained producer may never append again. Readers
+    must treat a final line without its newline as nonexistent (its
+    publish never returned success): no json.loads poison in
+    pull/backlog, no phantom lease, and no cursor advanced past it,
+    so the eventual repair (truncate + rewrite at the same byte) is
+    seamless."""
+    import os
+
+    broker.publish("t", _msgs(2))
+    log = os.path.join(str(tmp_path), "topics", "t", "log.jsonl")
+    with open(log, "ab") as fh:
+        fh.write(b'{"seq": 2, "message_id": "2", "orde')  # torn, no \n
+    # every read API stays functional and blind to the torn line
+    assert broker.backlog("s") == 2
+    got = broker.pull("s", 10)
+    assert sorted(m.message.message_id for m in got) == ["0", "1"]
+    broker.acknowledge("s", [m.ack_id for m in got])
+    assert broker.backlog("s") == 0
+    assert broker.pull("s", 10) == []  # no phantom lease on seq 2
+    # producer retry: the torn line is truncated and seq 2 re-minted;
+    # the reader's cursors (parked at the torn line's start) pick the
+    # rewritten line up seamlessly
+    ids = broker.publish("t", _msgs(1))
+    assert ids == ["2"]
+    got2 = broker.pull("s", 10)
+    assert [m.message.message_id for m in got2] == ["2"]

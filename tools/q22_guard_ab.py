@@ -48,6 +48,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import calib  # noqa: E402  (shared probe protocol)
+
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
@@ -133,36 +135,8 @@ def main() -> None:
     spark = get_spark(app_name="q22_guard_ab")
     sf_dir = args.sf_dir
 
-    # fixed-cost warmup, same as bench.py
-    spark.range(1000).selectExpr("sum(id)").collect()
-    warm = (
-        spark.read.parquet(f"{sf_dir}/region.parquet")
-        .groupBy("r_name")
-        .count()
-    )
-    warm.write.format("noop").mode("overwrite").save()
+    calib.warmup(spark, sf_dir)
 
-    def calib_once() -> tuple[float, float]:
-        t0 = time.perf_counter()
-        spark.range(2_000_000_000).selectExpr("sum(id * 2 + 1)").collect()
-        t1 = time.perf_counter()
-        (
-            spark.range(60_000_000)
-            .selectExpr("id % 1024 AS k", "id AS v")
-            .groupBy("k")
-            .agg({"v": "sum"})
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        return t1 - t0, time.perf_counter() - t1
-
-    def calib3() -> dict:
-        cs = [calib_once() for _ in range(3)]
-        return {
-            "cpu_probe_s": round(min(c[0] for c in cs), 4),
-            "shuffle_probe_s": round(min(c[1] for c in cs), 4),
-        }
 
     guard_build = all_specs()["q22_embedding_neardup"].build
 
@@ -208,7 +182,7 @@ def main() -> None:
     assert n_guard == n_pre, (n_guard, n_pre)
     spark.catalog.clearCache()
 
-    result["calibration_start"] = calib3()
+    result["calibration_start"] = calib.calib3(spark)
     result["cold"] = {
         "guard": round(arms["guard"](), 4),
         "preguard": round(arms["preguard"](), 4),
@@ -217,14 +191,14 @@ def main() -> None:
     order_log = []
     for r in range(args.rounds):
         if r == args.rounds // 2:
-            result["calibration_mid"] = calib3()
+            result["calibration_mid"] = calib.calib3(spark)
         order = (
             ["guard", "preguard"] if r % 2 == 0 else ["preguard", "guard"]
         )
         for arm in order:
             runs[arm].append(round(arms[arm](), 4))
         order_log.append(order)
-    result["calibration_end"] = calib3()
+    result["calibration_end"] = calib.calib3(spark)
     result["order"] = order_log
     result["warm_runs"] = runs
 

@@ -31,6 +31,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import calib  # noqa: E402  (shared probe protocol)
+
 SUBJECTS = [
     "q01_pricing_summary",
     "q08_join_shuffle_agg",
@@ -54,37 +56,8 @@ def main() -> None:
 
     spark = get_spark(app_name="wide_tax_ab")
     sf_dir = args.sf_dir
-    spark.range(1000).selectExpr("sum(id)").collect()
-    (
-        spark.read.parquet(f"{sf_dir}/region.parquet")
-        .groupBy("r_name")
-        .count()
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
+    calib.warmup(spark, sf_dir)
 
-    def calib_once() -> tuple[float, float]:
-        t0 = time.perf_counter()
-        spark.range(2_000_000_000).selectExpr("sum(id * 2 + 1)").collect()
-        t1 = time.perf_counter()
-        (
-            spark.range(60_000_000)
-            .selectExpr("id % 1024 AS k", "id AS v")
-            .groupBy("k")
-            .agg({"v": "sum"})
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        return t1 - t0, time.perf_counter() - t1
-
-    def calib3() -> dict:
-        cs = [calib_once() for _ in range(3)]
-        return {
-            "cpu_probe_s": round(min(c[0] for c in cs), 4),
-            "shuffle_probe_s": round(min(c[1] for c in cs), 4),
-        }
 
     def run_once(name: str, mode: str) -> float:
         prev = exact.set_accumulator_mode(mode)
@@ -112,7 +85,7 @@ def main() -> None:
             ),
         },
     }
-    result["calibration_start"] = calib3()
+    result["calibration_start"] = calib.calib3(spark)
     runs: dict[str, dict[str, list[float]]] = {
         n: {"bigint": [], "wide": []} for n in SUBJECTS
     }
@@ -125,7 +98,7 @@ def main() -> None:
             order = ["bigint", "wide"] if r % 2 == 0 else ["wide", "bigint"]
             for mode in order:
                 runs[n][mode].append(run_once(n, mode))
-    result["calibration_end"] = calib3()
+    result["calibration_end"] = calib.calib3(spark)
     result["warm_runs"] = runs
     taxes = {}
     for n in SUBJECTS:
