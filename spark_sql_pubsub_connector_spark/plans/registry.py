@@ -61,7 +61,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def query(
     name: str,
-    oracle: str | None,
+    oracle: str | Callable[[], str] | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = False,

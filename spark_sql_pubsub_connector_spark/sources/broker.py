@@ -290,8 +290,15 @@ class FileBroker:
         path = os.path.join(self._topic_dir(topic), "log.jsonl")
         if not os.path.exists(path):
             return []
-        with open(path) as fh:
-            return [json.loads(line) for line in fh if line.strip()]
+        # Mirror _scan_unacked's torn-tail rule: a final line missing its
+        # trailing newline is a crashed append whose publish never returned
+        # success — skip it instead of raising JSONDecodeError (the next
+        # append truncates and rewrites it).
+        with open(path, "rb") as fh:
+            raw_lines = fh.readlines()
+        if raw_lines and not raw_lines[-1].endswith(b"\n"):
+            raw_lines.pop()
+        return [json.loads(line) for line in raw_lines if line.strip()]
 
     @staticmethod
     def _seq_of(raw: bytes) -> int:

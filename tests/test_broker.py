@@ -293,3 +293,27 @@ def test_torn_tail_invisible_to_readers_without_an_append(broker, tmp_path):
     assert ids == ["2"]
     got2 = broker.pull("s", 10)
     assert [m.message.message_id for m in got2] == ["2"]
+
+
+def test_topic_messages_blind_to_torn_tail(broker, tmp_path):
+    """ADVICE r14: torn-tail invisibility covered _scan_unacked only;
+    _read_log (behind topic_messages, which bench.py and the streaming
+    differential twin call) still json.loads'd every line and raised
+    JSONDecodeError on a torn final line until the next append repaired
+    it. _read_log now mirrors the _scan_unacked rule: a final line
+    without its trailing newline is nonexistent."""
+    import os
+
+    broker.publish("t", _msgs(2))
+    log = os.path.join(str(tmp_path), "topics", "t", "log.jsonl")
+    with open(log, "ab") as fh:
+        fh.write(b'{"seq": 2, "message_id": "2", "orde')  # torn, no \n
+    msgs = broker.topic_messages("t")  # must not raise
+    assert [m.data for m in msgs] == [
+        b"Test Message: 0",
+        b"Test Message: 1",
+    ]
+    # repair path: the next publish truncates + re-mints seq 2, and
+    # topic_messages sees exactly the three intact lines
+    broker.publish("t", _msgs(1))
+    assert len(broker.topic_messages("t")) == 3

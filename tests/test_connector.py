@@ -1568,3 +1568,73 @@ def test_sink_commit_fails_loudly_on_missing_staged_file(
     msg2 = w.write(iter([batch]))
     w.commit([msg2], batchId=0)
     assert len(broker.topic_messages("lost")) == n
+
+
+def test_sink_anonymous_losing_attempt_leaves_zero_orphans(
+    spark, broker, broker_dir
+):
+    """VERDICT r14 #3: without a sink_id the owner token used to be
+    None and losing-attempt stage files accumulated forever. The
+    writer now mints a per-run token at construction (built once
+    driver-side, pickled to executors), so an anonymous sink's
+    losing attempts and zombie .tmp files are swept at commit just
+    like a configured sink's — while a CONCURRENT anonymous query's
+    files (distinct per-run token) survive. What sink_id still buys,
+    and only it: sweeping a CRASHED run's leftovers on restart."""
+    import pyarrow as pa
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+        _stage_dir,
+    )
+
+    broker.create_topic("anonspec")
+    n = 25
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"m{i}".encode() for i in range(n)], type=pa.binary()),
+            pa.array(
+                [[("k", "v")]] * n, type=pa.map_(pa.string(), pa.string())
+            ),
+        ],
+        names=["data", "attributes"],
+    )
+    opts = {
+        "project_id": "p",
+        "topic": "anonspec",
+        "broker_dir": broker_dir,
+        "publish_batch_size": "10",
+        # NO sink_id
+    }
+    w = PubsubStreamWriter(dict(opts), _sink_schema())
+    w2 = PubsubStreamWriter(dict(opts), _sink_schema())  # concurrent query
+    assert w._owner_token != w2._owner_token  # per-run, not shared
+    winner = w.write(iter([batch]))
+    loser = w.write(iter([batch]))  # speculative duplicate, COMPLETED
+    assert len(loser.staged_files) == 3
+    other = w2.write(iter([batch]))  # other query's batch, in flight
+    stage = _stage_dir(w.opts)
+    # zombie .tmp of a hard-killed attempt of THIS run
+    zombie = os.path.join(
+        stage, f"stage-{w._owner_token}-deadzombie.jsonl.tmp"
+    )
+    open(zombie, "w").write("{}\n")
+
+    w.commit([winner], batchId=0)
+    assert len(broker.topic_messages("anonspec")) == n  # published once
+    for f in loser.staged_files:
+        assert not os.path.exists(f), f  # losing attempt swept
+    assert not os.path.exists(zombie)  # zombie swept
+    for f in other.staged_files:
+        assert os.path.exists(f), f  # concurrent anon query untouched
+    left = os.listdir(stage)
+    assert [x for x in left if f"stage-{w._owner_token}-" in x] == []
+
+    # the concurrent query commits fine afterwards
+    w2.commit([other], batchId=0)
+    assert len(broker.topic_messages("anonspec")) == 2 * n
+    assert [
+        x
+        for x in os.listdir(stage)
+        if f"stage-{w2._owner_token}-" in x
+    ] == []
