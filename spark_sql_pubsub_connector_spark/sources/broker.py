@@ -57,8 +57,15 @@ class ReceivedMessage:
 class FileBroker:
     """File-backed broker rooted at ``root``; safe across processes."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, auto_compact_bytes: int | None = None):
         self.root = root
+        #: opt-in retention (VERDICT r14 #4): when set, publish/commit
+        #: runs a compaction pass whenever the topic log exceeds this
+        #: many bytes, cutting the prefix every subscription has acked
+        #: — the substrate twin of the sink stage-file GC. None keeps
+        #: the historical grow-forever behavior (real Pub/Sub bounds
+        #: retention at 7 days; this file fake bounds it by acks).
+        self.auto_compact_bytes = auto_compact_bytes
         os.makedirs(os.path.join(root, "topics"), exist_ok=True)
         os.makedirs(os.path.join(root, "subs"), exist_ok=True)
 
@@ -189,6 +196,185 @@ class FileBroker:
             pass
         return seq
 
+    # -- topic-log retention (VERDICT r14 #4) -------------------------------
+    #
+    # ``log.jsonl`` used to grow forever: subscription ack state compacts
+    # (``acked_below``), but the topic log kept every message ever
+    # published. ``compact_topic`` cuts the prefix EVERY subscription of
+    # the topic has acked (min over subscriptions of ``acked_below``) —
+    # nothing leased or undelivered can sit below that floor, because a
+    # lease pins an unacked seq and ``acked_below`` cannot advance past
+    # an unacked seq.
+    #
+    # Cutting shifts every byte in the file, and subscriptions cache
+    # BYTE cursors (``scan_pos``/``deliver_pos``/lease-group starts) as
+    # pure performance state over the seq-authoritative ack bookkeeping.
+    # Rewriting all cursor files atomically with the cut is impossible
+    # with per-file atomic replaces, so the protocol makes stale cursors
+    # *detectable* instead (the same shape as the r14 seq-minting fix —
+    # write-ahead, then resolve on next entry):
+    #
+    #   1. meta.json ← {token: NEW, cut_below_seq: floor, state:
+    #      "pending"} (atomic replace). The token identifies the byte
+    #      LAYOUT of the log; it changes only here.
+    #   2. the cut: retained bytes copied to a tmp file, atomic replace
+    #      of log.jsonl (idempotent — a second pass finds nothing below
+    #      the floor).
+    #   3. meta.json ← state: "done" (atomic replace).
+    #
+    # Every cursor consumer syncs first (``_sync_cursors``): a sub whose
+    # stored ``cursor_token`` differs from the topic's resets its byte
+    # cursors to 0 and rescans — always CORRECT (the seq-based acked/
+    # leased checks skip duplicates), merely one rescan slower. A crash
+    # anywhere in 1–3 leaves either the old layout with the old token
+    # (harmless) or a "pending" meta that the next lock holder resolves
+    # by re-running the idempotent cut — never a cut log paired with
+    # trusted stale cursors, which is the one lethal combination (it
+    # would silently SKIP unacked bytes).
+
+    def _topic_meta_path(self, d: str) -> str:
+        return os.path.join(d, "meta.json")
+
+    def _store_topic_meta(self, d: str, meta: dict) -> None:
+        tmp = self._topic_meta_path(d) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._topic_meta_path(d))
+
+    def _load_topic_meta_locked(self, topic: str) -> dict:
+        """Topic meta, RESOLVING a pending compaction. Caller must hold
+        the broker lock (resolution mutates the log)."""
+        d = self._topic_dir(topic)
+        path = self._topic_meta_path(d)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            meta = json.load(fh)
+        if meta.get("state") == "pending":
+            # crash mid-compaction: finish the idempotent cut, then
+            # mark done — cursors reset against the token either way
+            self._cut_log_below(d, meta["cut_below_seq"])
+            meta["state"] = "done"
+            meta["compacted_below_seq"] = meta["cut_below_seq"]
+            self._store_topic_meta(d, meta)
+        return meta
+
+    def _sync_cursors(self, state: dict, topic: str) -> None:
+        """Reset a subscription's byte cursors if the topic log's byte
+        layout changed under them (compaction). Seq-based state
+        (``acked_below``/``acked``/lease seqs) is layout-independent
+        and untouched; the rescan from byte 0 re-skips it."""
+        meta = self._load_topic_meta_locked(topic)
+        tok = meta.get("token")
+        if state.get("cursor_token", None) == tok:
+            return
+        state.pop("scan_pos", None)
+        state.pop("deliver_pos", None)
+        for g in state["lease_groups"]:
+            if len(g) > 2:
+                g[2] = 0
+        state["cursor_token"] = tok
+
+    def _retention_floor_locked(self, topic: str) -> int:
+        """min over the topic's subscriptions of ``acked_below`` — the
+        seq below which every message is acked by everyone. A topic
+        with no subscriptions retains everything (conservative: the
+        test helpers read unsubscribed topic logs); an unreadable sub
+        file vetoes compaction entirely."""
+        subs_dir = os.path.join(self.root, "subs")
+        floor: int | None = None
+        for fn in os.listdir(subs_dir):
+            if not fn.endswith(".json"):
+                continue  # _store_sub tmp files
+            try:
+                with open(os.path.join(subs_dir, fn)) as fh:
+                    st = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                return 0
+            if st.get("topic") != topic:
+                continue
+            ab = int(st.get("acked_below", 0))
+            floor = ab if floor is None else min(floor, ab)
+        return 0 if floor is None else floor
+
+    def _cut_log_below(self, d: str, floor: int) -> tuple[int, int]:
+        """Remove the log prefix of intact lines with seq < ``floor``
+        via copy + atomic replace; returns (bytes_cut, lines_cut).
+        Idempotent: an already-cut log has no such prefix. A torn tail
+        is copied through untouched (readers already ignore it; the
+        next append repairs it)."""
+        path = os.path.join(d, "log.jsonl")
+        if not os.path.exists(path):
+            return 0, 0
+        cut = 0
+        lines = 0
+        with open(path, "rb") as fh:
+            for raw in fh:
+                if not raw.endswith(b"\n"):
+                    break  # torn tail — never below an acked floor
+                if not raw.strip():
+                    cut += len(raw)  # dead bytes ride along with the cut
+                    continue
+                if self._seq_of(raw) >= floor:
+                    break
+                cut += len(raw)
+                lines += 1
+            if cut == 0:
+                return 0, 0
+            tmp = path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "wb") as out:
+                fh.seek(cut)
+                while True:
+                    chunk = fh.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+                out.flush()
+                os.fsync(out.fileno())
+        os.replace(tmp, path)
+        return cut, lines
+
+    def compact_topic(self, topic: str) -> dict:
+        """Truncate ``log.jsonl`` below the retention floor (min over
+        subscriptions of ``acked_below``), write-ahead protocol above.
+        Returns ``{"floor_seq", "cut_bytes", "cut_messages"}``."""
+        d = self._topic_dir(topic)
+        if not os.path.isdir(d):
+            raise KeyError(f"no such topic: {topic}")
+        with self._lock():
+            return self._compact_topic_locked(topic, d)
+
+    def _compact_topic_locked(self, topic: str, d: str) -> dict:
+        meta = self._load_topic_meta_locked(topic)  # resolves pending
+        floor = self._retention_floor_locked(topic)
+        out = {"floor_seq": floor, "cut_bytes": 0, "cut_messages": 0}
+        if floor <= meta.get("compacted_below_seq", 0):
+            return out
+        meta = {
+            "token": uuid.uuid4().hex,
+            "cut_below_seq": floor,
+            "state": "pending",
+            "compacted_below_seq": meta.get("compacted_below_seq", 0),
+        }
+        self._store_topic_meta(d, meta)  # write-ahead: step 1
+        cut, lines = self._cut_log_below(d, floor)  # step 2
+        meta["state"] = "done"
+        meta["compacted_below_seq"] = floor
+        self._store_topic_meta(d, meta)  # step 3
+        out["cut_bytes"] = cut
+        out["cut_messages"] = lines
+        return out
+
+    def _maybe_auto_compact_locked(self, topic: str, d: str) -> None:
+        if self.auto_compact_bytes is None:
+            return
+        try:
+            size = os.path.getsize(os.path.join(d, "log.jsonl"))
+        except OSError:
+            return
+        if size > self.auto_compact_bytes:
+            self._compact_topic_locked(topic, d)
+
     # -- publish ----------------------------------------------------------
     def publish(
         self,
@@ -229,6 +415,7 @@ class FileBroker:
                     seq += 1
             with open(os.path.join(d, ".seq"), "w") as fh:
                 fh.write(str(seq))
+            self._maybe_auto_compact_locked(topic, d)
         return ids
 
     def commit_staged(self, topic: str, staged_files: list[str]) -> int:
@@ -283,6 +470,7 @@ class FileBroker:
                     n += 1
             with open(os.path.join(d, ".seq"), "w") as fh:
                 fh.write(str(seq))
+            self._maybe_auto_compact_locked(topic, d)
         return n
 
     # -- internal state helpers -------------------------------------------
@@ -469,6 +657,7 @@ class FileBroker:
         picked: list[tuple[int, bytes | dict]] = []
         with self._lock():
             state = self._load_sub(sub)
+            self._sync_cursors(state, state["topic"])
             self._expire_leases(state, now)
             acked = set(state["acked"])
             below = state["acked_below"]
@@ -553,6 +742,7 @@ class FileBroker:
         now = time.time()
         with self._lock():
             state = self._load_sub(sub)
+            self._sync_cursors(state, state["topic"])
             moved: list[int] = []
             moved_start: int | None = None
             for g in state["lease_groups"]:
@@ -583,6 +773,7 @@ class FileBroker:
         messages still count as backlog, like the real metric."""
         with self._lock():
             state = self._load_sub(sub)
+            self._sync_cursors(state, state["topic"])
             acked = set(state["acked"])
             out: dict[str, int] = {}
             for s, raw, _ls, _le in self._scan_unacked(state, state["topic"]):

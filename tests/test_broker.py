@@ -317,3 +317,177 @@ def test_topic_messages_blind_to_torn_tail(broker, tmp_path):
     # topic_messages sees exactly the three intact lines
     broker.publish("t", _msgs(1))
     assert len(broker.topic_messages("t")) == 3
+
+
+# -- topic-log retention (VERDICT r14 #4) -----------------------------------
+
+
+def _log_path(tmp_path, topic="t"):
+    import os
+
+    return os.path.join(str(tmp_path), "topics", topic, "log.jsonl")
+
+
+def test_compact_topic_cuts_fully_acked_prefix(broker, tmp_path):
+    """compact_topic removes exactly the prefix every subscription has
+    acked; everything at or above the floor — leased-unacked and
+    undelivered alike — survives and is still delivered."""
+    import os
+
+    broker.publish("t", _msgs(10))
+    got = broker.pull("s", 5)  # lease 0-4
+    # ack 0,1,2 → acked_below=3; 3,4 stay leased-unacked
+    broker.acknowledge("s", [m.ack_id for m in got[:3]])
+    stats = broker.compact_topic("t")
+    assert stats["floor_seq"] == 3
+    assert stats["cut_messages"] == 3
+    assert stats["cut_bytes"] > 0
+    # retained log starts at seq 3
+    msgs = broker.topic_messages("t")
+    assert [m.message_id for m in msgs] == [str(i) for i in range(3, 10)]
+    # undelivered 5-9 deliverable; 3,4 redeliver after nack
+    got2 = broker.pull("s", 10)
+    assert sorted(int(m.message.message_id) for m in got2) == [5, 6, 7, 8, 9]
+    broker.modify_ack_deadline("s", [m.ack_id for m in got], 0)  # nack 3,4
+    got3 = broker.pull("s", 10)
+    assert sorted(int(m.message.message_id) for m in got3) == [3, 4]
+    broker.acknowledge(
+        "s", [m.ack_id for m in got2] + [m.ack_id for m in got3]
+    )
+    assert broker.backlog("s") == 0
+    # second pass cuts the rest; an empty log still accepts publishes
+    # with seq continuity (.seq counter is authoritative)
+    broker.compact_topic("t")
+    assert os.path.getsize(_log_path(tmp_path)) == 0
+    assert broker.publish("t", _msgs(1)) == ["10"]
+
+
+def test_compact_topic_floor_is_slowest_subscription(broker, tmp_path):
+    """Two subscriptions: the floor is the SLOWER one's acked_below, and
+    the slow subscription still drains everything after the cut (its
+    byte cursors reset against the new layout and rescan)."""
+    broker.create_subscription("s2", "t", ack_deadline_s=60)
+    broker.publish("t", _msgs(8))
+    fast = broker.pull("s", 8)
+    broker.acknowledge("s", [m.ack_id for m in fast])  # s: acked_below=8
+    slow = broker.pull("s2", 3)
+    broker.acknowledge("s2", [m.ack_id for m in slow])  # s2: acked_below=3
+    stats = broker.compact_topic("t")
+    assert stats["floor_seq"] == 3
+    assert stats["cut_messages"] == 3
+    rest = broker.pull("s2", 10)
+    assert sorted(int(m.message.message_id) for m in rest) == [3, 4, 5, 6, 7]
+    broker.acknowledge("s2", [m.ack_id for m in rest])
+    assert broker.backlog("s2") == 0
+    assert broker.backlog("s") == 0
+
+
+def test_compact_topic_no_subscription_retains_everything(broker, tmp_path):
+    broker.create_topic("lone")
+    broker.publish("lone", _msgs(4))
+    stats = broker.compact_topic("lone")
+    assert stats == {"floor_seq": 0, "cut_bytes": 0, "cut_messages": 0}
+    assert len(broker.topic_messages("lone")) == 4
+
+
+def test_crash_between_writeahead_and_cut_resolves(broker, tmp_path):
+    """Crash window 1→2: meta.json says 'pending' but the log is uncut.
+    The next lock holder (any pull) finishes the idempotent cut and
+    resets cursors — no loss, no duplicate."""
+    import json
+    import os
+
+    broker.publish("t", _msgs(6))
+    got = broker.pull("s", 3)
+    broker.acknowledge("s", [m.ack_id for m in got])  # acked_below=3
+    d = broker._topic_dir("t")
+    size_before = os.path.getsize(_log_path(tmp_path))
+    # simulate the crash: step 1 only (write-ahead), no cut, no done
+    broker._store_topic_meta(
+        d,
+        {
+            "token": "deadbeef",
+            "cut_below_seq": 3,
+            "state": "pending",
+            "compacted_below_seq": 0,
+        },
+    )
+    got2 = broker.pull("s", 10)  # resolves the pending compaction
+    assert sorted(int(m.message.message_id) for m in got2) == [3, 4, 5]
+    assert os.path.getsize(_log_path(tmp_path)) < size_before  # cut ran
+    with open(os.path.join(d, "meta.json")) as fh:
+        assert json.load(fh)["state"] == "done"
+    broker.acknowledge("s", [m.ack_id for m in got2])
+    assert broker.backlog("s") == 0
+
+
+def test_crash_between_cut_and_done_resolves(broker, tmp_path):
+    """Crash window 2→3: the log is already cut but meta still says
+    'pending'. Resolution re-runs the cut (a no-op below the floor)
+    and marks done; stale byte cursors are never trusted because the
+    token changed with the write-ahead."""
+    import json
+    import os
+
+    broker.publish("t", _msgs(6))
+    got = broker.pull("s", 6)  # advances deliver_pos/scan_pos to EOF bytes
+    broker.acknowledge("s", [m.ack_id for m in got[:4]])  # acked_below=4
+    d = broker._topic_dir("t")
+    broker._store_topic_meta(
+        d,
+        {
+            "token": "cafebabe",
+            "cut_below_seq": 4,
+            "state": "pending",
+            "compacted_below_seq": 0,
+        },
+    )
+    broker._cut_log_below(d, 4)  # step 2 ran, step 3 (done) did not
+    # leases on 4,5 still outstanding; nack and re-pull through the
+    # resolved layout
+    broker.modify_ack_deadline("s", [m.ack_id for m in got[4:]], 0)
+    got2 = broker.pull("s", 10)
+    assert sorted(int(m.message.message_id) for m in got2) == [4, 5]
+    with open(os.path.join(d, "meta.json")) as fh:
+        assert json.load(fh)["state"] == "done"
+
+
+def test_auto_compaction_bounds_long_lived_topic(tmp_path):
+    """The bounded-disk guarantee: a publish/drain/ack loop with
+    auto_compact_bytes keeps log.jsonl near the threshold instead of
+    growing with topic lifetime, and delivers every message exactly
+    once along the way."""
+    import os
+
+    b = FileBroker(str(tmp_path), auto_compact_bytes=8 * 1024)
+    b.create_topic("t")
+    b.create_subscription("s", "t", ack_deadline_s=60)
+    delivered = []
+    max_size = 0
+    for _ in range(40):
+        b.publish("t", _msgs(25))  # ~170 bytes/line → ~4.2 KB/round
+        got = b.pull("s", 100)
+        delivered.extend(m.message.data for m in got)
+        b.acknowledge("s", [m.ack_id for m in got])
+        max_size = max(max_size, os.path.getsize(_log_path(tmp_path)))
+    # 40 rounds * 4.2 KB ≈ 170 KB unbounded; bounded ≈ threshold + one
+    # round's worth
+    assert max_size < 3 * 8 * 1024, max_size
+    assert len(delivered) == 40 * 25
+    assert b.backlog("s") == 0
+
+
+def test_compaction_preserves_torn_tail_repair(broker, tmp_path):
+    """A torn tail rides through the cut untouched: still invisible to
+    readers, still truncated and re-minted by the next publish."""
+    broker.publish("t", _msgs(3))
+    got = broker.pull("s", 2)
+    broker.acknowledge("s", [m.ack_id for m in got])  # acked_below=2
+    with open(_log_path(tmp_path), "ab") as fh:
+        fh.write(b'{"seq": 3, "message_id": "3", "orde')  # torn, no \n
+    stats = broker.compact_topic("t")
+    assert stats["cut_messages"] == 2
+    assert [m.message_id for m in broker.topic_messages("t")] == ["2"]
+    assert broker.publish("t", _msgs(1)) == ["3"]  # seq 3 re-minted
+    got2 = broker.pull("s", 10)
+    assert sorted(m.message.message_id for m in got2) == ["2", "3"]
