@@ -938,7 +938,10 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
                 f"(first: {missing[0]}); refusing to publish a partial "
                 "batch"
             )
-        broker = FileBroker(self.opts.broker_dir)
+        broker = FileBroker(
+            self.opts.broker_dir,
+            auto_compact_bytes=self.opts.log_retention_bytes,
+        )
         broker.commit_staged(self.opts.topic, staged)
         self._record_committed(batchId)
         for f in staged:

@@ -29,6 +29,12 @@ REGION_SPLIT_THRESHOLD = "region_split_threshold"
 PUBLISH_BATCH_SIZE = "publish_batch_size"
 STREAM_ID = "stream_id"  # stable consumer identity (crash recovery)
 SINK_ID = "sink_id"  # stable writer identity (cross-restart idempotence)
+# Topic-log retention trigger (the file-broker analog of real Pub/Sub's
+# topic message_retention_duration, which is likewise a topic-level
+# admin property): when the log exceeds this many bytes at a sink
+# commit, the broker cuts the prefix every subscription has acked.
+# Unset = grow-forever (historical behavior).
+LOG_RETENTION_BYTES = "log_retention_bytes"
 REPLAY_CACHE_REPLICAS = "replay_cache_replicas"  # replay-block copies (S9)
 # Explicit replica cache roots (comma-separated absolute paths), one per
 # replica beyond the primary. Replaces the derived
@@ -156,6 +162,10 @@ class PubsubWriteOptions:
     # Python API constructs a fresh writer per commit, so only
     # persisted, query-scoped state can survive).
     sink_id: str | None = None
+    # Ack-based topic-log retention, applied at commit: None retains
+    # everything; a positive byte threshold compacts the fully-acked
+    # prefix whenever the log outgrows it (FileBroker.compact_topic).
+    log_retention_bytes: int | None = None
 
     @property
     def topic_path(self) -> str:
@@ -242,6 +252,11 @@ def validate_write_options(options: dict) -> PubsubWriteOptions:
         ),
         sink_id=(
             str(options[SINK_ID]) if options.get(SINK_ID) not in (None, "") else None
+        ),
+        log_retention_bytes=(
+            _pos_int(options, LOG_RETENTION_BYTES, default=0, minimum=1)
+            if options.get(LOG_RETENTION_BYTES) not in (None, "")
+            else None
         ),
     )
 

@@ -1638,3 +1638,73 @@ def test_sink_anonymous_losing_attempt_leaves_zero_orphans(
         for x in os.listdir(stage)
         if f"stage-{w2._owner_token}-" in x
     ] == []
+
+
+def test_sink_log_retention_bounds_topic_log(spark, broker, broker_dir):
+    """log_retention_bytes on the sink (the connector surface of
+    VERDICT r14 #4): repeated write/commit cycles against a draining
+    subscription keep the topic log near the threshold instead of
+    growing with query lifetime; an undrained topic is never cut."""
+    import pyarrow as pa
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+    )
+
+    broker.create_topic("retained")
+    broker.create_subscription("rsub", "retained", ack_deadline_s=60)
+    n = 50
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(
+                [f"payload-{i:04d}".encode() for i in range(n)],
+                type=pa.binary(),
+            ),
+            pa.array(
+                [[("k", "v")]] * n, type=pa.map_(pa.string(), pa.string())
+            ),
+        ],
+        names=["data", "attributes"],
+    )
+    w = PubsubStreamWriter(
+        {
+            "project_id": "p",
+            "topic": "retained",
+            "broker_dir": broker_dir,
+            "publish_batch_size": "25",
+            "sink_id": "ret-q",
+            "log_retention_bytes": str(8 * 1024),
+        },
+        _sink_schema(),
+    )
+    assert w.opts.log_retention_bytes == 8 * 1024
+    log = os.path.join(broker_dir, "topics", "retained", "log.jsonl")
+    max_size = 0
+    seen = 0
+    for b in range(20):  # ~9 KB/batch published
+        w.commit([w.write(iter([batch]))], batchId=b)
+        got = broker.pull("rsub", 200)
+        seen += len(got)
+        broker.acknowledge("rsub", [m.ack_id for m in got])
+        max_size = max(max_size, os.path.getsize(log))
+    assert seen == 20 * n  # every message delivered exactly once
+    # one batch (~9 KB) can land atop a just-under-threshold log, so
+    # the bound is threshold + ~2 batches, far below the ~180 KB
+    # unbounded total
+    assert max_size < 4 * 8 * 1024, max_size
+
+    # undrained topic: no subscription acks → floor 0 → never cut
+    broker.create_topic("undrained")
+    w2 = PubsubStreamWriter(
+        {
+            "project_id": "p",
+            "topic": "undrained",
+            "broker_dir": broker_dir,
+            "publish_batch_size": "25",
+            "log_retention_bytes": "1024",
+        },
+        _sink_schema(),
+    )
+    for b in range(3):
+        w2.commit([w2.write(iter([batch]))], batchId=b)
+    assert len(broker.topic_messages("undrained")) == 3 * n

@@ -162,3 +162,22 @@ def test_stream_and_sink_identity_options():
         {"project_id": "p", "topic": "t", "broker_dir": "/b", "sink_id": "/ck/x"}
     )
     assert w2.sink_id == "/ck/x"
+
+
+def test_log_retention_bytes_option():
+    from spark_sql_pubsub_connector_spark.sources.options import (
+        validate_write_options,
+    )
+
+    base = {"project_id": "p", "topic": "t", "broker_dir": "/b"}
+    assert validate_write_options(dict(base)).log_retention_bytes is None
+    assert (
+        validate_write_options(
+            dict(base, log_retention_bytes="65536")
+        ).log_retention_bytes
+        == 65536
+    )
+    with pytest.raises(ValueError, match="log_retention_bytes"):
+        validate_write_options(dict(base, log_retention_bytes="0"))
+    with pytest.raises(ValueError, match="log_retention_bytes"):
+        validate_write_options(dict(base, log_retention_bytes="nope"))
