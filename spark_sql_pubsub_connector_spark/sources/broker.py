@@ -239,7 +239,24 @@ class FileBroker:
         tmp = self._topic_meta_path(d) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, self._topic_meta_path(d))
+        self._fsync_dir(d)
+
+    @staticmethod
+    def _fsync_dir(d: str) -> None:
+        """Make a rename in ``d`` durable (r15 review: the write-ahead
+        ordering 'meta token changes BEFORE the log layout' only holds
+        across power loss if each os.replace is fsynced through the
+        directory — otherwise the log's rename can survive a crash the
+        meta's rename did not, re-creating the cut-log +
+        trusted-stale-cursors pairing the protocol exists to prevent)."""
+        fd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     def _load_topic_meta_locked(self, topic: str) -> dict:
         """Topic meta, RESOLVING a pending compaction. Caller must hold
@@ -332,6 +349,7 @@ class FileBroker:
                 out.flush()
                 os.fsync(out.fileno())
         os.replace(tmp, path)
+        self._fsync_dir(d)
         return cut, lines
 
     def compact_topic(self, topic: str) -> dict:
@@ -372,8 +390,24 @@ class FileBroker:
             size = os.path.getsize(os.path.join(d, "log.jsonl"))
         except OSError:
             return
-        if size > self.auto_compact_bytes:
-            self._compact_topic_locked(topic, d)
+        if size <= self.auto_compact_bytes:
+            return
+        # r15 review: an UNDRAINED over-threshold topic (floor cannot
+        # advance) would otherwise pay the full subs-directory scan
+        # under the broker lock on every publish for the rest of its
+        # life. After a no-op pass, back off until the log grows by
+        # another threshold; a successful cut rewrites meta without
+        # the key, re-arming immediately.
+        meta = self._load_topic_meta_locked(topic)
+        if size < meta.get("retention_retry_above_bytes", 0):
+            return
+        res = self._compact_topic_locked(topic, d)
+        if res["cut_bytes"] == 0:
+            meta = self._load_topic_meta_locked(topic)
+            meta["retention_retry_above_bytes"] = (
+                size + self.auto_compact_bytes
+            )
+            self._store_topic_meta(d, meta)
 
     # -- publish ----------------------------------------------------------
     def publish(

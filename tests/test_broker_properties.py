@@ -160,3 +160,144 @@ def test_concurrent_consumers_partition_the_stream(tmp_path_factory):
     assert b.pull("s", 1) == []  # direct re-drain: nothing left to lease
     # real contention happened: no single thread drained everything
     assert sum(1 for ds in delivered if ds) >= 2
+
+
+# op stream with compaction mixed in: compact_topic may run between any
+# pull/ack/nack and must never change delivery semantics (r15 retention)
+_OPS_C = st.lists(
+    st.tuples(
+        st.sampled_from(["pull", "ack", "nack", "compact"]), st.integers(1, 7)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(1, 30), ops=_OPS_C)
+def test_compaction_is_invisible_to_delivery_invariants(
+    tmp_path_factory, n, ops
+):
+    """Randomly interleaved compaction passes (which cut the acked log
+    prefix and invalidate every byte cursor) must preserve the same
+    four invariants as the plain machine: at-least-once, no
+    double-lease, acked-is-final, exact backlog accounting."""
+    tmp = tmp_path_factory.mktemp("propc")
+    b = _mk(tmp, n, deadline=600)
+    outstanding: dict[str, str] = {}
+    acked_ids: set[str] = set()
+    delivered_ids: set[str] = set()
+
+    for kind, k in ops:
+        if kind == "pull":
+            got = b.pull("s", k)
+            for rm in got:
+                mid = rm.message.message_id
+                assert mid not in acked_ids, "redelivered an acked message"
+                assert mid not in outstanding.values(), "double-leased"
+                outstanding[rm.ack_id] = mid
+                delivered_ids.add(mid)
+        elif kind == "ack" and outstanding:
+            batch = list(outstanding)[:k]
+            assert b.acknowledge("s", batch) == len(batch)
+            for aid in batch:
+                acked_ids.add(outstanding.pop(aid))
+        elif kind == "nack" and outstanding:
+            batch = list(outstanding)[:k]
+            b.modify_ack_deadline("s", batch, 0.0)
+            for aid in batch:
+                outstanding.pop(aid)
+        elif kind == "compact":
+            stats = b.compact_topic("t")
+            # never cuts anything unacked: retained log must still
+            # hold every message not yet acked
+            retained = {m.message_id for m in b.topic_messages("t")}
+            missing = ({str(i) for i in range(n)} - acked_ids) - retained
+            assert not missing, f"compaction lost unacked {missing}"
+            assert stats["cut_messages"] >= 0
+
+    assert b.backlog("s") == n - len(acked_ids)
+    while True:
+        got = b.pull("s", 10)
+        if not got:
+            break
+        for rm in got:
+            assert rm.message.message_id not in acked_ids
+            delivered_ids.add(rm.message.message_id)
+    assert delivered_ids | acked_ids == {str(i) for i in range(n)}
+
+
+def test_concurrent_consumers_with_auto_compacting_publisher(
+    tmp_path_factory,
+):
+    """The retention stack under true contention: a publisher thread
+    feeds 10 rounds of 40 messages through a broker with a small
+    auto_compact_bytes (so compaction fires mid-drain, under the same
+    lock the 8 consumer threads contend on), and every message must
+    still be delivered to exactly one consumer."""
+    import threading
+
+    tmp_path = tmp_path_factory.mktemp("concc")
+    total = 400
+    b = FileBroker(str(tmp_path / "b"), auto_compact_bytes=2048)
+    b.create_topic("t")
+    b.create_subscription("s", "t", ack_deadline_s=600)
+
+    delivered: list[list[bytes]] = [[] for _ in range(8)]
+    errors: list[BaseException] = []
+    done_publishing = threading.Event()
+
+    def publisher() -> None:
+        pb = FileBroker(str(tmp_path / "b"), auto_compact_bytes=2048)
+        try:
+            for r in range(10):
+                pb.publish(
+                    "t",
+                    [
+                        PubsubMessage(
+                            data=f"m{r * 40 + i}".encode(), publish_ts_us=1
+                        )
+                        for i in range(40)
+                    ],
+                )
+                time.sleep(0.005)
+        except BaseException as exc:
+            errors.append(exc)
+        finally:
+            done_publishing.set()
+
+    def worker(slot: int) -> None:
+        wb = FileBroker(str(tmp_path / "b"))
+        try:
+            while True:
+                got = wb.pull("s", 17)
+                if not got:
+                    if done_publishing.is_set() and wb.backlog("s") == 0:
+                        return
+                    time.sleep(0.01)
+                    continue
+                delivered[slot].extend(m.message.data for m in got)
+                wb.acknowledge("s", [m.ack_id for m in got])
+        except BaseException as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=publisher)] + [
+        threading.Thread(target=worker, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert all(not t.is_alive() for t in threads)
+
+    flat = [d for ds in delivered for d in ds]
+    assert len(flat) == total, f"{len(flat)} deliveries for {total}"
+    assert len(set(flat)) == total  # exactly-one delivery per message
+    assert b.backlog("s") == 0
+    # retention actually engaged: the log is a fraction of the ~28 KB
+    # a grow-forever topic would hold
+    import os
+
+    log = os.path.join(str(tmp_path / "b"), "topics", "t", "log.jsonl")
+    assert os.path.getsize(log) < 10 * 1024

@@ -1573,14 +1573,14 @@ def test_sink_commit_fails_loudly_on_missing_staged_file(
 def test_sink_anonymous_losing_attempt_leaves_zero_orphans(
     spark, broker, broker_dir
 ):
-    """VERDICT r14 #3: without a sink_id the owner token used to be
-    None and losing-attempt stage files accumulated forever. The
-    writer now mints a per-run token at construction (built once
-    driver-side, pickled to executors), so an anonymous sink's
-    losing attempts and zombie .tmp files are swept at commit just
-    like a configured sink's — while a CONCURRENT anonymous query's
-    files (distinct per-run token) survive. What sink_id still buys,
-    and only it: sweeping a CRASHED run's leftovers on restart."""
+    """VERDICT r14 #3, identity-less tier (no sink_id AND no
+    checkpoint in the options — direct API use only; real streaming
+    queries get the checkpoint-derived identity, next test): the
+    per-instance uuid token sweeps this instance's own losing
+    attempts and zombies, while a concurrent writer's files (distinct
+    token) survive. Across pyspark's separate per-process writer
+    constructions this tier's GC degrades to a safe no-op — the
+    checkpoint/sink_id path is the one that works there."""
     import pyarrow as pa
 
     from spark_sql_pubsub_connector_spark.sources.datasource import (
@@ -1708,3 +1708,75 @@ def test_sink_log_retention_bounds_topic_log(spark, broker, broker_dir):
     for b in range(3):
         w2.commit([w2.write(iter([batch]))], batchId=b)
     assert len(broker.topic_messages("undrained")) == 3 * n
+
+
+def test_sink_checkpoint_derived_identity_sweeps_across_instances(
+    spark, broker, broker_dir, tmp_path
+):
+    """r15 review finding: pyspark 4.1.2 constructs a SEPARATE writer
+    per worker process (one for executor write(), a fresh one for
+    every driver commit()), so an instance-held random token cannot
+    link staging to the sweep. The fix: with no explicit sink_id, the
+    identity derives from the query's checkpointLocation (forwarded
+    in the options, lower-cased by Spark) — identical across every
+    construction AND across restarts. Modeled here exactly as Spark
+    runs it: one instance writes, a DIFFERENT instance (same options)
+    commits; the losing attempt is still swept, and a second query on
+    a different checkpoint is untouched. Idempotence rides the same
+    identity: a redelivered batch id republishes nothing."""
+    import pyarrow as pa
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+        _stage_dir,
+    )
+
+    broker.create_topic("ckq")
+    n = 25
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"m{i}".encode() for i in range(n)], type=pa.binary()),
+            pa.array(
+                [[("k", "v")]] * n, type=pa.map_(pa.string(), pa.string())
+            ),
+        ],
+        names=["data", "attributes"],
+    )
+    opts = {
+        "project_id": "p",
+        "topic": "ckq",
+        "broker_dir": broker_dir,
+        "publish_batch_size": "10",
+        # NO sink_id — Spark forwards the checkpoint, lower-cased
+        "checkpointlocation": str(tmp_path / "ckA"),
+    }
+    w_exec = PubsubStreamWriter(dict(opts), _sink_schema())  # executor proc
+    w_commit = PubsubStreamWriter(dict(opts), _sink_schema())  # driver proc
+    assert w_exec.opts.sink_id == "ck:" + str(tmp_path / "ckA")
+    assert w_exec._owner_token == w_commit._owner_token  # derived, stable
+    other_opts = dict(opts, checkpointlocation=str(tmp_path / "ckB"))
+    w_other = PubsubStreamWriter(other_opts, _sink_schema())
+    assert w_other._owner_token != w_exec._owner_token
+
+    winner = w_exec.write(iter([batch]))
+    loser = w_exec.write(iter([batch]))  # losing speculative attempt
+    other = w_other.write(iter([batch]))  # other query, in flight
+    w_commit.commit([winner], batchId=0)  # the OTHER instance commits
+    assert len(broker.topic_messages("ckq")) == n
+    for f in loser.staged_files:
+        assert not os.path.exists(f), f  # swept across instances
+    for f in other.staged_files:
+        assert os.path.exists(f), f  # different checkpoint untouched
+    stage = _stage_dir(w_exec.opts)
+    assert [
+        x
+        for x in os.listdir(stage)
+        if f"stage-{w_exec._owner_token}-" in x
+    ] == []
+
+    # checkpoint-derived idempotence: yet another fresh instance (the
+    # next commit's process) suppresses a redelivered batch id
+    w_commit2 = PubsubStreamWriter(dict(opts), _sink_schema())
+    redelivered = w_exec.write(iter([batch]))
+    w_commit2.commit([redelivered], batchId=0)
+    assert len(broker.topic_messages("ckq")) == n  # not republished
