@@ -47,6 +47,7 @@ class BacklogMonitor:
         self._backlog = 0
         self._lock = threading.Lock()
         self._timer: threading.Timer | None = None
+        self._stopped = False
         if auto_refresh:
             self._schedule()
 
@@ -69,7 +70,12 @@ class BacklogMonitor:
 
     def _schedule(self) -> None:
         # daemon timer like the reference's java.util.Timer(isDaemon=true)
-        # (PubsubSubscriptionMonitor.scala:212-220)
+        # (PubsubSubscriptionMonitor.scala:212-220). Caller holds no
+        # lock in __init__; _tick/stop serialize on self._lock so a
+        # stop() landing while a tick is EXECUTING (Timer.cancel is a
+        # no-op once fired) cannot be undone by the tick's reschedule
+        # (r15 review: the unconditional finally-reschedule resurrected
+        # a stopped monitor forever).
         self._timer = threading.Timer(self.refresh_interval_s, self._tick)
         self._timer.daemon = True
         self._timer.start()
@@ -78,12 +84,16 @@ class BacklogMonitor:
         try:
             self.refresh()
         finally:
-            self._schedule()
+            with self._lock:
+                if not self._stopped:
+                    self._schedule()
 
     def stop(self) -> None:
-        if self._timer is not None:
-            self._timer.cancel()
-            self._timer = None
+        with self._lock:
+            self._stopped = True
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
 
     # -- planning inputs ----------------------------------------------------
     @property

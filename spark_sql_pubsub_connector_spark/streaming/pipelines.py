@@ -148,14 +148,17 @@ def seed_topic_from_events(
     staging = os.path.join(
         broker_dir, f".seed-staging-{topic}-{uuid.uuid4().hex[:8]}"
     )
-    (
-        ev.repartitionByRange(num_partitions, "event_id")
-        .sortWithinPartitions("event_id")
-        .select(line.alias("value"))
-        .write.mode("overwrite")
-        .text(staging)
-    )
+    # the write lives inside the same try as the commit (r15 review):
+    # a failed distributed write used to leave the staging dir behind
+    # forever — the seeder twin of the sink stage-file GC
     try:
+        (
+            ev.repartitionByRange(num_partitions, "event_id")
+            .sortWithinPartitions("event_id")
+            .select(line.alias("value"))
+            .write.mode("overwrite")
+            .text(staging)
+        )
         parts = sorted(glob.glob(os.path.join(staging, "part-*")))
         n = broker.commit_staged(topic, parts)
     finally:

@@ -181,3 +181,32 @@ def test_log_retention_bytes_option():
         validate_write_options(dict(base, log_retention_bytes="0"))
     with pytest.raises(ValueError, match="log_retention_bytes"):
         validate_write_options(dict(base, log_retention_bytes="nope"))
+
+
+def test_monitor_stop_during_inflight_tick_is_final():
+    """r15 review: Timer.cancel() is a no-op once the timer has fired,
+    so a stop() landing while _tick executes used to be undone by the
+    tick's unconditional finally-reschedule — the monitor refreshed
+    forever after stop. The reschedule now checks the stopped flag
+    under the lock. Modeled deterministically: stop() first, then the
+    in-flight tick completes — no new timer may appear."""
+    import tempfile
+
+    from spark_sql_pubsub_connector_spark.sources.broker import FileBroker
+    from spark_sql_pubsub_connector_spark.sources.monitor import (
+        BacklogMonitor,
+    )
+
+    root = tempfile.mkdtemp()
+    b = FileBroker(root)
+    b.create_topic("t")
+    b.create_subscription("s", "t")
+    opts = validate_read_options(
+        {"project_id": "p", "subscription": "s", "broker_dir": root}
+    )
+    mon = BacklogMonitor(b, "s", opts, auto_refresh=True)
+    assert mon._timer is not None
+    mon.stop()  # cancels the pending timer
+    assert mon._timer is None
+    mon._tick()  # the tick that had already fired before cancel()
+    assert mon._timer is None, "stopped monitor was rescheduled"
