@@ -1780,3 +1780,64 @@ def test_sink_checkpoint_derived_identity_sweeps_across_instances(
     redelivered = w_exec.write(iter([batch]))
     w_commit2.commit([redelivered], batchId=0)
     assert len(broker.topic_messages("ckq")) == n  # not republished
+
+
+def test_source_drains_topic_that_compacts_mid_stream(
+    spark, broker, broker_dir, tmp_path
+):
+    """Retention under the REAL source (r15): a publisher with a small
+    auto_compact_bytes feeds the topic in rounds while the streaming
+    query drains it. Source acks (at commit of the NEXT batch) advance
+    acked_below; compaction then cuts the log under the subscription's
+    live byte cursors, which must reset-and-rescan without losing or
+    duplicating a message. 300 messages across 6 publish rounds, every
+    one delivered exactly once to the memory sink."""
+    compacting = FileBroker(broker_dir, auto_compact_bytes=2048)
+    df = read_stream(
+        spark, broker_dir, "s", max_messages_per_partition=25, num_partitions=2
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("compact_drain")
+        .option("checkpointLocation", str(tmp_path / "cd_ck"))
+        .start()
+    )
+    log = os.path.join(broker_dir, "topics", "t", "log.jsonl")
+    max_size = 0
+    try:
+        total = 300
+        for r in range(6):
+            compacting.publish(
+                "t",
+                [
+                    PubsubMessage(
+                        data=f"Msg {r * 50 + i}".encode(),
+                        attributes={},
+                        publish_ts_us=1_700_000_000_000_000 + (r * 50 + i),
+                    )
+                    for i in range(50)
+                ],
+            )
+            # wait for THIS round to be fully acked (source acks land
+            # at the commit of the following batch) so the next round's
+            # publish deterministically sees an advanced floor and must
+            # cut — the mid-stream compaction this test exists to drive
+            deadline = time.time() + 60
+            while time.time() < deadline and broker.backlog("s") > 0:
+                time.sleep(0.2)
+            assert broker.backlog("s") == 0, f"round {r} never drained"
+            max_size = max(max_size, os.path.getsize(log))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = spark.table("compact_drain").collect()
+    datas = [bytes(r["data"]) for r in rows]
+    assert len(datas) == total, f"{len(datas)} of {total} delivered"
+    assert len(set(datas)) == total  # exactly once, across compactions
+    # the log was cut mid-stream: it never held anywhere near all 300
+    # messages (~46 KB); each publish atop a drained topic compacts the
+    # fully-acked prefix once past the 2 KiB threshold
+    assert max_size < 20 * 1024, max_size
+    assert os.path.getsize(log) < 10 * 1024
+    assert broker.backlog("s") == 0
