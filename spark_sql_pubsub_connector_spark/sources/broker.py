@@ -113,6 +113,16 @@ class FileBroker:
             "lease_groups": [],
         }
         with self._lock():
+            # r15 review: a subscription created AFTER a compaction must
+            # start its ack cursor at the retention floor, not 0 — seqs
+            # below the floor no longer exist, so the dense-prefix
+            # advance in _compact_acked could never leave 0: the sub's
+            # sparse acked list would grow forever AND pin the topic's
+            # retention floor at 0, permanently disabling compaction.
+            # Starting at the floor keeps the pre-retention semantics
+            # (a new sub sees every RETAINED message) intact.
+            meta = self._load_topic_meta_locked(topic)
+            state["acked_below"] = meta.get("compacted_below_seq", 0)
             with open(self._sub_path(sub), "w") as fh:
                 json.dump(state, fh)
 

@@ -491,3 +491,31 @@ def test_compaction_preserves_torn_tail_repair(broker, tmp_path):
     assert broker.publish("t", _msgs(1)) == ["3"]  # seq 3 re-minted
     got2 = broker.pull("s", 10)
     assert sorted(m.message.message_id for m in got2) == ["2", "3"]
+
+
+def test_subscription_created_after_compaction_starts_at_floor(
+    broker, tmp_path
+):
+    """r15 review: a sub created after a compaction used to start at
+    acked_below=0 with seqs <floor nonexistent — its dense-prefix ack
+    advance could never leave 0, so its sparse acked list grew forever
+    AND pinned the topic's retention floor at 0, permanently disabling
+    compaction. It now starts at the floor: sees every retained
+    message, acks compact densely, and the topic keeps compacting."""
+    broker.publish("t", _msgs(6))
+    got = broker.pull("s", 6)
+    broker.acknowledge("s", [m.ack_id for m in got])
+    assert broker.compact_topic("t")["cut_messages"] == 6  # floor 6
+    broker.create_subscription("s2", "t", ack_deadline_s=60)
+    broker.publish("t", _msgs(2))  # seqs 6, 7
+    got1 = broker.pull("s", 10)
+    got2 = broker.pull("s2", 10)
+    assert sorted(m.message.message_id for m in got2) == ["6", "7"]
+    broker.acknowledge("s", [m.ack_id for m in got1])
+    broker.acknowledge("s2", [m.ack_id for m in got2])
+    # dense advance from the floor: no sparse residue in either state
+    s2 = broker._load_sub("s2")
+    assert s2["acked_below"] == 8
+    assert s2["acked"] == []
+    # and the topic still compacts (floor would have stuck at 0 before)
+    assert broker.compact_topic("t")["cut_messages"] == 2
