@@ -1782,6 +1782,52 @@ def test_sink_checkpoint_derived_identity_sweeps_across_instances(
     assert len(broker.topic_messages("ckq")) == n  # not republished
 
 
+def test_spark_forwards_checkpoint_into_sink_writer_options(
+    spark, broker, broker_dir, tmp_path
+):
+    """LIVE pin of the forwarding contract the previous test assumes:
+    pyspark 4.1.2 really does place the query's checkpointLocation
+    (lower-cased key) into the options map the Python DataSource
+    writer is constructed from. If a future pyspark stops forwarding
+    it, the checkpoint-derived sink identity silently degrades to the
+    per-run-uuid fallback (safe, but no cross-restart idempotence and
+    no crashed-run GC) — this test turns that silent regression into a
+    visible failure. Evidence: the committed-batch-id record only
+    exists when a sink identity RESOLVED (``_sink_state_path`` is
+    keyed by it), so after a real writeStream with a checkpoint and NO
+    explicit sink_id, ``.sink_state`` must contain exactly the
+    ``ck:<checkpoint>`` entry."""
+    _publish_canonical(broker, 20)
+    broker.create_topic("fwd_t")
+    src = read_stream(
+        spark, broker_dir, "s", max_messages_per_partition=10, num_partitions=2
+    )
+    ck = str(tmp_path / "fwd_ck")
+    q = (
+        src.select("data", "attributes")
+        .writeStream.format("pubsub")
+        .option("project_id", "p")
+        .option("topic", "fwd_t")
+        .option("broker_dir", broker_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and broker.backlog("s") > 0:
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert len(broker.topic_messages("fwd_t")) == 20
+    state_dir = os.path.join(broker_dir, ".sink_state")
+    entries = os.listdir(state_dir)
+    expected = "fwd_t__" + ("ck:" + ck).replace("/", "__") + ".json"
+    assert entries == [expected], entries
+
+
 def test_source_drains_topic_that_compacts_mid_stream(
     spark, broker, broker_dir, tmp_path
 ):
