@@ -713,6 +713,31 @@ def _sink_owner_token(opts: PubsubWriteOptions) -> str | None:
     ).hexdigest()[:16]
 
 
+def _checkpoint_instance_id(opts: PubsubWriteOptions) -> str | None:
+    """Identity of the checkpoint INSTANCE behind this query, when
+    resolvable: Spark mints a fresh query id into
+    ``<checkpoint>/metadata`` exactly when the checkpoint directory is
+    created, so the id distinguishes a restart (same id — Spark resumes
+    the batch numbering) from a wiped-and-recreated checkpoint (new id —
+    batch ids restart at 0). The batch-id idempotence record must be
+    scoped to it: a stale record honored across a recreation would
+    silently swallow the new query's first batches — the "re-created
+    one" case _sink_state_path's contract names, which path- or
+    sink_id-keying alone cannot see (r15 self-review). None when no
+    readable metadata file exists (direct-API writers without a real
+    checkpoint, or a DFS path this local-FS read cannot reach) — the
+    record is then honored as before, identity-scoped only."""
+    ck = opts.checkpoint_location
+    if not ck:
+        return None
+    try:
+        with open(os.path.join(ck, "metadata")) as fh:
+            iid = json.load(fh).get("id")
+    except (OSError, ValueError):
+        return None
+    return str(iid) if iid else None
+
+
 def _sink_state_path(opts: PubsubWriteOptions) -> str:
     """Committed-batch-id record, namespaced by (topic, sink_id): batch
     ids are per-query (they restart at 0 for every new checkpoint), so
@@ -868,10 +893,21 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         if self.opts.sink_id is None:
             return -1
         path = _sink_state_path(self.opts)
-        if os.path.exists(path):
-            with open(path) as fh:
-                return json.load(fh).get("last_batch", -1)
-        return -1
+        if not os.path.exists(path):
+            return -1
+        with open(path) as fh:
+            state = json.load(fh)
+        if state.get("ck_instance") != _checkpoint_instance_id(self.opts):
+            # The record was written under a DIFFERENT checkpoint
+            # instance (the dir was wiped and recreated — batch ids
+            # restart at 0) or under a different resolvability of the
+            # metadata file. Honoring it would silently swallow the
+            # new query's first batches; treating it as absent costs
+            # at most one republished redelivery (at-least-once, the
+            # safe direction). _record_committed overwrites with the
+            # current instance on the next commit.
+            return -1
+        return state.get("last_batch", -1)
 
     def _record_committed(self, batch_id: int) -> None:
         if self.opts.sink_id is None:
@@ -880,7 +916,13 @@ class PubsubStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"last_batch": batch_id}, fh)
+            json.dump(
+                {
+                    "last_batch": batch_id,
+                    "ck_instance": _checkpoint_instance_id(self.opts),
+                },
+                fh,
+            )
         os.replace(tmp, path)
 
     def _gc_orphans(self) -> None:

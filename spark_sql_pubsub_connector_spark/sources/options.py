@@ -168,6 +168,15 @@ class PubsubWriteOptions:
     # everything; a positive byte threshold compacts the fully-acked
     # prefix whenever the log outgrows it (FileBroker.compact_topic).
     log_retention_bytes: int | None = None
+    # The query's checkpointLocation verbatim (when Spark forwarded it
+    # or the caller passed it), kept SEPARATELY from sink_id: the
+    # batch-id idempotence record is additionally scoped to the
+    # checkpoint *instance* (the query id Spark mints into
+    # <checkpoint>/metadata at creation), so a wiped-and-recreated
+    # checkpoint — whose batch ids restart at 0 — can never be
+    # swallowed by a stale record keyed to the same path or sink_id
+    # (see datasource._checkpoint_instance_id).
+    checkpoint_location: str | None = None
 
     @property
     def topic_path(self) -> str:
@@ -258,10 +267,17 @@ def _resolve_sink_id(options: dict) -> str | None:
     raw = options.get(SINK_ID)
     if raw not in (None, ""):
         return str(raw)
-    ck = options.get("checkpointlocation") or options.get("checkpointLocation")
-    if ck not in (None, ""):
-        return "ck:" + str(ck)
+    ck = _checkpoint_of(options)
+    if ck is not None:
+        return "ck:" + ck
     return None
+
+
+def _checkpoint_of(options: dict) -> str | None:
+    """The query's checkpointLocation from the options map (Spark
+    lower-cases option keys; direct callers may pass either casing)."""
+    ck = options.get("checkpointlocation") or options.get("checkpointLocation")
+    return str(ck) if ck not in (None, "") else None
 
 
 def validate_write_options(options: dict) -> PubsubWriteOptions:
@@ -281,6 +297,7 @@ def validate_write_options(options: dict) -> PubsubWriteOptions:
             if options.get(LOG_RETENTION_BYTES) not in (None, "")
             else None
         ),
+        checkpoint_location=_checkpoint_of(options),
     )
 
 

@@ -1828,6 +1828,81 @@ def test_spark_forwards_checkpoint_into_sink_writer_options(
     assert entries == [expected], entries
 
 
+def test_sink_wiped_checkpoint_does_not_suppress_new_query(
+    broker, broker_dir, tmp_path
+):
+    """r15 self-review: the batch-id idempotence record is keyed by
+    (topic, sink_id), but batch ids are per-CHECKPOINT-INSTANCE — a
+    user who wipes a checkpoint dir and starts fresh gets batch ids
+    from 0 again, and a stale record at the same path (or the same
+    explicit sink_id) used to silently swallow the new query's first
+    batches: silent data loss, the exact "re-created one" case the
+    sink-state docstring promises to distinguish. The record now also
+    carries the checkpoint instance id Spark mints into
+    <checkpoint>/metadata at creation; a mismatch voids the record
+    (at-least-once in the safe direction). Modeled with direct-API
+    writers over real metadata files, both identity modes."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from spark_sql_pubsub_connector_spark.sources.datasource import (
+        PubsubStreamWriter,
+    )
+
+    def mk_ck(name: str, qid: str) -> str:
+        d = tmp_path / name
+        d.mkdir()
+        (d / "metadata").write_text(_json.dumps({"id": qid}))
+        return str(d)
+
+    n = 10
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"m{i}".encode() for i in range(n)], type=pa.binary()),
+            pa.array(
+                [[("k", "v")]] * n, type=pa.map_(pa.string(), pa.string())
+            ),
+        ],
+        names=["data", "attributes"],
+    )
+    broker.create_topic("wipe_t")
+    for sink_opts in (
+        {},  # checkpoint-derived identity
+        {"sink_id": "stable-id"},  # explicit identity, same hazard
+    ):
+        ck = mk_ck(f"ck_{len(sink_opts)}_1", "instance-A")
+        opts = {
+            "project_id": "p",
+            "topic": "wipe_t",
+            "broker_dir": broker_dir,
+            "checkpointlocation": ck,
+            **sink_opts,
+        }
+        before = len(broker.topic_messages("wipe_t"))
+        w1 = PubsubStreamWriter(dict(opts), _sink_schema())
+        w1.commit([w1.write(iter([batch]))], batchId=0)
+        w1b = PubsubStreamWriter(dict(opts), _sink_schema())
+        w1b.commit([w1b.write(iter([batch]))], batchId=0)  # redelivery
+        assert len(broker.topic_messages("wipe_t")) == before + n  # suppressed
+
+        # wipe + recreate: new instance id, batch ids restart at 0
+        import shutil as _shutil
+
+        _shutil.rmtree(ck)
+        ck2 = mk_ck(f"ck_{len(sink_opts)}_1", "instance-B")
+        assert ck2 == ck  # same path, different instance
+        w2 = PubsubStreamWriter(dict(opts), _sink_schema())
+        w2.commit([w2.write(iter([batch]))], batchId=0)
+        assert (
+            len(broker.topic_messages("wipe_t")) == before + 2 * n
+        ), "fresh query's batch 0 was swallowed by the stale record"
+        # and the new instance's own redeliveries are still suppressed
+        w2b = PubsubStreamWriter(dict(opts), _sink_schema())
+        w2b.commit([w2b.write(iter([batch]))], batchId=0)
+        assert len(broker.topic_messages("wipe_t")) == before + 2 * n
+
+
 def test_source_drains_topic_that_compacts_mid_stream(
     spark, broker, broker_dir, tmp_path
 ):
