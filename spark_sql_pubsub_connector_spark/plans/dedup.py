@@ -1163,7 +1163,9 @@ WITH {_sql_minhash_m()},
 {",".join(_sql_sweep_cand(r, nb, lb) for r, nb, lb in _LSH_SWEEP)},
 cand AS ({" UNION ALL ".join(f"SELECT * FROM c_{lb}" for _, _, lb in _LSH_SWEEP)}),
 pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
-sets AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+sets AS (SELECT doc_id,
+                list_distinct(list_transform(sh, x -> {sql_hex_prefix_int("md5(x)", 15)})) AS sd
+         FROM s),
 verdict AS (
   SELECT doc_a, doc_b,
          CASE WHEN CAST(floor(CAST(len(list_intersect(x.sd, y.sd)) AS DOUBLE)
@@ -1197,7 +1199,16 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-keyed shuffle (never O(n²) — the loosest config's buckets
     are the largest, and its Σ|bucket|² term is the sweep's cost
     ceiling). Every distinct candidate pair is Jaccard-verified once,
-    then attributed to its configs by a pair-keyed join."""
+    then attributed to its configs by a pair-keyed join. The verify
+    side carries HASHED shingle keys (60-bit md5 prefix — the same
+    portable conversion the minhash subtree uses), not the raw 3-gram
+    strings: the two pair-keyed joins ship a shingle array per
+    CANDIDATE pair, so at scale the array payload is the sweep's
+    entire shuffle-spill footprint, and 8-byte keys cut it ~3× vs
+    ~25-byte strings (r15: the 300× run's spill exceeded the
+    single-disk harness at string width; it fits at key width). Both
+    engines hash identically, so Jaccard over the hashed distinct
+    sets stays in cross-engine lockstep by construction."""
     m = _minhash_sigs(spark, sf_dir)
     cand = None
     for r, nb, label in _LSH_SWEEP:
@@ -1206,7 +1217,13 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cand.select("doc_a", "doc_b").distinct()
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
-    sets = t.select("doc_id", F.array_distinct(shingles("w", 3)).alias("sd"))
+    sets = t.select("doc_id", shingles("w", 3).alias("sh")).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sh, x -> "
+            "CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) AS BIGINT)))"
+        ).alias("sd"),
+    )
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
     inter = F.size(F.array_intersect("sda", "sdb"))
