@@ -54,6 +54,10 @@ SUPERSEDED_BEFORE_ROUND: dict[str, int] = {
     # the BIGINT bodies (q85 re-measured r13, q79 r14).
     "q85_hourly_anomalies": 13,
     "q79_source_mixture": 14,
+    # q95 verify payload moved to 60-bit hashed shingle keys in r15
+    # (ee32562): the pre-fix points measured the raw-string arrays
+    # whose spill width was the 300x No-space wall.
+    "q95_lsh_tuning": 15,
 }
 SUPERSEDED: set[tuple[str, str]] = {
     # r11 artifact, but recorded BEFORE the same round's q91 fix:
