@@ -352,7 +352,9 @@ cand AS (
   FROM b a
   JOIN b b2 ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id
 ),
-sets AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+sets AS (SELECT doc_id,
+                list_distinct(list_transform(sh, x -> {sql_hex_prefix_int("md5(x)", 15)})) AS sd
+         FROM s),
 scored AS (
   SELECT doc_a, doc_b,
          CAST(floor(CAST(len(list_intersect(x.sd, y.sd)) AS DOUBLE)
@@ -373,11 +375,23 @@ def q19_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. Only candidate pairs (bucket-join output) ever reach the
     quadratic-cost verification, so the plan scales as O(corpus +
     candidates), not O(n²). Jaccard is computed on distinct shingle
-    sets with one double division, quantized to the 1e-6 grid."""
+    sets with one double division, quantized to the 1e-6 grid.
+
+    Payload discipline (r15, the q95/q109/q91 fix generalized): the
+    two pair-keyed verify joins ship a shingle array per candidate
+    pair, so the verify carries 60-bit md5-prefix keys (the minhash
+    subtree's portable conversion), not raw 3-gram strings — ~3×
+    lighter shuffle payload, hashed identically in the DuckDB oracle
+    so Jaccard over the hashed distinct sets stays value-equal by
+    construction."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
-    sets = t.select(
-        "doc_id", F.array_distinct(shingles("w", 3)).alias("sd")
+    sets = t.select("doc_id", shingles("w", 3).alias("sh")).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sh, x -> "
+            "CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) AS BIGINT)))"
+        ).alias("sd"),
     )
     cand = q17_dedup_minhash_lsh(spark, sf_dir)
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
@@ -1280,7 +1294,9 @@ est AS (
   JOIN m x ON x.doc_id = c.doc_a
   JOIN m y ON y.doc_id = c.doc_b
 ),
-sets AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+sets AS (SELECT doc_id,
+                list_distinct(list_transform(sh, x -> {sql_hex_prefix_int("md5(x)", 15)})) AS sd
+         FROM s),
 exact AS (
   SELECT e.doc_a, e.doc_b, e.est_q6,
          CAST(floor(CAST(len(list_intersect(x.sd, y.sd)) AS DOUBLE)
@@ -1330,7 +1346,16 @@ def q101_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
-    sets = t.select("doc_id", F.array_distinct(shingles("w", 3)).alias("sd"))
+    # hashed shingle keys (r15 payload discipline -- see q19/q95): the
+    # verify joins ship an array per candidate pair, so 8-byte keys
+    # replace raw 3-gram strings, hashed identically in the oracle
+    sets = t.select("doc_id", shingles("w", 3).alias("sh")).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sh, x -> "
+            "CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) AS BIGINT)))"
+        ).alias("sd"),
+    )
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
     inter = F.size(F.array_intersect("sda", "sdb"))
