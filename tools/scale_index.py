@@ -58,6 +58,10 @@ SUPERSEDED_BEFORE_ROUND: dict[str, int] = {
     # (ee32562): the pre-fix points measured the raw-string arrays
     # whose spill width was the 300x No-space wall.
     "q95_lsh_tuning": 15,
+    # q19/q101 got the same hashed-key verify in r15 (a4199d9); their
+    # pre-fix points measured the string-array payload.
+    "q19_dedup_ngram_jaccard": 15,
+    "q101_minhash_calibration": 15,
 }
 SUPERSEDED: set[tuple[str, str]] = {
     # r11 artifact, but recorded BEFORE the same round's q91 fix:
