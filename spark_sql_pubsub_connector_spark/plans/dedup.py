@@ -105,8 +105,14 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle(3-word) → one md5 → 60-bit hex prefix mod p = base hash →
     minhash_j = min over shingles of (a_j·h + b_j) mod p.
+
+    The md5-per-shingle pass IS the minhash family's CPU cost, so the
+    scan is widened (r15, guide §2.5): on the single-row-group local
+    files the whole pass otherwise serializes on one core (measured
+    2.3x on the keyed-shingle twin); at scale the widen guard is a
+    no-op and the plan is unchanged.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
     s = t.select("doc_id", shingles("w", 3).alias("sh"))
     hv = (
@@ -225,7 +231,15 @@ def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band, h) — a few percent of corpus bytes, MEMORY_AND_DISK, and
     # Spark's cache manager dedupes the entry across repeated builds
     # (q54/q68/q95/q101 all re-enter through this builder).
-    bands = _minhash_bands(spark, sf_dir).persist()
+    # r15: the persisted frame is repartitioned by the downstream
+    # grouping key BEFORE caching, so both (band, h) aggregations below
+    # (hot-bucket count, bucket collect) read a cache whose partitioning
+    # already satisfies their distribution and elide their exchanges —
+    # one tiny bands-sized shuffle buys back two, and the widened
+    # md5 pass (see _minhash_sigs) stops re-serializing downstream
+    # work into 32 micro-partitions (measured r15: widen alone moved
+    # exec 0.8->1.5 s; widen+align 0.8->0.7 s with persist 1.4->1.1 s).
+    bands = _minhash_bands(spark, sf_dir).repartition("band", "h").persist()
     hot = (
         bands.groupBy("band", "h")
         .agg(F.count(F.lit(1)).alias("bucket_n"))

@@ -31,8 +31,60 @@ TABLES = (
     "embeddings",
 )
 
+# Deterministic repartition key per table for widen_scan (a real,
+# high-cardinality column — hash repartitioning on it is stable under
+# task retry, unlike rand-derived keys; optimization guide §2.5).
+_WIDEN_KEYS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# (sf_dir, table, parallelism) -> scan split count, memoized because
+# .rdd.getNumPartitions() costs ~50 ms of driver-side plan conversion
+# and the file layout is static for a session.
+_SCAN_PARTS: dict[tuple, int] = {}
+
+
+def widen_scan(df: DataFrame, name: str, sf_dir: str = "") -> DataFrame:
+    """Scale-adaptive scan parallelization (optimization guide §2.5:
+    "input skew — one huge unsplittable file … repartition immediately
+    after the read").
+
+    The driver's test parquet is one file with ONE row group per
+    table, so every scan plans as a single effective task and all
+    scan-side work (tokenize/shingle/md5, vector arithmetic, partial
+    aggregation) serializes on one core while the rest idle. This
+    helper hash-repartitions the freshly-read table to the session's
+    default parallelism — but ONLY when the scan's own split count is
+    below that parallelism. At production scale a 100 TB table scans
+    as thousands of splits, the guard is false, and the plan is
+    byte-identical to the un-widened one (no exchange is ever added);
+    the repartition is therefore a local-input-skew fix, not a
+    constant tuned for local mode. Callers opt in per query: it pays
+    off exactly where per-row scan-side CPU dominates the (tiny)
+    shuffle of the table (measured r15: 2.3x on the shingle+md5 pass,
+    a regression on cheap scans like q06/q14 — so it is NOT default).
+    """
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    ck = (sf_dir, name, p)
+    n = _SCAN_PARTS.get(ck)
+    if n is None:
+        _SCAN_PARTS[ck] = n = df.rdd.getNumPartitions()
+    if n >= p:
+        return df
+    return df.repartition(p, _WIDEN_KEYS[name])
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -49,6 +101,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
                 "ts_ns", F.expr("unix_micros(ts) * CAST(1000 AS LONG)")
             )
+    if widen:
+        df = widen_scan(df, name, sf_dir)
     return df
 
 
