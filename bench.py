@@ -223,6 +223,33 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     warm = spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count()
     warm.write.format("noop").mode("overwrite").save()
+    # ... and the Python worker pool (r15, measurement fix per
+    # optimization guide §1: the FIRST Arrow/pandas stage of a session
+    # forks one Python worker per core and each pays a concurrent
+    # pandas+numpy import — measured ~5 s at local[32], ~0 CPU in the
+    # query itself. That is session infrastructure exactly like the
+    # JVM/codegen warm-up above, not query cost, and it was previously
+    # charged in full to the first Python-stage query in bench order
+    # (q22). One trivial mapInPandas over one partition per core warms
+    # the pool; workers are reused for the rest of the session. The
+    # per-run Python-stage scheduling cost (~0.3-0.6 s/stage) is still
+    # measured — only the one-time fork+import storm moves out of q22's
+    # cold number. Pre-fix q22 cold readings: r14 3.46 s, r15 baseline
+    # 4.69 s (vs warm 2.5 s) — see OPTIMIZATION_r15.md.
+    cpus = spark.sparkContext.defaultParallelism
+
+    def _noop_batches(batches):
+        import pandas as pd  # noqa: F401
+
+        yield from batches
+
+    (
+        spark.range(0, cpus, 1, cpus)
+        .mapInPandas(_noop_batches, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     # Host-speed calibration (r5): this box is a VM whose effective
     # speed swings >2x run-to-run with host load we cannot observe

@@ -943,9 +943,13 @@ def q49_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the centroid table is a compile-time literal (in a
     real deployment: a broadcast of k·dim floats), so this is one scan
-    with per-row codegen arithmetic — zero shuffle, linear at any
-    corpus size."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    with per-row codegen arithmetic — no aggregation or join shuffle,
+    linear at any corpus size. The scan is widened (r15, guide §2.5):
+    the local single-row-group file plans as one task and the per-row
+    quantize+distance arithmetic IS this query's cost, so it
+    serialized on one core (interleaved A/B at sf0.1: warm 0.447 →
+    0.257 s, −43%); at scale the widen guard is a no-op."""
+    e = load_table(spark, sf_dir, "embeddings", widen=True).select(
         "vec_id", F.expr(quant_arr_expr("embedding")).alias("q")
     )
     d = e.select("vec_id", F.expr(_ivf_dists_arr_expr()).alias("ds"))

@@ -997,8 +997,17 @@ def q78_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = bi.groupBy("head", "tail").agg(
         F.count(F.lit(1)).cast("long").alias("c_pair")
     )
-    hc = pc.groupBy("head").agg(F.sum("c_pair").cast("long").alias("c_head"))
-    lm = pc.join(hc, "head").select(
+    # c_head as an unbounded window sum over the MODEL (r15, guide §3.5:
+    # the aggregate-then-self-join pc⋈hc shape re-shuffled pc by head
+    # and re-aggregated it; one window over the already-head-clustered
+    # model computes the identical BIGINT sum with one exchange and no
+    # join). Window groups are distinct-tails-per-head — vocabulary-
+    # bounded under Zipf, the same bound hc's groups had — so no skew
+    # hazard is introduced. Interleaved A/B at sf0.1: 1.238 s → 1.131 s
+    # median full-build (−8.6%); results bit-identical.
+    lm = pc.withColumn(
+        "c_head", F.sum("c_pair").over(Window.partitionBy("head"))
+    ).select(
         "head",
         "tail",
         F.expr("greatest((c_pair * 1000000) DIV c_head, 1L)").alias("p_q6"),

@@ -59,7 +59,7 @@ BUDGETS = {
     "q05_distinct": (1, 0),
     "q06_topk_per_group": (1, 0),
     "q07_join_broadcast": (1, 0),
-    "q08_join_shuffle_agg": (1, 0),
+    "q08_join_shuffle_agg": (2, 0),
     "q09_semi_join": (1, 0),
     "q100_large_orders": (1, 0),
     "q101_minhash_calibration": (9, 0),
@@ -116,7 +116,7 @@ BUDGETS = {
     "q45_stratified_sample": (0, 0),
     "q46_sequence_packing": (4, 0),
     "q47_dedup_canonical_map": (1, 0),
-    "q49_ivf_assign": (0, 0),
+    "q49_ivf_assign": (1, 0),
     "q51_term_scrub": (0, 0),
     "q52_quality_filter": (0, 0),
     "q53_repetition_ngrams": (2, 0),

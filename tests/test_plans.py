@@ -183,9 +183,14 @@ def test_canonical_map_has_no_array_state(spark, sf_dir):
 
 def test_ivf_assign_has_no_shuffle(spark, sf_dir):
     """q49 is a single scan with literal-centroid arithmetic — an
-    Exchange would mean the assignment stopped being map-only."""
+    aggregation/join Exchange would mean the assignment stopped being
+    map-only. The r15 scan widen adds exactly one REPARTITION exchange
+    in this single-row-group test env (a no-op at scale by guard); any
+    ENSURE_REQUIREMENTS exchange is still a structural failure."""
     plan = plan_of(spark, sf_dir, "q49_ivf_assign", mode="simple")
-    assert "Exchange" not in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("REPARTITION" in l for l in exchanges), plan
+    assert len(exchanges) <= 1, plan
     assert "EvalPython" not in plan
 
 
