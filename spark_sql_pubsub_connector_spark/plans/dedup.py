@@ -106,13 +106,16 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle(3-word) → one md5 → 60-bit hex prefix mod p = base hash →
     minhash_j = min over shingles of (a_j·h + b_j) mod p.
 
-    The md5-per-shingle pass IS the minhash family's CPU cost, so the
-    scan is widened (r15, guide §2.5): on the single-row-group local
-    files the whole pass otherwise serializes on one core (measured
-    2.3x on the keyed-shingle twin); at scale the widen guard is a
-    no-op and the plan is unchanged.
+    Deliberately NOT widened (r15): a widen here would hash-shuffle the
+    documents table INCLUDING the text payload to parallelize the
+    md5-per-shingle pass — guide §2.3's "shuffle keys and metadata
+    instead of payloads" in reverse. The clean interleaved A/B
+    (Q17ALIGN_AB_r15.json) read widen-only warm 0.98 s vs 0.35 s plain
+    and cold 1.28 vs 1.05 s: the text shuffle costs more than the
+    parallelized md5 buys at every phase, and at production scale the
+    scan parallelizes by itself.
     """
-    docs = load_table(spark, sf_dir, "documents", widen=True)
+    docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
     s = t.select("doc_id", shingles("w", 3).alias("sh"))
     hv = (
@@ -231,15 +234,14 @@ def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band, h) — a few percent of corpus bytes, MEMORY_AND_DISK, and
     # Spark's cache manager dedupes the entry across repeated builds
     # (q54/q68/q95/q101 all re-enter through this builder).
-    # r15: the persisted frame is repartitioned by the downstream
-    # grouping key BEFORE caching, so both (band, h) aggregations below
-    # (hot-bucket count, bucket collect) read a cache whose partitioning
-    # already satisfies their distribution and elide their exchanges —
-    # one tiny bands-sized shuffle buys back two, and the widened
-    # md5 pass (see _minhash_sigs) stops re-serializing downstream
-    # work into 32 micro-partitions (measured r15: widen alone moved
-    # exec 0.8->1.5 s; widen+align 0.8->0.7 s with persist 1.4->1.1 s).
-    bands = _minhash_bands(spark, sf_dir).repartition("band", "h").persist()
+    # r15 note: repartitioning the persisted frame by (band, h) before
+    # caching — so both downstream aggregations elide their exchanges —
+    # was tried and REVERTED: the hot-bucket count partial-aggregates
+    # map-side, so its exchange carries ~one row per distinct bucket
+    # and the alignment shuffle moves MORE bytes than it saves; the
+    # clean interleaved A/B (Q17ALIGN_AB_r15.json) read align+widen
+    # warm 0.48 s vs 0.35 s for this plain persist, cold a wash.
+    bands = _minhash_bands(spark, sf_dir).persist()
     hot = (
         bands.groupBy("band", "h")
         .agg(F.count(F.lit(1)).alias("bucket_n"))

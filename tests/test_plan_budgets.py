@@ -20,18 +20,11 @@ inner-plan exchanges in every consumer's explain text
 (q19/q54/q68/q69/q77/q91/q101) — their ceilings were re-measured and
 re-frozen then (plan-TEXT counts; the cached subtree executes once).
 
-The r15 minhash-scan widen + band-alignment (scale-adaptive
-``widen_scan`` on the documents scan inside ``_minhash_sigs``, plus
-``repartition("band", "h")`` before q17's bands persist so both
-downstream (band, h) aggregations elide their exchanges at runtime)
-adds two plan-TEXT exchanges inside the shared cached subtree; the
-iterative consumers print that subtree once per unrolled round, so
-their TEXT ceilings scale by the same factor
-(q17/q19/q54/q68/q69/q77/q91/q95/q101 re-measured at both SFs,
-identical, and re-frozen). At runtime the cached subtree still
-executes once, with ONE extra small shuffle (the bands alignment)
-buying back the two aggregation exchanges that previously ran over
-it; the widen exchange is a no-op at production scale by guard.
+The r15 minhash-scan widen + band-alignment was tried and REVERTED
+(clean interleaved A/B, Q17ALIGN_AB_r15.json: the widen shuffles the
+text payload to parallelize a cheap md5 pass and the alignment moves
+more bytes than the partial-aggregated hot-bucket exchange it elides);
+the family ceilings below are the pre-widen values, re-verified.
 
 Streaming-tagged specs are excluded: their build() executes a bounded
 drain and returns a memory-table result, so the interesting plan is
@@ -62,7 +55,7 @@ BUDGETS = {
     "q08_join_shuffle_agg": (2, 0),
     "q09_semi_join": (1, 0),
     "q100_large_orders": (1, 0),
-    "q101_minhash_calibration": (9, 0),
+    "q101_minhash_calibration": (3, 0),
     "q102_clean_corpus_report": (2, 0),
     "q103_mixture_rebalance": (4, 0),
     "q104_ngram_diversity": (0, 0),
@@ -83,9 +76,9 @@ BUDGETS = {
     "q14_window_tumbling": (1, 0),
     "q15_sessionize": (1, 0),
     "q16_dedup_exact": (1, 0),
-    "q17_dedup_minhash_lsh": (7, 0),
+    "q17_dedup_minhash_lsh": (3, 0),
     "q18_dedup_simhash": (1, 0),
-    "q19_dedup_ngram_jaccard": (7, 0),
+    "q19_dedup_ngram_jaccard": (3, 0),
     "q20_knn_bruteforce": (1, 0),
     "q21_ann_lsh": (1, 0),
     # r10 vectorized two-level form (r11: codebook UNCAPPED at
@@ -120,7 +113,7 @@ BUDGETS = {
     "q51_term_scrub": (0, 0),
     "q52_quality_filter": (0, 0),
     "q53_repetition_ngrams": (2, 0),
-    "q54_dedup_clusters": (1196, 0),
+    "q54_dedup_clusters": (404, 0),
     "q55_asof_join": (1, 0),
     "q56_boilerplate_coverage": (2, 0),
     "q57_int8_quantize": (0, 0),
@@ -133,8 +126,8 @@ BUDGETS = {
     "q65_skew_join_salted": (3, 0),
     "q66_kmeans_update": (1, 0),
     "q67_bigram_lm": (3, 0),
-    "q68_dedup_savings": (1197, 0),
-    "q69_pagerank_centrality": (201, 0),
+    "q68_dedup_savings": (405, 0),
+    "q69_pagerank_centrality": (69, 0),
     "q70_session_funnel": (1, 0),
     "q71_retention_cohorts": (3, 0),
     "q72_cms_token_freq": (3, 0),
@@ -142,7 +135,7 @@ BUDGETS = {
     "q74_bloom_semijoin": (14, 0),
     "q75_gapfill_ffill": (2, 0),
     "q76_random_projection": (0, 0),
-    "q77_triangle_clustering": (259, 0),
+    "q77_triangle_clustering": (87, 0),
     "q78_lm_doc_score": (4, 0),
     "q79_source_mixture": (3, 0),
     "q80_bpe_merge_candidates": (2, 0),
@@ -156,11 +149,11 @@ BUDGETS = {
     "q88_chunk_dedup": (2, 0),
     "q89_zorder_layout": (4, 0),
     "q90_matryoshka_recall": (1, 0),
-    "q91_blocking_eval": (13, 0),
+    "q91_blocking_eval": (7, 0),
     "q92_shipping_priority": (1, 0),
     "q93_regional_revenue": (3, 0),
     "q94_source_drift": (8, 0),
-    "q95_lsh_tuning": (29, 0),
+    "q95_lsh_tuning": (20, 0),
     "q96_mm_audio_features": (0, 1),
     "q97_reshard_advisor": (2, 0),
     "q98_skew_profile": (6, 0),
