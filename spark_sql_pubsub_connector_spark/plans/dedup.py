@@ -473,13 +473,36 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     until fixpoint — a 1-row aggregate per round, no driver-side data.
 
     At 100 TB: every shuffle is keyed by doc_id/label (high
-    cardinality, no skew funnel); state per round is one (doc_id,
-    label) row per document; each round's frame is persisted and the
-    previous round unpersisted, so lineage stays O(1) (on a real
-    cluster, a reliable-checkpoint cadence every ~10 rounds bounds
-    recovery cost — near-dup components are shallow, typically 2-4
-    rounds). The oracle is the same fixpoint via a recursive CTE
-    (UNION-dedup transitive closure), feasible at oracle scale only.
+    cardinality, no skew funnel). Two r15 optimizations (guide §1.2,
+    "the distributed algorithm" — measured 36.2 s → 5.4 s at sf0.1,
+    results row-identical):
+
+    1. **Iterate only over edge-endpoint nodes.** A document with no
+       candidate pair can never change label, yet the old loop carried
+       every (doc_id, doc_id) row through three shuffles per round —
+       at sf0.1 that was 5,000 label rows iterated for 819 endpoints,
+       and at 100 TB it would be the whole corpus iterated for the
+       near-dup subgraph. Singletons are re-attached once at the end
+       via a left join + coalesce(label, own id).
+
+    2. **Truncate lineage every round** (``localCheckpoint(eager)``).
+       The pointer-jumping self-join references the previous round's
+       frame TWICE, so the logical plan doubled per round; Catalyst
+       re-analyzes that unrolled tree on every action even though the
+       data itself is cached, and the per-round wall grew 1.05 →
+       1.80 → 3.87 → 14.45 s at sf0.1 — exponential planning on
+       kilobytes of data. An eager local checkpoint materializes the
+       round (the persist this replaces did that too) AND cuts the
+       plan back to a leaf, making planning O(1) per round. On a real
+       cluster localCheckpoint trades fault-tolerance for that
+       truncation (an executor loss fails the query and it re-runs);
+       the standard production variant is a reliable checkpoint to the
+       job's shared filesystem at the same cadence — same plan shape,
+       plus a small write (the iteration state is only the near-dup
+       subgraph's nodes, point 1).
+
+    The oracle is the same fixpoint via a recursive CTE (UNION-dedup
+    transitive closure), feasible at oracle scale only.
     """
     pairs = q17_dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.select(
@@ -490,10 +513,14 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 hashes → buckets → pair expansion) — at sf0.1 that alone was
     # ~1.3 s × rounds of pure recomputation
     edges = edges.persist()
-    docs = load_table(spark, sf_dir, "documents")
-    lab = docs.select("doc_id", F.col("doc_id").alias("component_id"))
-
-    lab = lab.persist()
+    # both edge directions are present, so src alone covers every node
+    # that can ever receive a non-self label
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    lab = nodes.select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    ).localCheckpoint(eager=True)
+    # empty-graph case: sum over zero rows is NULL on both sides of
+    # the comparison below, so the loop exits after one round
     prev_sum = lab.agg(F.sum("component_id")).collect()[0][0]
     while True:
         # (1) min over {self} ∪ neighbor labels, one groupBy-min
@@ -506,7 +533,7 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("component_id").alias("component_id"))
         )
         # (2) pointer jumping: component_id := label(component_id);
-        # every label IS some doc's id, so the left join always hits
+        # every label IS some node's id, so the left join always hits
         jump = merged.select(
             F.col("doc_id").alias("component_id"),
             F.col("component_id").alias("next_id"),
@@ -514,15 +541,20 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_lab = (
             merged.join(jump, "component_id", "left")
             .select("doc_id", F.coalesce("next_id", "component_id").alias("component_id"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_lab.agg(F.sum("component_id")).collect()[0][0]
-        lab.unpersist()
         lab = new_lab
         if new_sum == prev_sum:  # labels only decrease; fixpoint reached
             break
         prev_sum = new_sum
-    return lab
+    edges.unpersist()
+    docs = load_table(spark, sf_dir, "documents")
+    # re-attach the (vast) singleton majority: no edges → own label
+    return docs.select("doc_id").join(lab, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -113,7 +113,7 @@ BUDGETS = {
     "q51_term_scrub": (0, 0),
     "q52_quality_filter": (0, 0),
     "q53_repetition_ngrams": (2, 0),
-    "q54_dedup_clusters": (404, 0),
+    "q54_dedup_clusters": (2, 0),
     "q55_asof_join": (1, 0),
     "q56_boilerplate_coverage": (2, 0),
     "q57_int8_quantize": (0, 0),
@@ -126,7 +126,7 @@ BUDGETS = {
     "q65_skew_join_salted": (3, 0),
     "q66_kmeans_update": (1, 0),
     "q67_bigram_lm": (3, 0),
-    "q68_dedup_savings": (405, 0),
+    "q68_dedup_savings": (5, 0),
     "q69_pagerank_centrality": (69, 0),
     "q70_session_funnel": (1, 0),
     "q71_retention_cohorts": (3, 0),

@@ -252,16 +252,18 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
 
 
 def test_dedup_clusters_shuffles_fine_grained(spark, sf_dir):
-    """q54: the CC iteration itself must stay scalar — min-label
-    HashAggregates keyed by doc_id, no cartesian, no collect_set/array
-    state in the label frame. (q17's bounded bucket collect_list is
-    allowed — it is the candidate-pair input, pinned by its own
-    test.)"""
+    """q54 (r15 lineage-truncated form): the iteration executes during
+    build with per-round localCheckpoints, so the returned plan is the
+    converged label leaf joined back to the corpus by doc_id — it must
+    stay a fine-grained keyed join with no cartesian and no array
+    state. The per-round min-label algebra is pinned independently by
+    tests/test_operator_properties.py (union-find ground truth)."""
     plan = plan_of(spark, sf_dir, "q54_dedup_clusters", mode="simple")
     assert "CartesianProduct" not in plan
     assert "collect_set" not in plan
-    # the label merge is a scalar min aggregate, partial-then-final
-    assert "min(component_id" in plan, plan
+    # converged labels enter as a lineage-truncated leaf (guide §5:
+    # eager localCheckpoint cuts the exponential self-join lineage)
+    assert "ExistingRDD" in plan, plan
 
 
 def test_int8_quantize_is_map_only(spark, sf_dir):
