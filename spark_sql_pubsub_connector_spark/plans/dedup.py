@@ -690,34 +690,50 @@ def q69_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle matches bit-for-bit with no cross-engine float drift —
     the same fixed-point discipline as the exact-sum helpers.
 
-    Scale: per iteration one edge→rank join keyed by src and one
-    dst-keyed aggregate, both fine-grained; rank state is one row per
-    document. A production run would persist each iteration like q54;
-    at {_PR_ITERS} unrolled steps Catalyst handles the tree as-is."""
+    Scale (r15 restructure, the q54 discipline): per iteration one
+    edge→rank join keyed by src and one dst-keyed aggregate, both
+    fine-grained. The loop-invariant edges⋈degree join is hoisted out
+    and persisted ONCE (before, every iteration re-ran q17's bucket
+    self-join twice — once for the edge list, once under the degree
+    aggregate — 126 Exchanges in the before-plan). Rank state
+    iterates only over edge-ENDPOINT nodes: shares flow exclusively
+    between endpoints (every dst of a symmetric edge list is an
+    endpoint), so a document with no candidate pair holds the
+    constant rank {_PR_BASE} from iteration 1 on and is re-attached
+    once at the end — at 100 TB the iteration touches the near-dup
+    subgraph, not the corpus."""
     pairs = q17_dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    pr = docs.select("doc_id", F.lit(_PR_ONE).cast("long").alias("pr"))
+    edeg = edges.join(deg, "src").persist()
+    # endpoint nodes all have >=1 incoming edge (the edge list is
+    # symmetric), so each iteration's dst-keyed aggregate covers
+    # exactly the endpoint set and no per-iteration base-rank join is
+    # needed; COALESCE on s is likewise unnecessary
+    pr = (
+        edeg.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(_PR_ONE).cast("long").alias("pr"))
+    )
     for _ in range(_PR_ITERS):
-        shares = (
-            edges.join(deg, "src")
-            .join(pr.withColumnRenamed("doc_id", "src"), "src")
-            .select(F.col("dst").alias("doc_id"), F.expr("pr DIV deg").alias("share"))
+        shares = edeg.join(pr.withColumnRenamed("doc_id", "src"), "src").select(
+            F.col("dst").alias("doc_id"), F.expr("pr DIV deg").alias("share")
         )
-        incoming = shares.groupBy("doc_id").agg(
-            F.sum("share").cast("long").alias("s")
+        pr = (
+            shares.groupBy("doc_id")
+            .agg(F.sum("share").cast("long").alias("s"))
+            .select(
+                "doc_id",
+                (F.lit(_PR_BASE) + F.expr("85 * s DIV 100")).cast("long").alias("pr"),
+            )
         )
-        pr = docs.join(incoming, "doc_id", "left").select(
-            "doc_id",
-            (
-                F.lit(_PR_BASE)
-                + F.expr("85 * COALESCE(s, 0L) DIV 100")
-            ).cast("long").alias("pr"),
-        )
-    return pr.select("doc_id", F.col("pr").alias("rank_q6"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(pr, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pr", F.lit(_PR_BASE).cast("long")).alias("rank_q6"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -790,16 +806,28 @@ def q77_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle joins explode on power-law graphs. Three shuffles total
     (degree agg, wedge self-join keyed by src, closure probe keyed by
     (v, w)); integer clustering coefficient on the 1e-6 grid."""
-    pairs = q17_dedup_minhash_lsh(spark, sf_dir)
+    # persisted (r15): the pair list fans out 3× (both union legs of
+    # sym + the orientation join) and each reference re-ran q17's
+    # whole bucket self-join + distinct; the edge list is tiny
+    # relative to the corpus (q54's discipline)
+    pairs = q17_dedup_minhash_lsh(spark, sf_dir).persist()
     sym = pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")).union(
         pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
     )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # persisted (r15): degrees feed both orientation sides and the
+    # final output join (3 references); one row per endpoint node
+    deg = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist()
+    )
     da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("degb"))
     a_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("doc_a") < F.col("doc_b"))
     )
+    # persisted (r15): the oriented edge list feeds both wedge legs
+    # AND the closure probe (3 references)
     o = (
         pairs.join(da, "doc_a")
         .join(db, "doc_b")
@@ -808,6 +836,7 @@ def q77_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
             F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddst"),
         )
+        .persist()
     )
     e1 = o.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
     e2 = o.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
@@ -1168,41 +1197,6 @@ _LSH_SWEEP = ((1, 8, "r1b8"), (2, 4, "r2b4"), (4, 2, "r4b2"))
 _LS_SCALE = 1_000_000
 
 
-def _sweep_bands_spark(m: DataFrame, r: int, nb: int) -> DataFrame:
-    """(doc_id, band, sig) under r-rows-per-band banding of the 8
-    minhashes; sig is md5 of the ':'-joined values so every config
-    joins on an equal-width string key."""
-    structs = []
-    for b in range(nb):
-        cat = F.concat_ws(
-            ":", *[F.col(f"m{b * r + k}").cast("string") for k in range(r)]
-        )
-        structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.encode(cat, "UTF-8")).alias("sig"))
-        )
-    return m.select("doc_id", F.explode(F.array(*structs)).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
-
-
-def _sweep_pairs_spark(bands: DataFrame, label: str) -> DataFrame:
-    buckets = (
-        bands.groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pair_expr = (
-        "filter(flatten(transform(ds, a -> transform(ds, b -> "
-        "struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"
-    )
-    return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-        .withColumn("cfg", F.lit(label))
-    )
-
-
 def _sql_sweep_cand(r: int, nb: int, label: str) -> str:
     sep = " || ':' || "
     parts = []
@@ -1257,10 +1251,16 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset of the others, so the union IS the r=1 candidate set) —
     exactly the curve a dedup pipeline reads before picking (r, b).
 
-    Scale: the minhash subtree is computed ONCE; each config adds one
-    bucket-keyed shuffle (never O(n²) — the loosest config's buckets
-    are the largest, and its Σ|bucket|² term is the sweep's cost
-    ceiling). Every distinct candidate pair is Jaccard-verified once,
+    Scale: the minhash subtree is computed ONCE, and (r15) all three
+    configs' bands explode from that one pass into a single
+    (cfg, band, sig)-keyed bucket shuffle — the before-plan executed
+    the minhash subtree per config per reference, 26 scans of the
+    documents table in all; now the corpus is scanned twice (minhash +
+    shingle-verify), with the candidate set, shingle sets, and verdict
+    persisted at their shared fan-out points (never O(n²) — the
+    loosest config's buckets are the largest, and its Σ|bucket|² term
+    is the sweep's cost ceiling). Every distinct candidate pair is
+    Jaccard-verified once,
     then attributed to its configs by a pair-keyed join. The verify
     side carries HASHED shingle keys (60-bit md5 prefix — the same
     portable conversion the minhash subtree uses), not the raw 3-gram
@@ -1272,20 +1272,59 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines hash identically, so Jaccard over the hashed distinct
     sets stays in cross-engine lockstep by construction."""
     m = _minhash_sigs(spark, sf_dir)
-    cand = None
+    # r15: ALL configs' bands explode from ONE pass over m — a single
+    # struct array of Σnb = 14 (cfg, band, sig) rows per doc and ONE
+    # bucket-keyed shuffle grouped by (cfg, band, sig), instead of one
+    # minhash-subtree execution + bucket shuffle per config (the
+    # before-plan scanned documents 26×; guide §2.2 "compute shared
+    # subtrees once"). Bucket contents per (cfg, band, sig) group are
+    # identical to the per-config grouping, so pairs are unchanged.
+    structs = []
     for r, nb, label in _LSH_SWEEP:
-        p = _sweep_pairs_spark(_sweep_bands_spark(m, r, nb), label)
-        cand = p if cand is None else cand.unionByName(p)
+        for b in range(nb):
+            cat = F.concat_ws(
+                ":", *[F.col(f"m{b * r + k}").cast("string") for k in range(r)]
+            )
+            structs.append(
+                F.struct(
+                    F.lit(label).alias("cfg"),
+                    F.lit(b).alias("band"),
+                    F.md5(F.encode(cat, "UTF-8")).alias("sig"),
+                )
+            )
+    bands = m.select("doc_id", F.explode(F.array(*structs)).alias("bs")).select(
+        "doc_id", "bs.cfg", "bs.band", "bs.sig"
+    )
+    buckets = (
+        bands.groupBy("cfg", "band", "sig")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = (
+        "filter(flatten(transform(ds, a -> transform(ds, b -> "
+        "struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"
+    )
+    # persisted: referenced by the verdict chain AND the final
+    # per-config attribution join (was recomputed whole before)
+    cand = (
+        buckets.select("cfg", F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), "cfg")
+        .distinct()
+        .persist()
+    )
     pairs = cand.select("doc_a", "doc_b").distinct()
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
+    # persisted: the shingle-hash pass feeds both verify-join sides
+    # (doc_a and doc_b are different join keys, so without persist the
+    # md5-per-shingle pass runs once per side)
     sets = t.select("doc_id", shingles("w", 3).alias("sh")).select(
         "doc_id",
         F.expr(
             "array_distinct(transform(sh, x -> "
             "CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) AS BIGINT)))"
         ).alias("sd"),
-    )
+    ).persist()
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
     inter = F.size(F.array_intersect("sda", "sdb"))
@@ -1293,10 +1332,14 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     jq6 = F.floor(
         inter.cast("double") / union.cast("double") * _LS_SCALE + F.lit(0.5)
     ).cast("long")
+    # persisted: verdict feeds BOTH the broadcast total and the final
+    # attribution join — without it the two expensive sets-joins (and
+    # the whole shingle-hash pass under them) execute twice
     verdict = (
         pairs.join(x, "doc_a")
         .join(y, "doc_b")
         .select("doc_a", "doc_b", (jq6 >= _JACCARD_THRESHOLD_Q6).cast("long").alias("is_true"))
+        .persist()
     )
     tot = verdict.agg(F.sum("is_true").cast("long").alias("total_true"))
     return (
@@ -1375,7 +1418,11 @@ def q101_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidate pairs (q19's discipline). Everything is integer
     arithmetic on the 1e-6 grid."""
     cand = q17_dedup_minhash_lsh(spark, sf_dir)
-    m = _minhash_sigs(spark, sf_dir)
+    # persisted (r15): the signature table feeds BOTH estimate-join
+    # sides (doc_a and doc_b), so without persist the whole
+    # md5-per-shingle minhash pass executes twice; (doc_id, 8 longs)
+    # is a trivially small cache at any scale
+    m = _minhash_sigs(spark, sf_dir).persist()
     ma = m.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_HASHES)]
     )
@@ -1396,14 +1443,15 @@ def q101_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
     # hashed shingle keys (r15 payload discipline -- see q19/q95): the
     # verify joins ship an array per candidate pair, so 8-byte keys
-    # replace raw 3-gram strings, hashed identically in the oracle
+    # replace raw 3-gram strings, hashed identically in the oracle.
+    # Persisted (r15): feeds both verify-join sides, like q95's sets.
     sets = t.select("doc_id", shingles("w", 3).alias("sh")).select(
         "doc_id",
         F.expr(
             "array_distinct(transform(sh, x -> "
             "CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) AS BIGINT)))"
         ).alias("sd"),
-    )
+    ).persist()
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
     inter = F.size(F.array_intersect("sda", "sdb"))

@@ -127,7 +127,7 @@ BUDGETS = {
     "q66_kmeans_update": (1, 0),
     "q67_bigram_lm": (3, 0),
     "q68_dedup_savings": (5, 0),
-    "q69_pagerank_centrality": (69, 0),
+    "q69_pagerank_centrality": (56, 0),
     "q70_session_funnel": (1, 0),
     "q71_retention_cohorts": (3, 0),
     "q72_cms_token_freq": (3, 0),
@@ -135,7 +135,7 @@ BUDGETS = {
     "q74_bloom_semijoin": (14, 0),
     "q75_gapfill_ffill": (2, 0),
     "q76_random_projection": (0, 0),
-    "q77_triangle_clustering": (87, 0),
+    "q77_triangle_clustering": (64, 0),
     "q78_lm_doc_score": (4, 0),
     "q79_source_mixture": (3, 0),
     "q80_bpe_merge_candidates": (2, 0),
@@ -149,11 +149,16 @@ BUDGETS = {
     "q88_chunk_dedup": (2, 0),
     "q89_zorder_layout": (4, 0),
     "q90_matryoshka_recall": (1, 0),
-    "q91_blocking_eval": (7, 0),
+    # 7 standalone; 9 once a sibling (q95/q101) has persisted the
+    # shared shingle-sets frame in the same session — the cache
+    # manager swaps q91's identical subtree for the InMemoryRelation,
+    # whose printed block re-lists its inner exchanges (plan-TEXT
+    # count; the cached subtree executes once — the r6 q17 precedent)
+    "q91_blocking_eval": (9, 0),
     "q92_shipping_priority": (1, 0),
     "q93_regional_revenue": (3, 0),
     "q94_source_drift": (8, 0),
-    "q95_lsh_tuning": (20, 0),
+    "q95_lsh_tuning": (10, 0),
     "q96_mm_audio_features": (0, 1),
     "q97_reshard_advisor": (2, 0),
     "q98_skew_profile": (6, 0),
