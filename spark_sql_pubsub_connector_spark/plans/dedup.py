@@ -925,7 +925,11 @@ def q87_dedup_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     then hash-co-located. Band buckets bound the per-key fan-out
     exactly as in q17; the rollup is a new_doc-keyed partial-then-
     final aggregate, and the novel-doc left join is batch-sized."""
-    bands = _minhash_bands(spark, sf_dir)
+    # persisted (r15): the band table splits into BOTH join sides
+    # (index and new batch), so without persist the whole minhash
+    # pass over documents executed twice; the plan is identical to
+    # q17's persisted bands, so the cache manager shares one entry
+    bands = _minhash_bands(spark, sf_dir).persist()
     docs = load_table(spark, sf_dir, "documents")
     cut_row = docs.agg(
         (
@@ -1131,7 +1135,9 @@ def q91_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the DuckDB oracle), cutting per-pair payload ~4x and keeping
     the verify stage a plain linear-in-pairs shuffle."""
     mh = q17_dedup_minhash_lsh(spark, sf_dir).withColumn("from_mh", F.lit(1))
-    shb = q18_dedup_simhash(spark, sf_dir).select("doc_id", "sh_band")
+    # persisted (r15): both self-join sides re-ran the whole simhash
+    # computation; (doc_id, sh_band) is two longs per doc
+    shb = q18_dedup_simhash(spark, sf_dir).select("doc_id", "sh_band").persist()
     a = shb.select(F.col("doc_id").alias("doc_a"), F.col("sh_band").alias("sb"))
     c = shb.select(F.col("doc_id").alias("doc_b"), F.col("sh_band").alias("sb"))
     sh_cand = (
@@ -1151,12 +1157,13 @@ def q91_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
+    # persisted (r15): feeds both verify-join sides (q95's discipline)
     sets = t.select(
         "doc_id",
         F.array_distinct(
             F.transform(shingles("w", 3), lambda g: hex_prefix_int(md5_str(g), 12))
         ).alias("sd"),
-    )
+    ).persist()
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
     inter = F.size(F.array_intersect("sda", "sdb"))

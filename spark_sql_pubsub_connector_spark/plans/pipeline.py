@@ -579,17 +579,33 @@ def q84_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    # r15: per-source gram counts AND shared-pair counts both come
+    # from ONE pass over the gram groups — before, the distinct
+    # (source, k) frame was referenced twice, so the shingle explode
+    # and its distinct shuffle executed twice. Each gram group emits
+    # its singles (src_b NULL = per-source tally; exploding the
+    # collect_set reproduces sh exactly) alongside its pairs, one
+    # bounded-fanout aggregate sorts them out, and the |sources|²-row
+    # result persists for its two tiny filter readers.
     grouped = sh.groupBy("k").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-    pair_expr = (
+    both_expr = (
+        "concat("
+        "transform(srcs, a -> struct(a AS src_a, CAST(NULL AS STRING) AS src_b)), "
         "filter(flatten(transform(srcs, a -> transform(srcs, b -> "
-        "struct(a AS src_a, b AS src_b)))), p -> p.src_a < p.src_b)"
+        "struct(a AS src_a, b AS src_b)))), p -> p.src_a < p.src_b))"
     )
-    shared = (
-        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+    counts = (
+        grouped.select(F.explode(F.expr(both_expr)).alias("p"))
         .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    per_src = counts.filter(F.col("src_b").isNull()).select(
+        F.col("src_a").alias("source"), F.col("cnt").alias("n_grams")
+    )
+    shared = counts.filter(F.col("src_b").isNotNull()).select(
+        "src_a", "src_b", F.col("cnt").alias("shared_grams")
     )
     pa = per_src.select(
         F.col("source").alias("src_a"), F.col("n_grams").alias("n_grams_a")

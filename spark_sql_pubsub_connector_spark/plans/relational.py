@@ -1295,14 +1295,26 @@ def q74_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     jseq = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
 
+    # persisted (r15): the before-plan re-ran the orders scan+distinct
+    # 4x (bloom build, truth, key count, revenue semi-join) and the
+    # LINEITEM scan+distinct 3x (ppos, truth, probe count) — 18
+    # parquet scans / 44 exchanges for one query. Each distinct key
+    # set materializes once; ppos additionally feeds both the
+    # per-key position count and the bloom-hit probe.
     keys = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .persist()
     )
     bloom = keys.select("k", jseq).select(_bloom_pos("j", "k").alias("pos")).distinct()
-    probe = li.select(F.col("l_orderkey").alias("pk")).distinct()
-    ppos = probe.select("pk", jseq).select("pk", _bloom_pos("j", "pk").alias("pos")).distinct()
+    probe = li.select(F.col("l_orderkey").alias("pk")).distinct().persist()
+    ppos = (
+        probe.select("pk", jseq)
+        .select("pk", _bloom_pos("j", "pk").alias("pos"))
+        .distinct()
+        .persist()
+    )
     gen = ppos.groupBy("pk").agg(F.count(F.lit(1)).alias("npos"))
     hit = (
         ppos.join(F.broadcast(bloom), "pos")

@@ -132,7 +132,10 @@ BUDGETS = {
     "q71_retention_cohorts": (3, 0),
     "q72_cms_token_freq": (3, 0),
     "q73_hll_distinct": (4, 0),
-    "q74_bloom_semijoin": (14, 0),
+    # 18 in TEXT since r15: keys/probe/ppos persist (each was executed
+    # 3-4x before), and each InMemoryRelation block re-lists its inner
+    # exchanges; executed exchanges dropped ~3x (see plans/r15)
+    "q74_bloom_semijoin": (18, 0),
     "q75_gapfill_ffill": (2, 0),
     "q76_random_projection": (0, 0),
     "q77_triangle_clustering": (64, 0),
