@@ -1585,6 +1585,10 @@ def q109_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bucket_n").isNull())
         .drop("bucket_n")
+        # persisted (r15): both self-join sides read this frame, so
+        # without persist the per-chunk md5 pass over the whole corpus
+        # (and the cap join above) executed twice
+        .persist()
     )
     a = f.select(
         F.col("doc_id").alias("doc_a"), F.col("fp0"), F.col("fps").alias("fa")

@@ -535,9 +535,12 @@ def q56_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w"))
+    # persisted (r15): feeds both the DF aggregate and the coverage
+    # join — the shingle explode over the corpus ran twice before
     g = (
         t.filter(F.size("w") >= 3)
         .select("doc_id", F.explode(F.array_distinct(_shingles("w", 3))).alias("gram"))
+        .persist()
     )
     boiler = (
         g.groupBy("gram")
@@ -770,16 +773,30 @@ def q72_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     that lets a 100 TB pipeline answer "how often does token X occur"
     from kilobytes of state instead of a full-corpus aggregate.
 
-    Scale: the sketch is a hash aggregate on (row, col) whose key space
-    is constant (depth×width = 1024 cells) regardless of corpus size —
-    map-side partials collapse everything before one tiny shuffle; the
-    probe join is a broadcast against the 1024-row sketch. Every hash
-    is md5 + integer arithmetic in whole-stage codegen; no Python."""
+    Scale: r15 — token occurrences collapse to a per-TOKEN count
+    first (one vocabulary-keyed shuffle with map-side partials), and
+    the sketch cells sum those counts, so the {_CMS_DEPTH}× row-hash
+    explode and its md5s run once per DISTINCT token instead of once
+    per corpus token occurrence; cell counts are identical because
+    count(occurrences hashing to a cell) = Σ count(token) over the
+    tokens hashing there. The per-token table persists: it feeds both
+    the sketch build and the exact-count comparison (before, the full
+    corpus tokenize+explode ran twice). The sketch key space stays
+    constant (depth×width = 1024 cells) regardless of corpus size;
+    the probe join is a broadcast against the 1024-row sketch. Every
+    hash is md5 + integer arithmetic in whole-stage codegen; no
+    Python."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
-    cells = tok.select(
+    tcnt = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .persist()
+    )
+    cells = tcnt.select(
         F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r"),
         F.col("token"),
+        F.col("true_cnt"),
     ).select(
         "r",
         (
@@ -788,9 +805,10 @@ def q72_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % _CMS_WIDTH
         ).alias("col"),
+        "true_cnt",
     )
     sketch = cells.groupBy("r", "col").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+        F.sum("true_cnt").cast("long").alias("cnt")
     )
     probes = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in _CMS_PROBES])).alias("token")
@@ -813,11 +831,8 @@ def q72_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
     )
-    truth = tok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("true_cnt")
-    )
     return (
-        est.join(truth, "token", "left")
+        est.join(tcnt, "token", "left")
         .select(
             "token",
             "cms_est",
@@ -1338,9 +1353,16 @@ def q99_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: grams are 48-bit md5 keys (q44's discipline — fixed-width
     shuffle keys, documented collision rate ~n²/2⁴⁹); first-occurrence
-    is a gram-keyed min aggregate (map-side partials), attribution is
-    one gram-keyed join back, and the curve rollup is bucket-count
-    sized. Nothing quadratic, no windows, no skew hot-spots."""
+    is a gram-keyed min aggregate (map-side partials). r15: the
+    curve's two counts come from two independent rollups — per-bucket
+    gram rows directly from the gram table, per-bucket novel grams
+    from the first-occurrence table (a gram is new in the bucket of
+    its min doc_id, by definition) — joined at |buckets| granularity,
+    replacing the gram-keyed join that shipped the corpus-scale gram
+    table through a second shuffle just to tag each row with its
+    gram's min; the gram table persists for its two aggregate
+    readers (it was computed twice before). Nothing quadratic, no
+    windows, no skew hot-spots."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
     g = (
@@ -1352,23 +1374,24 @@ def q99_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gk"),
         )
         .distinct()
+        .persist()
     )
-    firstd = g.groupBy("gk").agg(F.min("doc_id").alias("fd"))
-    return (
-        g.join(firstd, "gk")
-        .groupBy(F.expr(f"doc_id DIV {_NV_BUCKET}").alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.expr("CAST(fd = doc_id AS BIGINT)")).cast("long").alias("n_new"),
-        )
-        .select(
-            F.col("bucket").cast("long").alias("bucket"),
-            "n_grams",
-            "n_new",
-            F.expr(f"CAST(n_new * {_NV_SCALE} DIV n_grams AS BIGINT)").alias(
-                "novelty_q6"
-            ),
-        )
+    bcnt = g.groupBy(F.expr(f"doc_id DIV {_NV_BUCKET}").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    newc = (
+        g.groupBy("gk")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.expr(f"fd DIV {_NV_BUCKET}").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    return bcnt.join(newc, "bucket", "left").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_grams",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.expr(
+            f"CAST(COALESCE(n_new, 0L) * {_NV_SCALE} DIV n_grams AS BIGINT)"
+        ).alias("novelty_q6"),
     )
 
 
@@ -1493,7 +1516,15 @@ def q108_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the m=256 sketch promises."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens("text")).alias("token"))
-    h = tok.select("source", "token", md5_str(F.col("token")).alias("h"))
+    # r15: BOTH consumers (the register sketch — max rho is
+    # duplicate-insensitive — and the exact distinct count) only need
+    # DISTINCT (source, token), so occurrences collapse once up front
+    # (map-side partial distinct) and the md5 runs per distinct token
+    # per source, not per corpus occurrence; the distinct table
+    # persists for its two readers (the full tokenize+explode ran
+    # twice before)
+    dt = tok.distinct().persist()
+    h = dt.select("source", "token", md5_str(F.col("token")).alias("h"))
     c = h.select(
         "source",
         hex_prefix_int(F.col("h"), 2).alias("bucket"),
@@ -1514,8 +1545,8 @@ def q108_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_occ"),
     )
-    d = h.groupBy("source").agg(
-        F.countDistinct("token").cast("long").alias("true_distinct")
+    d = dt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("true_distinct")
     )
     est = s.join(d, "source").select(
         "source",
@@ -1584,8 +1615,13 @@ def q110_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit argmax) and adds only a (lang, pred)-keyed
     aggregate — the matrix is |langs|² rows, metadata-sized."""
     pred = q24_langid(spark, sf_dir).select("lang", "pred_lang")
-    cell = pred.groupBy("lang", "pred_lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # persisted (r15): the |langs|²-row matrix feeds both the
+    # per-language totals and the final join — without persist each
+    # reference re-ran the whole q24 classifier over the corpus
+    cell = (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
     )
     tot = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
     return (
