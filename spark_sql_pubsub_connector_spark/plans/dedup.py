@@ -402,13 +402,16 @@ def q19_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
+    # persisted (r15): feeds both verify-join sides; the plan is
+    # byte-identical to q95/q101's sets, so the cache manager shares
+    # one entry across the family
     sets = t.select("doc_id", shingles("w", 3).alias("sh")).select(
         "doc_id",
         F.expr(
             "array_distinct(transform(sh, x -> "
             "CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) AS BIGINT)))"
         ).alias("sd"),
-    )
+    ).persist()
     cand = q17_dedup_minhash_lsh(spark, sf_dir)
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))

@@ -498,11 +498,14 @@ def q105_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = lat.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
     cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # persisted (r15): each percentile leg filters this metadata-sized
+    # cumulative histogram — without persist every leg re-ran the
+    # full events window pass + histogram aggregate (3 corpus passes)
     cum = hist.select(
         "bucket",
         F.sum("c").over(cw).cast("long").alias("rt"),
         F.sum("c").over(Window.partitionBy()).cast("long").alias("tot"),
-    )
+    ).persist()
     out = None
     for p in _CL_PCTS:
         row = (

@@ -59,7 +59,7 @@ BUDGETS = {
     "q102_clean_corpus_report": (2, 0),
     "q103_mixture_rebalance": (4, 0),
     "q104_ngram_diversity": (0, 0),
-    "q105_conversion_latency": (9, 0),
+    "q105_conversion_latency": (12, 0),  # r15 persist text-count, see q72 note
     "q106_grouping_sets": (1, 0),
     "q107_longest_run": (1, 0),
     "q108_hll_by_source": (5, 0),  # r15 persist text-count, see q72 note
