@@ -1489,15 +1489,43 @@ def q83_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     its PQ codes (q82) — no float math ever touches the compressed
     corpus. Top-{_ADC_TOPK} per query, ties toward the lower id.
 
-    Scale: the LUT is queries x {_PQ_SUBS * _PQ_K} rows — broadcast;
-    the code table (the only corpus-sized input) fans out by its
-    {_PQ_SUBS} code rows into a broadcast hash join and collapses
-    straight back in a (query, vec) partial-sum aggregate, then
-    WindowGroupLimit keeps {_ADC_TOPK} rows per query before the final
-    shuffle. This is the IVF-PQ scan kernel (Jégou et al.) expressed
-    in Catalyst operators."""
-    codes = q82_pq_codes(spark, sf_dir).select("vec_id", "subspace", "code")
+    Scale (r15 restructure): the LUT broadcasts as ONE row per query
+    holding a flat {_PQ_SUBS}×{_PQ_K}-entry distance ARRAY (ordered
+    (j, k), so entry j·{_PQ_K}+k), and each database vector carries
+    its {_PQ_SUBS} codes as an array — the ADC sum is then
+    {_PQ_SUBS} element_at lookups per (vector, query) inside
+    whole-stage codegen. The before-plan instead EXPLODED the code
+    table {_PQ_SUBS}× into a broadcast hash join and re-aggregated
+    (query, vec) partial sums through a corpus×queries shuffle; both
+    that shuffle and the explode are gone, leaving the top-k window
+    (WindowGroupLimit prunes to {_ADC_TOPK} per query map-side)
+    as the only exchange. The broadcast nested-loop join has
+    constant fan-out = |queries| — the q20/q90 brute-force shape.
+    This is the IVF-PQ scan kernel (Jégou et al.) expressed in
+    Catalyst operators."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # the per-vector code ARRAY, map-only — the same argmin
+    # expressions q82 uses, kept unexploded so no re-grouping shuffle
+    # is ever needed (codes here == q82's codes by construction)
+    xq_expr = (
+        f"transform(embedding, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {_PQ_GRID} + 0.5d) AS BIGINT))"
+    )
+    bests = []
+    for j in range(_PQ_SUBS):
+        cents = ", ".join(
+            f"array({', '.join(f'{_pq_centroid(j, k, d)}L' for d in range(_PQ_SUBDIM))})"
+            for k in range(_PQ_K)
+        )
+        bests.append(
+            f"array_min(transform(array({cents}), (c, k) -> struct("
+            f"aggregate(zip_with(slice(xq, {j * _PQ_SUBDIM + 1}, {_PQ_SUBDIM}), c, "
+            f"(x, cc) -> (x - cc) * (x - cc)), 0L, (a, v) -> a + v) AS dist_q, "
+            f"CAST(k AS BIGINT) AS code))).code"
+        )
+    codes_arr = emb.select(
+        "vec_id", F.expr(xq_expr).alias("xq")
+    ).select("vec_id", F.expr(f"array({', '.join(bests)})").alias("cv"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.expr(
@@ -1512,24 +1540,27 @@ def q83_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_PQ_K)
         )
         luts.append(
-            f"transform(array({cents}), (c, k) -> struct("
-            f"CAST({j} AS BIGINT) AS j, CAST(k AS BIGINT) AS k, "
+            f"transform(array({cents}), (c, k) -> "
             f"aggregate(zip_with(slice(xq, {j * _PQ_SUBDIM + 1}, {_PQ_SUBDIM}), c, "
-            f"(x, cc) -> (x - cc) * (x - cc)), 0L, (a, v) -> a + v) AS dq))"
+            f"(x, cc) -> (x - cc) * (x - cc)), 0L, (a, v) -> a + v))"
         )
     lut = q.select(
         "query_id",
-        F.explode(F.expr(f"flatten(array({', '.join(luts)}))")).alias("e"),
-    ).select("query_id", "e.j", "e.k", "e.dq")
+        F.expr(f"flatten(array({', '.join(luts)}))").alias("dqs"),
+    )
+    adc_expr = " + ".join(
+        f"element_at(dqs, {j * _PQ_K} + CAST(element_at(cv, {j + 1}) AS INT) + 1)"
+        for j in range(_PQ_SUBS)
+    )
     adc = (
-        codes.join(
-            F.broadcast(lut),
-            (F.col("subspace") == F.col("j"))
-            & (F.col("code") == F.col("k"))
-            & (F.col("vec_id") != F.col("query_id")),
+        codes_arr.join(
+            F.broadcast(lut), F.col("vec_id") != F.col("query_id")
         )
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("dq").cast("long").alias("adc_q"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(f"CAST({adc_expr} AS BIGINT)").alias("adc_q"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_q").asc(), F.col("vec_id").asc()

@@ -183,6 +183,7 @@ BNLJ_OK = {
     "q74_bloom_semijoin",
     "q79_source_mixture",
     "q81_histogram_quantiles",
+    "q83_pq_adc_search",
     "q87_dedup_delta_index",
     "q89_zorder_layout",
     "q90_matryoshka_recall",

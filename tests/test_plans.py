@@ -508,10 +508,14 @@ def test_sliding_window_single_shuffle(spark, sf_dir):
 
 
 def test_pq_adc_lut_broadcast_topk_pruned(spark, sf_dir):
-    """q83: the ADC lookup table is centroids-sized — it must
-    broadcast; the per-query top-k must prune via WindowGroupLimit."""
+    """q83 (r15 form): the per-query distance-ARRAY LUT is
+    queries-sized — it must broadcast into a constant-fanout
+    nested-loop join (the q20 brute-force shape; the pre-r15 form
+    instead exploded codes into a BroadcastHashJoin and re-aggregated
+    through a corpus×queries shuffle); the per-query top-k must prune
+    via WindowGroupLimit."""
     plan = plan_of(spark, sf_dir, "q83_pq_adc_search", mode="simple")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
 
