@@ -1264,7 +1264,7 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the minhash subtree is computed ONCE, and (r15) all three
     configs' bands explode from that one pass into a single
     (cfg, band, sig)-keyed bucket shuffle — the before-plan executed
-    the minhash subtree per config per reference, 26 scans of the
+    the minhash subtree per config per reference, 13 scans of the
     documents table in all; now the corpus is scanned twice (minhash +
     shingle-verify), with the candidate set, shingle sets, and verdict
     persisted at their shared fan-out points (never O(n²) — the
@@ -1286,7 +1286,7 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # struct array of Σnb = 14 (cfg, band, sig) rows per doc and ONE
     # bucket-keyed shuffle grouped by (cfg, band, sig), instead of one
     # minhash-subtree execution + bucket shuffle per config (the
-    # before-plan scanned documents 26×; guide §2.2 "compute shared
+    # before-plan scanned documents 13×; guide §2.2 "compute shared
     # subtrees once"). Bucket contents per (cfg, band, sig) group are
     # identical to the per-config grouping, so pairs are unchanged.
     structs = []

@@ -296,8 +296,16 @@ def test_concurrent_consumers_with_auto_compacting_publisher(
     assert len(set(flat)) == total  # exactly-one delivery per message
     assert b.backlog("s") == 0
     # retention actually engaged: the log is a fraction of the ~28 KB
-    # a grow-forever topic would hold
+    # a grow-forever topic would hold. The bound here is deliberately
+    # loose: the LAST acks can land after the final publish, and with
+    # no further append nothing re-triggers auto-compaction, so the
+    # tail's size depends on ack timing (observed 14 KB under a
+    # loaded host vs ~6 KB solo — r15 flake).
     import os
 
     log = os.path.join(str(tmp_path / "b"), "topics", "t", "log.jsonl")
-    assert os.path.getsize(log) < 10 * 1024
+    assert os.path.getsize(log) < 24 * 1024
+    # after an explicit compaction at quiescence (backlog 0, all
+    # acked) the bound is deterministic
+    b.compact_topic("t")
+    assert os.path.getsize(log) < 2 * 1024
