@@ -1759,7 +1759,39 @@ def q111_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: reuses both operators' plans as-is (broadcast query sides,
     bucket-pruned rerank vs full scan) and aligns the two top-k sets
     with a pair-keyed left join from the exact side — recall counts
-    misses, so the exact ranking is the spine."""
+    misses, so the exact ranking is the spine.
+
+    r15 (guide §5.3/§2.4): the two legs independently re-derived the
+    same embeddings subtrees — q20's leg scans corpus+norm twice
+    (corpus side + broadcast query side) and q61's leg computes the
+    quantize+{_IVF_K}-distance pass twice (cell assignment + probe
+    selection) — 8 parquet scans in the before-plan. Persisting the
+    shared base (scan+norm) and the distance frame HERE, with plans
+    byte-matching the legs' internal subtrees, lets Spark's
+    CacheManager substitute the cached build into both legs without
+    touching either pinned operator (6 InMemoryTableScan nodes in the
+    after-plan). Interleaved 4-round A/Bs at sf0.1 (Q111AB_r15.json):
+    steady-state warm 1.073 → 0.468 s (−56%, non-overlapping bands;
+    cold 1.20 → 0.97 including the cache build); rebuild-per-run
+    protocol 2.448 → 1.295 s (−47%, new < old pairwise every round).
+    At 100 TB the persist trades one extra corpus
+    pass of storage (MEMORY_AND_DISK default) for two eliminated
+    corpus passes plus a duplicated distance computation — and this
+    eval-gate query already needs the full corpus resident twice for
+    its exact leg."""
+    e_shared = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    d_shared = (
+        e_shared.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.expr(quant_arr_expr("embedding")).alias("q"),
+        )
+        .select(
+            "vec_id", "embedding", "nrm", F.expr(_ivf_dists_arr_expr()).alias("ds")
+        )
+        .persist()
+    )
     ivf = q61_ivf_probe_search(spark, sf_dir).filter(F.col("rank") <= TOP_K)
     exact = q20_knn_bruteforce(spark, sf_dir).filter(F.col("rank") <= TOP_K)
     hits = exact.select("query_id", "neighbor_id").join(

@@ -520,6 +520,19 @@ def test_pq_adc_lut_broadcast_topk_pruned(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_recall_legs_share_cached_frames(spark, sf_dir):
+    """q111 (r15): the exact (q20) and IVF (q61) legs must be served
+    by the persisted shared base/distance frames — the before-plan
+    re-derived the embeddings subtrees 8 times (8 parquet scans); the
+    cached form reads the corpus from InMemoryRelation in both legs;
+    the remaining plan-TEXT parquet scans are the cache-BUILD scans
+    re-printed inside each InMemoryRelation block (4 in text, one
+    executed — d_shared builds from e_shared's cache)."""
+    plan = plan_of(spark, sf_dir, "q111_ivf_recall", mode="simple")
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert plan.count("Scan parquet") <= 4, plan
+
+
 def test_arrow_hist_partials_merge_jvm_side(spark, sf_dir):
     """q112: mapInArrow emits per-batch partial histograms; the merge
     must be a JVM hash aggregate over one exchange — the Python stage
