@@ -236,10 +236,30 @@ def main() -> None:
     # measured — only the one-time fork+import storm moves out of q22's
     # cold number. Pre-fix q22 cold readings: r14 3.46 s, r15 baseline
     # 4.69 s (vs warm 2.5 s) — see OPTIMIZATION_r15.md.
+    #
+    # The warm-up body must import the PACKAGE, not just pandas
+    # (r15-opt fix, closes the PARITY q22-warm watch): Spark hands each
+    # Python-stage task an arbitrary idle worker from the pool, so
+    # q22's warm runs rotate through the 32 pooled workers — and a
+    # worker that only imported pandas still pays the pickled kernel's
+    # module-import chain (plans package + functions.vecnp + numpy) the
+    # first time a q22 task lands on it. With 32 kernel-cold workers
+    # the rotation never drains inside one bench session and every
+    # "warm" q22 run was charged 1-3 s of import storm: measured 8-run
+    # q22 series pandas-only pool [5.27, 3.84, 3.48, 3.45, 2.91, 3.13,
+    # 2.93, 4.21] vs package-warm pool [3.27 cold, 2.05, 2.21, 2.61,
+    # 2.30] vs no pool at all [5.72 cold, 2.03, 2.27, 2.47, 1.81] —
+    # package-warm keeps the cold fix AND the honest steady state
+    # (Q22POOL_AB_r15.json). Module import is per-worker
+    # infrastructure (guide §4.5), amortized over a real session
+    # exactly like the JVM codegen warmed above; no data or results
+    # are precomputed.
     cpus = spark.sparkContext.defaultParallelism
 
     def _noop_batches(batches):
         import pandas as pd  # noqa: F401
+
+        from spark_sql_pubsub_connector_spark import plans  # noqa: F401
 
         yield from batches
 
