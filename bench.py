@@ -220,56 +220,21 @@ def main() -> None:
     # Warm the fixed-cost paths so the first query isn't charged for
     # them: codegen pipeline, parquet reader + filesystem init (via the
     # 5-row region table), and the noop sink committer.
+    #
+    # r16 REVERT (VERDICT r15 #1): the r15 Python-worker-pool warm-up
+    # (a mapInPandas no-op forking one worker per core, each importing
+    # pandas + the plans package) is GONE. It reproduced a q22 cold win
+    # on the builder host but on the driver host it REGRESSED the whole
+    # headline (q22 warm +194% normalized, q22/q17 anti-scaling — 8
+    # cores beat 32): 32 resident workers each holding numpy+pandas+the
+    # package are multiple GB of RSS beside an 8g driver JVM, and the
+    # pool ran BEFORE the calibration probes, contaminating the drift
+    # factor every cross-round comparison depends on. q22's cold number
+    # again honestly includes the session's one-time Python fork+import
+    # storm, directly comparable with rounds ≤14.
     spark.range(1000).selectExpr("sum(id)").collect()
     warm = spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count()
     warm.write.format("noop").mode("overwrite").save()
-    # ... and the Python worker pool (r15, measurement fix per
-    # optimization guide §1: the FIRST Arrow/pandas stage of a session
-    # forks one Python worker per core and each pays a concurrent
-    # pandas+numpy import — measured ~5 s at local[32], ~0 CPU in the
-    # query itself. That is session infrastructure exactly like the
-    # JVM/codegen warm-up above, not query cost, and it was previously
-    # charged in full to the first Python-stage query in bench order
-    # (q22). One trivial mapInPandas over one partition per core warms
-    # the pool; workers are reused for the rest of the session. The
-    # per-run Python-stage scheduling cost (~0.3-0.6 s/stage) is still
-    # measured — only the one-time fork+import storm moves out of q22's
-    # cold number. Pre-fix q22 cold readings: r14 3.46 s, r15 baseline
-    # 4.69 s (vs warm 2.5 s) — see OPTIMIZATION_r15.md.
-    #
-    # The warm-up body must import the PACKAGE, not just pandas
-    # (r15-opt fix, closes the PARITY q22-warm watch): Spark hands each
-    # Python-stage task an arbitrary idle worker from the pool, so
-    # q22's warm runs rotate through the 32 pooled workers — and a
-    # worker that only imported pandas still pays the pickled kernel's
-    # module-import chain (plans package + functions.vecnp + numpy) the
-    # first time a q22 task lands on it. With 32 kernel-cold workers
-    # the rotation never drains inside one bench session and every
-    # "warm" q22 run was charged 1-3 s of import storm: measured 8-run
-    # q22 series pandas-only pool [5.27, 3.84, 3.48, 3.45, 2.91, 3.13,
-    # 2.93, 4.21] vs package-warm pool [3.27 cold, 2.05, 2.21, 2.61,
-    # 2.30] vs no pool at all [5.72 cold, 2.03, 2.27, 2.47, 1.81] —
-    # package-warm keeps the cold fix AND the honest steady state
-    # (Q22POOL_AB_r15.json). Module import is per-worker
-    # infrastructure (guide §4.5), amortized over a real session
-    # exactly like the JVM codegen warmed above; no data or results
-    # are precomputed.
-    cpus = spark.sparkContext.defaultParallelism
-
-    def _noop_batches(batches):
-        import pandas as pd  # noqa: F401
-
-        from spark_sql_pubsub_connector_spark import plans  # noqa: F401
-
-        yield from batches
-
-    (
-        spark.range(0, cpus, 1, cpus)
-        .mapInPandas(_noop_batches, "id long")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
 
     # Host-speed calibration (r5): this box is a VM whose effective
     # speed swings >2x run-to-run with host load we cannot observe
