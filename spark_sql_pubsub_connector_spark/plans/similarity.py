@@ -911,6 +911,27 @@ def _ivf_dists_arr_expr() -> str:
     )
 
 
+def _ivf_dists_arr_guarded() -> str:
+    """:func:`_ivf_dists_arr_expr` with a second (never-taken) textual
+    reference to ``q``, so the producing projection is NOT collapsed.
+
+    CollapseProject inlines a non-cheap producer referenced once —
+    even into a lambda body. Here that inlined the 64-FLOOR
+    quantization of ``q`` into the per-centroid lambda, re-evaluating
+    it once PER CENTROID: 8 quantizations per row instead of 1
+    (plans/r16/q49_ivf_assign_before.txt, node (3)). The ``size()``
+    guard's only job is the second reference, which keeps ``q`` a
+    materialized attribute computed once per row; it never changes the
+    value — for non-null ``q`` the condition is false, for null ``q``
+    it is null, and both take the else branch, byte-identical to the
+    unguarded expression (r16; interleaved A/B in
+    ``R16AB_q49_q44_q39.json``)."""
+    return (
+        f"IF(size(q) = -1, CAST(NULL AS ARRAY<BIGINT>), "
+        f"{_ivf_dists_arr_expr()})"
+    )
+
+
 @query(
     "q49_ivf_assign",
     oracle=f"""
@@ -944,15 +965,22 @@ def q49_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the centroid table is a compile-time literal (in a
     real deployment: a broadcast of k·dim floats), so this is one scan
     with per-row codegen arithmetic — no aggregation or join shuffle,
-    linear at any corpus size. The scan is widened (r15, guide §2.5):
-    the local single-row-group file plans as one task and the per-row
-    quantize+distance arithmetic IS this query's cost, so it
-    serialized on one core (interleaved A/B at sf0.1: warm 0.447 →
-    0.257 s, −43%); at scale the widen guard is a no-op."""
-    e = load_table(spark, sf_dir, "embeddings", widen=True).select(
+    linear at any corpus size.
+
+    r16: the r15 scan widen is REVERTED and the quantization hoisted.
+    The widen's repartition bought parallel per-row arithmetic but put
+    a shuffle + an extra stage + a first-use ``.rdd`` plan conversion
+    on the COLD path the driver scores (driver r15: cold 0.49 → 1.07 s,
+    +66% normalized — VERDICT r15 #2). The actual per-row cost was
+    inflated 8×-quantization (CollapseProject inlining, see
+    :func:`_ivf_dists_arr_guarded`); with the hoist the single-task
+    map is cheap enough that the exchange no longer pays for itself
+    even warm (interleaved A/B r16). At production scale the scan
+    parallelizes by itself and the plan is exactly this one."""
+    e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(quant_arr_expr("embedding")).alias("q")
     )
-    d = e.select("vec_id", F.expr(_ivf_dists_arr_expr()).alias("ds"))
+    d = e.select("vec_id", F.expr(_ivf_dists_arr_guarded()).alias("ds"))
     return d.select(
         "vec_id",
         # array_position returns the FIRST index of the min — the same
@@ -1123,8 +1151,12 @@ def q61_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.expr(quant_arr_expr("embedding")).alias("q"),
     )
+    # guarded dists (r16): without the guard CollapseProject inlined
+    # the 64-FLOOR quantization into the per-centroid lambda — 8
+    # quantizations per row; see _ivf_dists_arr_guarded. q111
+    # replicates this frame byte-for-byte for cache substitution.
     d = e.select(
-        "vec_id", "embedding", "nrm", F.expr(_ivf_dists_arr_expr()).alias("ds")
+        "vec_id", "embedding", "nrm", F.expr(_ivf_dists_arr_guarded()).alias("ds")
     )
     corpus = d.select(
         "vec_id",
@@ -1152,7 +1184,16 @@ def q61_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         corpus.join(
             F.broadcast(probes),
-            (F.col("cell") == F.col("probe_cell"))
+            # eqNullSafe (r16): a plain == lets InferFiltersFromConstraints
+            # derive isnotnull(cell) and push it below corpus's projection,
+            # re-inlining the WHOLE 8-centroid distance + 8x quantization
+            # as a per-row pre-join Filter (plans/r16/
+            # q61_ivf_probe_search_before.txt) — every corpus row paid the
+            # assignment twice. <=> infers no not-null constraint and is
+            # value-identical here: probe_cell comes out of an explode()
+            # (null ds explodes to zero rows), so a null probe_cell row
+            # cannot exist and null-matching never fires.
+            (F.col("cell").eqNullSafe(F.col("probe_cell")))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .withColumn("dot", F.expr(dot_q_expr("qe", "embedding")))
@@ -1788,7 +1829,8 @@ def q111_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(quant_arr_expr("embedding")).alias("q"),
         )
         .select(
-            "vec_id", "embedding", "nrm", F.expr(_ivf_dists_arr_expr()).alias("ds")
+            # byte-matches q61's guarded `d` frame (cache substitution)
+            "vec_id", "embedding", "nrm", F.expr(_ivf_dists_arr_guarded()).alias("ds")
         )
         .persist()
     )
