@@ -11,8 +11,8 @@ Scale design: q44 joins on a 48-bit shingle hash with a document-
 frequency cap applied BEFORE the join, so ubiquitous n-grams ("of the
 and") can never explode the shuffle — Σ|df-capped bucket|² bounds the
 join, the same blocking discipline as dedup.py's LSH candidates; its
-keyed shingle table is staged to parquet once (durable where
-localCheckpoint is not). q45 is a pure scan + hash filter (zero
+keyed shingle table is materialized once (localCheckpoint by default,
+a durable parquet stage under $SPARK_GRAFT_STAGE_DIR on clusters). q45 is a pure scan + hash filter (zero
 shuffle). q46 packs hierarchically: running sum per (source,
 doc_id-range bucket) — every window partition bounded at _PACK_BUCKET
 docs — plus a per-bucket exclusive prefix offset from a
@@ -30,7 +30,6 @@ aggregate (DuckDB HUGEINT rule, plans/registry.py).
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -63,19 +62,27 @@ _PACK_BUCKET = 128
 
 
 def _materialize(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
-    """Durable intermediate stage: write ``df`` to a session-scoped
-    temp dir as parquet and read it back. Cluster-safe where
-    ``localCheckpoint`` is not — a lost executor re-reads the file
-    instead of killing the query — and each re-read benefits from
-    column pruning / filter pushdown on the staged table. On a real
-    cluster the temp root would live on the job's shared filesystem;
-    the one materialization cost is identical."""
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "pubsub_spark_stage",
-        spark.sparkContext.applicationId,
+    """Materialized intermediate stage: compute ``df`` once, truncate
+    its lineage, and hand every downstream consumer the stored copy.
+
+    r16 (VERDICT r15 #4's prescribed three-way A/B, guide §5.4): the
+    default is now ``localCheckpoint(eager=True)`` — executor-local
+    blocks, no filesystem round-trip. The interleaved A/B at sf0.1
+    (``R16AB_q49_q44_q39.json``) read q44 first-run 0.44 s vs 0.67 s
+    for the previous write-parquet-and-read-back stage (pairwise lower
+    in all 4 rounds; warm 0.39 vs 0.44) and vs 2.0 s for a plain
+    ``persist()`` (no lineage truncation: the three consumers each
+    re-analyze the full shingle+md5+join subtree, and the first action
+    pays triple planning). Set ``SPARK_GRAFT_STAGE_DIR`` to a shared
+    filesystem path to restore the durable parquet stage on a real
+    cluster, where losing an executor must re-read the stage instead
+    of killing the query — the trade q54's iteration loop documents."""
+    root = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    if not root:
+        return df.localCheckpoint(eager=True)
+    path = os.path.join(
+        root, "pubsub_spark_stage", spark.sparkContext.applicationId, name
     )
-    path = os.path.join(root, name)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -126,14 +133,14 @@ def q44_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ|bucket_train|·|bucket_test| ≤ DF_CAP² per key — never O(n²).
 
     The test-key-filtered shingle table feeds three consumers (the
-    df-count pass and both join sides), so it is materialized ONCE as
-    a parquet stage in a session-scoped temp dir and re-read, instead
+    df-count pass and both join sides), so it is materialized ONCE
+    (:func:`_materialize` — localCheckpoint by default since r16, a
+    durable parquet stage under ``$SPARK_GRAFT_STAGE_DIR`` on real
+    clusters; see the helper's docstring for the measured A/B) instead
     of letting Catalyst re-evaluate the shingle+md5+join subtree per
     consumer — the same one materialization real decontamination
-    pipelines pay, but durable: unlike ``localCheckpoint``
-    (executor-local blocks, lost with any executor), a parquet stage
-    survives executor loss on a cluster, and it holds only the
-    test-key survivors, not the full keyed corpus."""
+    pipelines pay, holding only the test-key survivors, not the full
+    keyed corpus."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "source", tokens("text").alias("w"))
     sh = (
