@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for registered queries into
-plans/r15/<query>_<suffix>.txt — the judge-facing plan evidence
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r16) — the judge-facing plan evidence
 (optimization guide §1.3). Usage:
 
     python tools/capture_plans.py <suffix> [query ...]
@@ -32,7 +32,8 @@ def main() -> None:
     specs = all_specs()
     if not names:
         names = sorted(specs)
-    out_dir = os.path.join(REPO, "plans", "r15")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    out_dir = os.path.join(REPO, "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = specs[name].build(spark, sf_dir)
