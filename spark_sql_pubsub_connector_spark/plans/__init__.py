@@ -6,6 +6,7 @@ registry as the driver's ``queries()`` / ``oracle_sql()`` contract.
 """
 
 from . import relational  # noqa: F401
+from .caching import persist_tracked, release_caches  # noqa: F401
 from .registry import all_specs, oracle_sql, queries  # noqa: F401
 
 

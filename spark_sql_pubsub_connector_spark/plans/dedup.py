@@ -43,6 +43,7 @@ from ..functions.textops import (
     sql_tokens,
     tokens,
 )
+from .caching import persist_tracked
 from .registry import query
 from .tables import load_table
 
@@ -241,7 +242,7 @@ def q17_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the alignment shuffle moves MORE bytes than it saves; the
     # clean interleaved A/B (Q17ALIGN_AB_r15.json) read align+widen
     # warm 0.48 s vs 0.35 s for this plain persist, cold a wash.
-    bands = _minhash_bands(spark, sf_dir).persist()
+    bands = _minhash_bands(spark, sf_dir).transform(persist_tracked)
     hot = (
         bands.groupBy("band", "h")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -330,6 +331,13 @@ def q18_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation, no UDFs (conv/shiftright are JVM
     built-ins)."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE (r16): routing this explode through an explicit
+    # (doc_id, tokens AS w) projection — to let q91 cache-share the
+    # tokenize pass — was tried and REVERTED: the intermediate Project
+    # does not collapse into Generate, and InferFiltersFromGenerate
+    # pushes a size(w) > 0 filter below it that re-inlines the split,
+    # tokenizing every row TWICE on q18's standalone path
+    # (plans/r16/q18_dedup_simhash_{before,after}.txt).
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     h = hex_prefix_int(F.md5(F.encode(F.col("tok"), "UTF-8")), 8)
     hh = toks.select("doc_id", h.alias("h"))
@@ -411,7 +419,7 @@ def q19_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_distinct(transform(sh, x -> "
             "CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) AS BIGINT)))"
         ).alias("sd"),
-    ).persist()
+    ).transform(persist_tracked)
     cand = q17_dedup_minhash_lsh(spark, sf_dir)
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
@@ -515,7 +523,7 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration re-executes the whole minhash/LSH subtree (shingle →
     # 8 hashes → buckets → pair expansion) — at sf0.1 that alone was
     # ~1.3 s × rounds of pure recomputation
-    edges = edges.persist()
+    edges = edges.transform(persist_tracked)
     # both edge directions are present, so src alone covers every node
     # that can ever receive a non-self label
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
@@ -710,7 +718,7 @@ def q69_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    edeg = edges.join(deg, "src").persist()
+    edeg = edges.join(deg, "src").transform(persist_tracked)
     # endpoint nodes all have >=1 incoming edge (the edge list is
     # symmetric), so each iteration's dst-keyed aggregate covers
     # exactly the endpoint set and no per-iteration base-rank join is
@@ -813,7 +821,7 @@ def q77_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sym + the orientation join) and each reference re-ran q17's
     # whole bucket self-join + distinct; the edge list is tiny
     # relative to the corpus (q54's discipline)
-    pairs = q17_dedup_minhash_lsh(spark, sf_dir).persist()
+    pairs = q17_dedup_minhash_lsh(spark, sf_dir).transform(persist_tracked)
     sym = pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")).union(
         pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
     )
@@ -822,7 +830,7 @@ def q77_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (
         sym.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .persist()
+        .transform(persist_tracked)
     )
     da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("degb"))
@@ -839,7 +847,7 @@ def q77_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
             F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddst"),
         )
-        .persist()
+        .transform(persist_tracked)
     )
     e1 = o.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
     e2 = o.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
@@ -932,7 +940,7 @@ def q87_dedup_delta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (index and new batch), so without persist the whole minhash
     # pass over documents executed twice; the plan is identical to
     # q17's persisted bands, so the cache manager shares one entry
-    bands = _minhash_bands(spark, sf_dir).persist()
+    bands = _minhash_bands(spark, sf_dir).transform(persist_tracked)
     docs = load_table(spark, sf_dir, "documents")
     cut_row = docs.agg(
         (
@@ -1137,10 +1145,25 @@ def q91_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline, collision rate ~52²/2^49 per doc, hashed identically
     in the DuckDB oracle), cutting per-pair payload ~4x and keeping
     the verify stage a plain linear-in-pairs shuffle."""
+    # r16 (q111's CacheManager mechanism, guide §5.3): q17's minhash
+    # pass and q91's own verify sets each tokenized AND shingled the
+    # corpus from scratch. Persisting the shingle frame HERE, with an
+    # analyzed plan byte-matching the `s` subtree inside the pinned
+    # _minhash_sigs chain, lets the CacheManager serve both passes
+    # from ONE tokenize+shingle computation without touching q17's
+    # results. (Extending the share to q18's simhash tokenize was
+    # tried and REVERTED — see the note in q18's body.)
+    docs0 = load_table(spark, sf_dir, "documents")
+    s_shared = (
+        docs0.select("doc_id", tokens("text").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", shingles("w", 3).alias("sh"))
+        .transform(persist_tracked)
+    )
     mh = q17_dedup_minhash_lsh(spark, sf_dir).withColumn("from_mh", F.lit(1))
     # persisted (r15): both self-join sides re-ran the whole simhash
     # computation; (doc_id, sh_band) is two longs per doc
-    shb = q18_dedup_simhash(spark, sf_dir).select("doc_id", "sh_band").persist()
+    shb = q18_dedup_simhash(spark, sf_dir).select("doc_id", "sh_band").transform(persist_tracked)
     a = shb.select(F.col("doc_id").alias("doc_a"), F.col("sh_band").alias("sb"))
     c = shb.select(F.col("doc_id").alias("doc_b"), F.col("sh_band").alias("sb"))
     sh_cand = (
@@ -1158,15 +1181,15 @@ def q91_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("from_sh", F.lit(0)).alias("from_sh"),
         )
     )
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 3)
-    # persisted (r15): feeds both verify-join sides (q95's discipline)
-    sets = t.select(
+    # persisted (r15): feeds both verify-join sides (q95's discipline);
+    # built from s_shared (r16) so the tokenize+shingle work is the
+    # same cached computation the minhash pass read
+    sets = s_shared.select(
         "doc_id",
         F.array_distinct(
-            F.transform(shingles("w", 3), lambda g: hex_prefix_int(md5_str(g), 12))
+            F.transform(F.col("sh"), lambda g: hex_prefix_int(md5_str(g), 12))
         ).alias("sd"),
-    ).persist()
+    ).transform(persist_tracked)
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
     inter = F.size(F.array_intersect("sda", "sdb"))
@@ -1320,7 +1343,7 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select("cfg", F.explode(F.expr(pair_expr)).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), "cfg")
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     pairs = cand.select("doc_a", "doc_b").distinct()
     docs = load_table(spark, sf_dir, "documents")
@@ -1334,7 +1357,7 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_distinct(transform(sh, x -> "
             "CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) AS BIGINT)))"
         ).alias("sd"),
-    ).persist()
+    ).transform(persist_tracked)
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
     inter = F.size(F.array_intersect("sda", "sdb"))
@@ -1349,7 +1372,7 @@ def q95_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(x, "doc_a")
         .join(y, "doc_b")
         .select("doc_a", "doc_b", (jq6 >= _JACCARD_THRESHOLD_Q6).cast("long").alias("is_true"))
-        .persist()
+        .transform(persist_tracked)
     )
     tot = verdict.agg(F.sum("is_true").cast("long").alias("total_true"))
     return (
@@ -1432,7 +1455,7 @@ def q101_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides (doc_a and doc_b), so without persist the whole
     # md5-per-shingle minhash pass executes twice; (doc_id, 8 longs)
     # is a trivially small cache at any scale
-    m = _minhash_sigs(spark, sf_dir).persist()
+    m = _minhash_sigs(spark, sf_dir).transform(persist_tracked)
     ma = m.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_HASHES)]
     )
@@ -1461,7 +1484,7 @@ def q101_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_distinct(transform(sh, x -> "
             "CAST(conv(substr(md5(encode(x, 'utf-8')), 1, 15), 16, 10) AS BIGINT)))"
         ).alias("sd"),
-    ).persist()
+    ).transform(persist_tracked)
     x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sda"))
     y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sdb"))
     inter = F.size(F.array_intersect("sda", "sdb"))
@@ -1591,7 +1614,7 @@ def q109_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persisted (r15): both self-join sides read this frame, so
         # without persist the per-chunk md5 pass over the whole corpus
         # (and the cap join above) executed twice
-        .persist()
+        .transform(persist_tracked)
     )
     a = f.select(
         F.col("doc_id").alias("doc_a"), F.col("fp0"), F.col("fps").alias("fa")

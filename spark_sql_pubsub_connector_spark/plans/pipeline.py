@@ -42,6 +42,7 @@ from ..functions.textops import (
     sql_tokens,
     tokens,
 )
+from .caching import persist_tracked
 from .registry import query
 from .tables import load_table
 
@@ -606,7 +607,7 @@ def q84_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .persist()
+        .transform(persist_tracked)
     )
     per_src = counts.filter(F.col("src_b").isNull()).select(
         F.col("src_a").alias("source"), F.col("cnt").alias("n_grams")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.exact import eavg, esum, sql_eavg, sql_esum
 from ..functions.textops import sql_tokens, tokens
+from .caching import persist_tracked
 from .registry import query
 from .tables import load_table
 
@@ -1320,15 +1321,15 @@ def q74_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     bloom = keys.select("k", jseq).select(_bloom_pos("j", "k").alias("pos")).distinct()
-    probe = li.select(F.col("l_orderkey").alias("pk")).distinct().persist()
+    probe = li.select(F.col("l_orderkey").alias("pk")).distinct().transform(persist_tracked)
     ppos = (
         probe.select("pk", jseq)
         .select("pk", _bloom_pos("j", "pk").alias("pos"))
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     gen = ppos.groupBy("pk").agg(F.count(F.lit(1)).alias("npos"))
     hit = (

@@ -51,6 +51,7 @@ from ..functions.vecops import (
     sql_dot_q,
     sql_quant_arr,
 )
+from .caching import persist_tracked
 from .registry import query
 from .tables import load_table
 
@@ -1820,7 +1821,7 @@ def q111_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus passes plus a duplicated distance computation — and this
     eval-gate query already needs the full corpus resident twice for
     its exact leg."""
-    e_shared = _with_norm(load_table(spark, sf_dir, "embeddings")).persist()
+    e_shared = _with_norm(load_table(spark, sf_dir, "embeddings")).transform(persist_tracked)
     d_shared = (
         e_shared.select(
             "vec_id",
@@ -1832,7 +1833,7 @@ def q111_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             # byte-matches q61's guarded `d` frame (cache substitution)
             "vec_id", "embedding", "nrm", F.expr(_ivf_dists_arr_guarded()).alias("ds")
         )
-        .persist()
+        .transform(persist_tracked)
     )
     ivf = q61_ivf_probe_search(spark, sf_dir).filter(F.col("rank") <= TOP_K)
     exact = q20_knn_bruteforce(spark, sf_dir).filter(F.col("rank") <= TOP_K)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from .caching import persist_tracked
 from .registry import query
 from .tables import load_table
 
@@ -505,7 +506,7 @@ def q105_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.sum("c").over(cw).cast("long").alias("rt"),
         F.sum("c").over(Window.partitionBy()).cast("long").alias("tot"),
-    ).persist()
+    ).transform(persist_tracked)
     out = None
     for p in _CL_PCTS:
         row = (

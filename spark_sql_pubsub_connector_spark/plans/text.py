@@ -34,6 +34,7 @@ from ..functions.textops import (
     sql_tokens,
     tokens,
 )
+from .caching import persist_tracked
 from .registry import query
 from .tables import load_table
 
@@ -540,7 +541,7 @@ def q56_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         t.filter(F.size("w") >= 3)
         .select("doc_id", F.explode(F.array_distinct(_shingles("w", 3))).alias("gram"))
-        .persist()
+        .transform(persist_tracked)
     )
     boiler = (
         g.groupBy("gram")
@@ -791,7 +792,7 @@ def q72_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tcnt = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
-        .persist()
+        .transform(persist_tracked)
     )
     cells = tcnt.select(
         F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("r"),
@@ -1008,7 +1009,7 @@ def q78_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice (r7 verdict watch, mechanism confirmed r8 by a controlled
     # shared-vocabulary sweep: the elevated 25x ratio was double-scan
     # + partition sizing, not vocabulary growth — the q17/q54 pattern)
-    bi = bi.persist()
+    bi = bi.transform(persist_tracked)
     pc = bi.groupBy("head", "tail").agg(
         F.count(F.lit(1)).cast("long").alias("c_pair")
     )
@@ -1382,7 +1383,7 @@ def q99_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gk"),
         )
         .distinct()
-        .persist()
+        .transform(persist_tracked)
     )
     bcnt = g.groupBy(F.expr(f"doc_id DIV {_NV_BUCKET}").alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
@@ -1531,7 +1532,7 @@ def q108_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per source, not per corpus occurrence; the distinct table
     # persists for its two readers (the full tokenize+explode ran
     # twice before)
-    dt = tok.distinct().persist()
+    dt = tok.distinct().transform(persist_tracked)
     h = dt.select("source", "token", md5_str(F.col("token")).alias("h"))
     c = h.select(
         "source",
@@ -1629,7 +1630,7 @@ def q110_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (
         pred.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .persist()
+        .transform(persist_tracked)
     )
     tot = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
     return (
