@@ -1450,16 +1450,25 @@ def q82_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(x, cc) -> (x - cc) * (x - cc)), 0L, (a, v) -> a + v) AS dist_q, "
             f"CAST(k AS BIGINT) AS code)))"
         )
+        # ONE evaluation per subspace (r16): referencing `{best}.code`
+        # and `{best}.dist_q` as two separate expressions evaluated the
+        # whole 16-centroid argmin TWICE per row per subspace; carrying
+        # the argmin struct through the explode and field-accessing the
+        # exploded attribute is a per-row struct lookup instead.
         assigns.append(
             F.struct(
                 F.lit(j).cast("long").alias("subspace"),
-                F.expr(f"{best}.code").alias("code"),
-                F.expr(f"{best}.dist_q").alias("dist_q"),
+                F.expr(best).alias("bc"),
             )
         )
     return q.select(
         "vec_id", F.explode(F.array(*assigns)).alias("a")
-    ).select("vec_id", "a.subspace", "a.code", "a.dist_q")
+    ).select(
+        "vec_id",
+        "a.subspace",
+        F.col("a.bc.code").alias("code"),
+        F.col("a.bc.dist_q").alias("dist_q"),
+    )
 
 
 # --------------------------------------------------------------------------
