@@ -99,6 +99,9 @@ def q20_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by query (8 partitions of corpus size) — at scale the
     rank-limit optimization (WindowGroupLimit) keeps only k rows per
     query per task before the shuffle."""
+    # NOTE: q111 persists a frame byte-matching this `e` for
+    # CacheManager substitution across its two legs — if this chain
+    # changes shape, update q111's e_shared in lockstep (ADVICE r15)
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1829,7 +1832,13 @@ def q111_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass of storage (MEMORY_AND_DISK default) for two eliminated
     corpus passes plus a duplicated distance computation — and this
     eval-gate query already needs the full corpus resident twice for
-    its exact leg."""
+    its exact leg.
+
+    Caller contract (ADVICE r15 / r16 hygiene): the persists outlive
+    this query in a shared session and will substitute into later
+    builds of q20/q61 there; consumers composing multiple queries must
+    call ``plans.release_caches()`` (or ``clearCache``) after the
+    action — bench.py's per-query clearCache already does."""
     e_shared = _with_norm(load_table(spark, sf_dir, "embeddings")).transform(persist_tracked)
     d_shared = (
         e_shared.select(

@@ -532,8 +532,17 @@ def test_ivf_recall_legs_share_cached_frames(spark, sf_dir):
     re-printed inside each InMemoryRelation block (4 in text, one
     executed — d_shared builds from e_shared's cache)."""
     plan = plan_of(spark, sf_dir, "q111_ivf_recall", mode="simple")
-    assert plan.count("InMemoryTableScan") >= 4, plan
-    assert plan.count("Scan parquet") <= 4, plan
+    try:
+        assert plan.count("InMemoryTableScan") >= 4, plan
+        assert plan.count("Scan parquet") <= 4, plan
+    finally:
+        # ADVICE r15: q111's persists outlive the build and would
+        # silently substitute into later same-module q20/q61 plan
+        # builds regardless of test order — release them here
+        from spark_sql_pubsub_connector_spark import plans as _plans
+
+        _plans.release_caches()
+        spark.catalog.clearCache()
 
 
 def test_arrow_hist_partials_merge_jvm_side(spark, sf_dir):
