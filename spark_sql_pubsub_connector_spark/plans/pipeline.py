@@ -68,13 +68,16 @@ def _materialize(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
 
     r16 (VERDICT r15 #4's prescribed three-way A/B, guide §5.4): the
     default is now ``localCheckpoint(eager=True)`` — executor-local
-    blocks, no filesystem round-trip. The interleaved A/B at sf0.1
-    (``R16AB_q49_q44_q39.json``) read q44 first-run 0.44 s vs 0.67 s
-    for the previous write-parquet-and-read-back stage (pairwise lower
-    in all 4 rounds; warm 0.39 vs 0.44) and vs 2.0 s for a plain
-    ``persist()`` (no lineage truncation: the three consumers each
-    re-analyze the full shingle+md5+join subtree, and the first action
-    pays triple planning). Set ``SPARK_GRAFT_STAGE_DIR`` to a shared
+    blocks, no filesystem round-trip. Interleaved 4-round A/B at
+    sf0.1, build+action timed like bench.py's run_once
+    (``R16AB_q44_buildtimed.json``): first-run median 1.76 s
+    (localCheckpoint) vs 2.07 (the previous write-parquet-and-
+    read-back stage) vs 2.10 (plain ``persist()``, whose three
+    consumers re-analyze the full shingle+md5+join subtree). persist
+    wins WARM repeats (0.84 — its CacheManager entry plan-matches the
+    next run's rebuild, localCheckpoint leaves cannot) but the
+    driver's scoreboard is the cold first run, where localCheckpoint
+    is pairwise best. Set ``SPARK_GRAFT_STAGE_DIR`` to a shared
     filesystem path to restore the durable parquet stage on a real
     cluster, where losing an executor must re-read the stage instead
     of killing the query — the trade q54's iteration loop documents."""

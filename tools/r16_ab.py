@@ -80,11 +80,26 @@ def q44_stage_variant(spark, sf_dir, mode: str):
     vs persist — VERDICT r15 #4's prescribed three-way A/B."""
     import spark_sql_pubsub_connector_spark.plans.pipeline as P
 
+    import os
+    import tempfile
+
+    def parquet_stage(spark, df, name):
+        root = os.path.join(
+            tempfile.gettempdir(),
+            "pubsub_spark_stage_ab",
+            spark.sparkContext.applicationId,
+        )
+        path = os.path.join(root, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     orig = P._materialize
     if mode == "lck":
         P._materialize = lambda spark, df, name: df.localCheckpoint(eager=True)
     elif mode == "persist":
         P._materialize = lambda spark, df, name: df.persist()
+    elif mode == "parquet":
+        P._materialize = parquet_stage
     try:
         # @query registers and returns the function unchanged
         return P.q44_decontaminate(spark, sf_dir)
@@ -121,7 +136,7 @@ def build(spark, sf_dir, specs, subject: str, variant: str):
 # HEAD q39 is the percentile() form again, so the subject is retired.
 VARIANTS = {
     "q49": ("cur", "r15", "widenguard", "r14"),
-    "q44": ("cur", "lck", "persist"),
+    "q44": ("cur", "parquet", "persist"),
 }
 
 
@@ -149,8 +164,12 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"r16ab:{subject}:{variant}")
         runs = []
         for _ in range(1 + args.warm):
-            df = build(spark, args.sf_dir, specs, subject, variant)
+            # time build+write, bench.py's run_once shape — builders
+            # that materialize eagerly (q44's stage, q54's loop) do
+            # real work at build time and excluding it would compare
+            # variants on different portions of the query
             t0 = time.perf_counter()
+            df = build(spark, args.sf_dir, specs, subject, variant)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 4))
         spark.catalog.clearCache()
